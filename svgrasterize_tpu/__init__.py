@@ -1,0 +1,18 @@
+"""svgrasterize-tpu: a TPU-native SVG rasterization framework.
+
+Re-implements the capabilities of aslpavel/svgrasterize.py with a JAX/XLA/
+Pallas compute path: host-side scene compilation (XML, path data, fonts,
+stroke geometry) and device-side pixel work (coverage, paint, composition,
+filters), designed to scale across TPU meshes via jax.sharding.
+"""
+
+from .core.transform import Transform
+from .core.layer import Layer, canvas_create
+from .core import color, png
+from .geom.path import Path, FILL_NONZERO, FILL_EVENODD
+from .geom.hull import ConvexHull
+from .paint import GradLinear, GradRadial, Pattern
+from .scene import Scene
+from .filter import Filter
+
+__version__ = "0.1.0"
