@@ -14,5 +14,8 @@ from .geom.hull import ConvexHull
 from .paint import GradLinear, GradRadial, Pattern
 from .scene import Scene
 from .filter import Filter
+from .frontend.svg import scene_from_filepath, scene_from_str, scene_from_xml
+from .frontend.parsers import parse_color, parse_transform
+from .text.fonts import DEFAULT_FONTS, Font, FontsDB, Glyph
 
 __version__ = "0.1.0"

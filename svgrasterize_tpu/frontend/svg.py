@@ -1,0 +1,793 @@
+"""SVG document -> Scene graph builder (host-side).
+
+Walks the XML element tree, cascades styleable attributes, lowers shapes to
+path data, and constructs the retained-mode Scene IR plus an id registry for
+url(#...) references.  Feature parity target is the reference scene builder
+(/root/reference/svgrasterize.py:2724-3787): svg/viewBox negotiation, path,
+g, defs, gradients, clipPath, mask, filter, pattern, all basic shapes, font,
+text/tspan, and use.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import warnings
+from xml.etree import ElementTree as etree
+
+import numpy as np
+
+from ..core.transform import Transform
+from ..filter import (
+    COLOR_MATRIX_LUM,
+    Filter,
+    color_matrix_hue_rotate,
+    color_matrix_saturate,
+)
+from ..geom.path import FILL_NONZERO, PATH_CLOSED, PATH_LINE, Path
+from ..ops.compose import (
+    COMPOSE_ATOP,
+    COMPOSE_IN,
+    COMPOSE_OUT,
+    COMPOSE_OVER,
+    COMPOSE_XOR,
+)
+from ..paint import GradLinear, GradRadial, Pattern
+from ..scene import Scene
+from ..text.fonts import FONT_STYLE_NORMAL, Font, FontsDB, Glyph, font_weight
+from ..utils.constants import FLOAT
+from . import parsers
+from .parsers import (
+    DEFAULT_FONT_SIZE,
+    parse_angle,
+    parse_color,
+    parse_float,
+    parse_float_list,
+    parse_paint,
+    parse_size,
+    parse_transform,
+    parse_url,
+)
+
+UNITS_USER = "userSpaceOnUse"
+UNITS_BBOX = "objectBoundingBox"
+
+# Attributes that cascade from parent to child elements.
+INHERITED_ATTRS = frozenset(
+    {
+        "color",
+        "fill",
+        "fill-rule",
+        "fill-opacity",
+        "stroke",
+        "stroke-opacity",
+        "stroke-width",
+        "stroke-linecap",
+        "stroke-linejoin",
+        "stroke-miterlimit",
+        "font-family",
+        "font-size",
+        "font-weight",
+        "font-style",
+        "text-anchor",
+    }
+)
+
+
+def _local_tag(element) -> str:
+    return element.tag.split("}")[-1]
+
+
+def cascade_attrs(raw: dict, inherited: dict | None = None) -> dict:
+    """Merge element attributes over inherited ones, expanding style=""."""
+    attrs = dict(raw)
+    style = attrs.pop("style", None)
+    if style is not None:
+        for decl in style.split(";"):
+            decl = decl.strip()
+            if not decl:
+                continue
+            key, _, value = decl.partition(":")
+            attrs[key.strip()] = value.strip()
+    if inherited:
+        attrs = {**inherited, **attrs}
+    return attrs
+
+
+def viewbox_transform(bbox, viewbox) -> Transform:
+    """Uniform-scale transform fitting `viewbox` into `bbox` (centered).
+
+    bbox: (x, y, w, h) with w/h possibly None (derived from the viewbox
+    aspect ratio); viewbox: (vx, vy, vw, vh).
+    """
+    vx, vy, vw, vh = viewbox
+    x, y, w, h = bbox
+    if w is None and h is None:
+        w, h = vw, vh
+    elif w is None:
+        w = vw * h / vh
+    elif h is None:
+        h = vh * w / vw
+    scale = min(w / vw, h / vh)
+    tx = -vx + (w / scale - vw) / 2 + x / scale
+    ty = -vy + (h / scale - vh) / 2 + y / scale
+    return Transform().scale(scale).translate(tx, ty)
+
+
+def rect_path_data(x, y, width, height, rx=None, ry=None) -> str:
+    """Lower a <rect> (optionally rounded) to SVG path data."""
+    if rx is None and ry is None:
+        rx = ry = 0.0
+    elif rx is None:
+        rx = ry
+    elif ry is None:
+        ry = rx
+    rx = min(rx, width / 2)
+    ry = min(ry, height / 2)
+    rounded = rx > 0 and ry > 0
+    parts = [f"M{x + rx:g},{y:g}", f"H{x + width - rx:g}"]
+    if rounded:
+        parts.append(f"A{rx:g},{ry:g} 0 0 1 {x + width:g},{y + ry:g}")
+    parts.append(f"V{y + height - ry:g}")
+    if rounded:
+        parts.append(f"A{rx:g},{ry:g} 0 0 1 {x + width - rx:g},{y + height:g}")
+    parts.append(f"H{x + rx:g}")
+    if rounded:
+        parts.append(f"A{rx:g},{ry:g} 0 0 1 {x:g},{y + height - ry:g}")
+    parts.append(f"V{y + ry:g}")
+    if rounded:
+        parts.append(f"A{rx:g},{ry:g} 0 0 1 {x + rx:g},{y:g}")
+    parts.append("z")
+    return " ".join(parts)
+
+
+def ellipse_path_data(cx, cy, rx, ry=None) -> str:
+    """Lower a <circle>/<ellipse> to SVG path data (four arc quadrants)."""
+    if rx is None and ry is None:
+        return ""
+    rx = ry if rx is None else rx
+    ry = rx if ry is None else ry
+    return " ".join(
+        [
+            f"M{cx + rx:g},{cy:g}",
+            f"A{rx:g},{ry:g} 0 0 1 {cx:g},{cy + ry:g}",
+            f"A{rx:g},{ry:g} 0 0 1 {cx - rx:g},{cy:g}",
+            f"A{rx:g},{ry:g} 0 0 1 {cx:g},{cy - ry:g}",
+            f"A{rx:g},{ry:g} 0 0 1 {cx + rx:g},{cy:g}",
+            "z",
+        ]
+    )
+
+
+# ------------------------------------------------------------------------------
+# element handlers
+# ------------------------------------------------------------------------------
+def build_shape_scenes(attrs: dict, ids: dict, fg, path: Path | None = None) -> list:
+    """Scenes (fill and/or stroke) for a path-bearing element."""
+    if path is None:
+        data = attrs.get("d")
+        if data is None:
+            return []
+        path = Path.from_svg(data)
+
+    group = []
+    fill = attrs.get("fill")
+    if fill is not None:
+        fill = attrs.get("color") if fill == "currentColor" else parse_paint(fill, ids)
+    elif fg is not None:
+        fill = fg
+    else:
+        fill = np.array([0.0, 0.0, 0.0, 1.0], dtype=FLOAT)
+    if fill is not None:
+        scene = Scene.fill(path, fill, attrs.get("fill-rule", FILL_NONZERO))
+        fill_opacity = parse_float(attrs.get("fill-opacity"))
+        if fill_opacity is not None:
+            scene = scene.opacity(fill_opacity)
+        group.append(scene)
+
+    stroke = attrs.get("stroke")
+    stroke = attrs.get("color") if stroke == "currentColor" else parse_paint(stroke, ids)
+    if stroke is not None:
+        scene = Scene.stroke(
+            path,
+            stroke,
+            parse_float(attrs.get("stroke-width", "1")),
+            attrs.get("stroke-linecap"),
+            attrs.get("stroke-linejoin"),
+        )
+        stroke_opacity = parse_float(attrs.get("stroke-opacity"))
+        if stroke_opacity is not None:
+            scene = scene.opacity(stroke_opacity)
+        group.append(scene)
+
+    return group
+
+
+def build_gradient(element, is_linear: bool, ids: dict):
+    """Parse a gradient element (handles href inheritance via the ids dict)."""
+    attrs = element.attrib
+    parent = None
+    href = attrs.get("href") or next(
+        (v for k, v in attrs.items() if k.endswith("}href")), None
+    )
+    if href and href.startswith("#"):
+        parent = ids.get(href[1:])
+    parent_fields = parent._asdict() if isinstance(parent, (GradLinear, GradRadial)) else {}
+
+    transform = parse_transform(attrs.get("gradientTransform") or attrs.get("transform"))
+    if transform is None:
+        transform = parent_fields.get("transform")
+
+    spread = attrs.get("spreadMethod", parent_fields.get("spread", "pad"))
+    units = attrs.get("gradientUnits", UNITS_BBOX)
+    bbox_units = units != UNITS_USER
+
+    stops = parse_stops(element) or parent_fields.get("stops")
+    if not stops:
+        return None  # a gradient without stops paints nothing
+    if len(stops) == 1:
+        return stops[0][1]  # a single stop degrades to its solid color
+
+    color_interp = attrs.get("color-interpolation")
+    linear_rgb = {"linearRGB": True, "sRGB": False}.get(color_interp)
+
+    if is_linear:
+        p0 = np.array(
+            [parse_float(attrs.get("x1", "0")), parse_float(attrs.get("y1", "0"))], dtype=FLOAT
+        )
+        p1 = np.array(
+            [parse_float(attrs.get("x2", "1")), parse_float(attrs.get("y2", "0"))], dtype=FLOAT
+        )
+        return GradLinear(p0, p1, stops, transform, spread, bbox_units, linear_rgb)
+
+    cx = parse_float(attrs.get("cx", "0.5"))
+    cy = parse_float(attrs.get("cy", "0.5"))
+    fx = parse_float(attrs.get("fx"))
+    fy = parse_float(attrs.get("fy"))
+    fcenter = None
+    if fx is not None or fy is not None:
+        fcenter = np.array([cx if fx is None else fx, cy if fy is None else fy], dtype=FLOAT)
+    center = np.array([cx, cy], dtype=FLOAT)
+    radius = parse_float(attrs.get("r")) or 0.5
+    fradius = parse_float(attrs.get("fr"))
+    return GradRadial(
+        center, radius, fcenter, fradius, stops, transform, spread, bbox_units, linear_rgb
+    )
+
+
+def parse_stops(element) -> list:
+    """Gradient <stop> children -> sorted [(offset, premult-linear rgba)]."""
+    stops = []
+    for child in element:
+        if not child.tag.endswith("stop"):
+            continue
+        attrs = cascade_attrs(child.attrib)
+        offset = parse_float(attrs.get("offset")) or 0.0
+        offset = min(max(offset, 0.0), 1.0)
+        color = parse_color(attrs.get("stop-color"))
+        if color is None:
+            continue
+        opacity = attrs.get("stop-opacity")
+        if opacity:
+            color = color * float(opacity)
+        stops.append((offset, color))
+    stops.sort(key=lambda s: s[0])
+    return stops
+
+
+_COMPOSITE_MODES = {
+    "over": COMPOSE_OVER,
+    "in": COMPOSE_IN,
+    "out": COMPOSE_OUT,
+    "atop": COMPOSE_ATOP,
+    "xor": COMPOSE_XOR,
+}
+
+
+def build_filter(element) -> Filter:
+    """Parse a <filter> element into the SSA-style Filter op list."""
+    flt = Filter.empty()
+    for child in element:
+        tag = _local_tag(child)
+        attrs = child.attrib
+        result = attrs.get("result")
+        input_ = attrs.get("in")
+
+        if tag == "feOffset":
+            flt = flt.offset(
+                parse_float(attrs.get("dx", "0")), parse_float(attrs.get("dy", "0")), input_, result
+            )
+        elif tag == "feGaussianBlur":
+            stds = parse_float_list(attrs.get("stdDeviation"), 1, 2)
+            if stds:
+                std_x = stds[0]
+                std_y = stds[1] if len(stds) > 1 else stds[0]
+                flt = flt.blur(std_x, std_y, input_, result)
+        elif tag == "feMerge":
+            names = [
+                node.get("in") for node in child if _local_tag(node) == "feMergeNode"
+            ]
+            flt = flt.merge(names, result)
+        elif tag == "feBlend":
+            flt = flt.blend(input_, attrs.get("in2"), attrs.get("mode"), result)
+        elif tag == "feComposite":
+            operator = attrs.get("operator", "over")
+            if operator == "arithmetic":
+                mode = tuple(
+                    parse_float(attrs.get(k, "0")) for k in ("k1", "k2", "k3", "k4")
+                )
+            else:
+                mode = _COMPOSITE_MODES.get(operator)
+                if mode is None:
+                    warnings.warn(f"unsupported composite operator: {operator}")
+                    mode = COMPOSE_OVER
+            flt = flt.composite(input_, attrs.get("in2"), mode, result)
+        elif tag == "feColorMatrix":
+            kind = attrs.get("type", "matrix")
+            values = attrs.get("values")
+            matrix = None
+            if kind == "matrix":
+                matrix = (
+                    np.eye(4, 5)
+                    if values is None
+                    else np.array(parse_float_list(values, 20, 20)).reshape(4, 5)
+                )
+            elif kind == "saturate":
+                matrix = color_matrix_saturate(1.0 if values is None else parse_float(values))
+            elif kind == "hueRotate":
+                matrix = color_matrix_hue_rotate(0.0 if values is None else parse_angle(values))
+            elif kind == "luminanceToAlpha":
+                matrix = COLOR_MATRIX_LUM
+            else:
+                warnings.warn(f"unsupported color matrix type: {kind}")
+            if matrix is not None:
+                flt = flt.color_matrix(input_, matrix, result)
+        elif tag == "feMorphology":
+            operator = attrs.get("operator", "erode")
+            method = {"erode": "min", "dilate": "max"}.get(operator)
+            if method is None:
+                warnings.warn(f"invalid morphology operator: {operator}")
+                continue
+            radius = parse_float_list(attrs.get("radius", "0"), 1, 2)
+            rx = radius[0]
+            ry = radius[1] if len(radius) > 1 else rx
+            if rx > 0 and ry > 0:
+                flt = flt.morphology(rx, ry, method, input_, result)
+        else:
+            warnings.warn(f"unsupported filter primitive: {tag}")
+    return flt
+
+
+def build_font(element) -> Font | None:
+    """Parse an SVG <font> element (font-face, glyphs, missing-glyph, hkern)."""
+    glyphs: dict[str, Glyph] = {}
+    by_name: dict[str, Glyph] = {}
+    hkern: dict[tuple[str, str], float] = {}
+    missing: Glyph | None = None
+    font: Font | None = None
+
+    for child in element:
+        tag = _local_tag(child)
+        attrs = cascade_attrs(child.attrib, element.attrib)
+
+        if tag == "glyph":
+            unicode = attrs.get("unicode")
+            advance = attrs.get("horiz-adv-x")
+            if unicode is None or advance is None:
+                continue
+            glyph = Glyph(unicode, float(advance), attrs.get("d", ""), attrs.get("glyph-name"))
+            glyphs[unicode] = glyph
+            if glyph.name:
+                by_name[glyph.name] = glyph
+
+        elif tag == "missing-glyph":
+            advance = attrs.get("horiz-adv-x")
+            if advance is not None:
+                missing = Glyph(None, float(advance), attrs.get("d", ""), "missing-glyph")
+
+        elif tag == "font-face":
+            units_per_em = float(attrs.get("units-per-em", "2048"))
+            font = Font(
+                family=attrs.get("font-family", f"font-{id(element):x}"),
+                weight=font_weight(attrs.get("font-weight")),
+                style=attrs.get("font-style", FONT_STYLE_NORMAL),
+                ascent=float(attrs.get("ascent", units_per_em)),
+                descent=float(attrs.get("descent", "0")),
+                units_per_em=units_per_em,
+                glyphs={},
+                missing_glyph=None,
+                hkern={},
+            )
+
+        elif tag == "hkern":
+            kern = attrs.get("k")
+            if kern is None:
+                continue
+            left: list[str] = []
+            right: list[str] = []
+            for target, u_key, g_key in ((left, "u1", "g1"), (right, "u2", "g2")):
+                unicodes = attrs.get(u_key)
+                if unicodes:
+                    target.extend(u for u in unicodes.split(",") if u)
+                names = attrs.get(g_key)
+                if names:
+                    for name in filter(None, names.split(",")):
+                        glyph = by_name.get(name)
+                        if glyph is not None and glyph.unicode:
+                            target.append(glyph.unicode)
+            value = float(kern)
+            for l in left:
+                for r in right:
+                    hkern[(l, r)] = value
+
+    if font is None:
+        warnings.warn("<font> without <font-face>")
+        return None
+    font.glyphs.update(glyphs)
+    font.hkern.update(hkern)
+    font.missing_glyph = missing
+    return font
+
+
+def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
+    """Lower a <text> element (with nested tspans) into glyph-path scenes.
+
+    Whitespace handling: runs of whitespace collapse to single spaces; a
+    leading/trailing space is preserved only when it glues adjacent chunks.
+    """
+
+    def layout_run(text, run_attrs, pen, pending_space):
+        # NOTE: pops mutate run_attrs on purpose — x/y/dx/dy reposition the
+        # pen once per element; later runs of the same element must not
+        # re-apply them (they continue from the advanced pen position).
+        pen_x, pen_y = pen
+        x = parse_size(run_attrs.pop("x", None))
+        if x is not None:
+            pen_x = x
+        dx = parse_size(run_attrs.pop("dx", None))
+        if dx is not None:
+            pen_x += dx
+        y = parse_size(run_attrs.pop("y", None))
+        if y is not None:
+            pen_y = y
+        dy = parse_size(run_attrs.pop("dy", None))
+        if dy is not None:
+            pen_y += dy
+
+        if not text:
+            return [], (pen_x, pen_y), pending_space
+
+        text = text.replace("\n", " ")
+        lead = " " if text[0] in " \t" and len(text) > 1 and not pending_space else ""
+        trail = " " if text[-1] in " \t" else ""
+        collapsed = " ".join(filter(None, text.strip().split()))
+        if not collapsed:
+            return [], (pen_x, pen_y), pending_space
+        collapsed = lead + collapsed + trail
+
+        size = parse_float(run_attrs.get("font-size", str(DEFAULT_FONT_SIZE)))
+        font = fonts.resolve(
+            run_attrs.get("font-family"),
+            font_weight(run_attrs.get("font-weight")),
+            run_attrs.get("font-style"),
+        )
+        if font is None:
+            return [], (pen_x, pen_y), pending_space
+        path, advance = font.str_to_path(size, collapsed)
+
+        move = Transform().translate(pen_x, pen_y)
+        scenes = [s.transform(move) for s in build_shape_scenes(run_attrs, ids, fg, path)]
+        return scenes, (pen_x + advance, pen_y), bool(trail)
+
+    def walk(node, node_attrs, pen, pending_space):
+        scenes, pen, pending_space = layout_run(node.text, node_attrs, pen, pending_space)
+        for child in node:
+            if _local_tag(child) in ("tspan", "text"):
+                child_attrs = cascade_attrs(child.attrib, node_attrs)
+                sub, pen, pending_space = walk(child, child_attrs, pen, pending_space)
+                scenes.extend(sub)
+            tail, pen, pending_space = layout_run(child.tail, node_attrs, pen, pending_space)
+            scenes.extend(tail)
+        return scenes, pen, pending_space
+
+    start_x = parse_float(attrs.get("x", "0"))
+    scenes, (end_x, _end_y), _space = walk(element, attrs, (0.0, 0.0), True)
+
+    anchor = attrs.get("text-anchor")
+    shift = None
+    if anchor == "middle":
+        shift = Transform().translate((start_x - end_x) / 2, 0)
+    elif anchor == "end":
+        shift = Transform().translate(start_x - end_x, 0)
+    if shift is not None:
+        scenes = [s.transform(shift) for s in scenes]
+    return scenes
+
+
+# ------------------------------------------------------------------------------
+# document walker
+# ------------------------------------------------------------------------------
+def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None):
+    """Build a Scene from an SVG file object.
+
+    Returns (scene | None, ids, size) where ids maps element ids to the
+    objects they defined (scenes, gradients, patterns, filters, clip tuples)
+    and size is the top-level (width, height) if the document declares one.
+    """
+    fonts = FontsDB() if fonts is None else fonts
+    ids: dict = {}
+    doc_size: list = [None]
+
+    def walk(element, inherited, top=False, forced_width=None):
+        tag = _local_tag(element)
+        attrs = cascade_attrs(element.attrib, inherited)
+        inherit_down = {k: v for k, v in attrs.items() if k in INHERITED_ATTRS}
+
+        group: list = []
+        if tag == "svg":
+            for child in element:
+                group.extend(walk(child, inherit_down))
+            if not group:
+                return group
+            scene = Scene.group(group)
+
+            x = parse_size(attrs.get("x", "0"))
+            y = parse_size(attrs.get("y", "0"))
+            w = parse_size(attrs.get("width"))
+            h = parse_size(attrs.get("height"))
+            viewbox = None
+            if w is not None and h is not None:
+                viewbox = [0, 0, w, h]
+            if forced_width is not None:
+                if w is not None and h is not None:
+                    w, h = forced_width, int(forced_width * h / w)
+                else:
+                    w, h = forced_width, None
+            declared = parse_float_list(attrs.get("viewBox"), 4, 4)
+            viewbox = declared or viewbox
+            if viewbox is not None:
+                scene = scene.transform(viewbox_transform((x, y, w, h), viewbox))
+                _vx, _vy, vw, vh = viewbox
+                if w is None and h is None:
+                    w, h = vw, vh
+                elif h is None:
+                    h = vh * w / vw
+                elif w is None:
+                    w = vw * h / vh
+            elif x > 0 and y > 0:
+                scene = scene.transform(Transform().translate(x, y))
+
+            if w is not None and h is not None:
+                if top:
+                    doc_size[0] = (w, h)
+                else:
+                    frame = [
+                        (PATH_LINE, [[x, y], [x + w, y]]),
+                        (PATH_LINE, [[x + w, y], [x + w, y + h]]),
+                        (PATH_LINE, [[x + w, y + h], [x, y + h]]),
+                        (PATH_CLOSED, [[x, y + h], [x, y]]),
+                    ]
+                    scene = scene.clip(Scene.fill(Path([frame]), np.ones(4)))
+            group = [scene]
+
+        elif tag == "path":
+            group.extend(build_shape_scenes(attrs, ids, fg))
+
+        elif tag == "g":
+            for child in element:
+                group.extend(walk(child, inherit_down))
+
+        elif tag == "defs":
+            for child in element:
+                walk(child, inherit_down)
+
+        elif tag in ("linearGradient", "radialGradient"):
+            elem_id = attrs.get("id")
+            if elem_id is not None:
+                ids[elem_id] = build_gradient(element, tag == "linearGradient", ids)
+            return []
+
+        elif tag == "clipPath":
+            elem_id = attrs.get("id")
+            clip_rule = attrs.get("clip-rule")
+            if clip_rule is not None:
+                inherit_down.setdefault("fill-rule", clip_rule)
+            if elem_id is not None:
+                for child in element:
+                    group.extend(walk(child, inherit_down))
+                if group:
+                    scene = Scene.group(group)
+                    transform = parse_transform(attrs.get("transform"))
+                    if transform is not None:
+                        scene = scene.transform(transform)
+                    ids[elem_id] = (scene, attrs.get("clipPathUnits") == UNITS_BBOX)
+            return []
+
+        elif tag == "mask":
+            elem_id = attrs.get("id")
+            if elem_id is not None:
+                for child in element:
+                    group.extend(walk(child, inherit_down))
+                if group:
+                    scene = Scene.group(group)
+                    transform = parse_transform(attrs.get("transform"))
+                    if transform is not None:
+                        scene = scene.transform(transform)
+                    ids[elem_id] = (scene, attrs.get("maskContentUnits") == UNITS_BBOX)
+                group = []
+            return []
+
+        elif tag == "filter":
+            elem_id = attrs.get("id")
+            if elem_id is not None:
+                ids[elem_id] = build_filter(element)
+            return []
+
+        elif tag == "pattern":
+            elem_id = attrs.get("id")
+            if elem_id is not None:
+                px = parse_float(attrs.get("x", "0"))
+                py = parse_float(attrs.get("y", "0"))
+                pw = parse_float(attrs.get("width"))
+                ph = parse_float(attrs.get("height"))
+                if pw is None or ph is None:
+                    return []
+                for child in element:
+                    group.extend(walk(child, inherit_down))
+                if not group:
+                    return []
+                scene = Scene.group(group)
+                group = []
+                ids[elem_id] = Pattern(
+                    scene=scene,
+                    scene_bbox_units=attrs.get("patternContentUnits", UNITS_USER) == UNITS_BBOX,
+                    scene_view_box=parse_float_list(attrs.get("viewBox"), 4, 4),
+                    x=px,
+                    y=py,
+                    width=pw,
+                    height=ph,
+                    transform=parse_transform(attrs.get("patternTransform")) or Transform(),
+                    bbox_units=attrs.get("patternUnits", UNITS_BBOX) == UNITS_BBOX,
+                )
+            return []
+
+        elif tag == "rect":
+            attrs["d"] = rect_path_data(
+                parse_size(attrs.pop("x", "0")),
+                parse_size(attrs.pop("y", "0")),
+                parse_size(attrs.pop("width")),
+                parse_size(attrs.pop("height")),
+                parse_size(attrs.get("rx")),
+                parse_size(attrs.get("ry")),
+            )
+            group.extend(build_shape_scenes(attrs, ids, fg))
+
+        elif tag == "circle":
+            r = parse_size(attrs.pop("r"))
+            attrs["d"] = ellipse_path_data(
+                parse_size(attrs.pop("cx", "0")), parse_size(attrs.pop("cy", "0")), r, r
+            )
+            group.extend(build_shape_scenes(attrs, ids, fg))
+
+        elif tag == "ellipse":
+            attrs["d"] = ellipse_path_data(
+                parse_size(attrs.pop("cx", "0")),
+                parse_size(attrs.pop("cy", "0")),
+                parse_size(attrs.pop("rx", None)),
+                parse_size(attrs.pop("ry", None)),
+            )
+            group.extend(build_shape_scenes(attrs, ids, fg))
+
+        elif tag == "polygon":
+            attrs["d"] = f"M{attrs.pop('points')}z"
+            group.extend(build_shape_scenes(attrs, ids, fg))
+
+        elif tag == "polyline":
+            attrs["d"] = f"M{attrs.pop('points')}"
+            group.extend(build_shape_scenes(attrs, ids, fg))
+
+        elif tag == "line":
+            x1, y1, x2, y2 = (
+                parse_size(attrs.pop(k, "0")) for k in ("x1", "y1", "x2", "y2")
+            )
+            attrs["d"] = f"M{x1},{y1} {x2},{y2}"
+            group.extend(build_shape_scenes(attrs, ids, fg))
+
+        elif tag in ("title", "desc", "metadata", "style", "script"):
+            return []
+
+        elif tag == "font":
+            font = build_font(element)
+            if font is not None:
+                elem_id = attrs.get("id")
+                fonts.register(font, elem_id)
+                if elem_id is not None:
+                    ids[elem_id] = font
+            return []
+
+        elif tag == "text":
+            group.extend(build_text(element, attrs, fonts, ids, fg))
+
+        elif tag == "use":
+            x, y = attrs.get("x"), attrs.get("y")
+            if x is not None or y is not None:
+                attrs["transform"] = attrs.get("transform", "") + f" translate({x or 0}, {y or 0})"
+            href = attrs.get("href") or next(
+                (v for k, v in attrs.items() if k.endswith("}href")), None
+            )
+            if href and href.startswith("#"):
+                target = ids.get(href[1:])
+                if isinstance(target, Scene):
+                    group.append(target)
+
+        else:
+            warnings.warn(f"unsupported element: {tag}")
+
+        if not group:
+            return group
+
+        # wrapping order: filter, opacity, clip, mask, then transform last so
+        # clip/mask geometry lives in the element's transformed space
+        filter_ref = attrs.get("filter")
+        if filter_ref is not None:
+            flt = parse_url(filter_ref, ids)
+            if isinstance(flt, Filter):
+                group = [Scene.group(group).filter(flt)]
+            else:
+                warnings.warn(f"filter reference is not a filter: {filter_ref}")
+
+        opacity = parse_float(attrs.get("opacity"))
+        if opacity is not None:
+            group = [Scene.group(group).opacity(opacity)]
+
+        clip_ref = attrs.get("clip-path")
+        if clip_ref is not None:
+            clip = parse_url(clip_ref, ids)
+            if isinstance(clip, tuple):
+                clip_scene, bbox_units = clip
+                group = [Scene.group(group).clip(clip_scene, bbox_units)]
+            else:
+                warnings.warn(f"clip-path reference is not a clip path: {clip_ref}")
+
+        mask_ref = attrs.get("mask")
+        if mask_ref is not None:
+            mask = parse_url(mask_ref, ids)
+            if isinstance(mask, tuple):
+                mask_scene, bbox_units = mask
+                group = [Scene.group(group).mask(mask_scene, bbox_units)]
+            else:
+                warnings.warn(f"mask reference is not a mask: {mask_ref}")
+
+        transform = parse_transform(attrs.get("transform"))
+        if transform is not None:
+            group = [s.transform(transform) for s in group]
+
+        elem_id = attrs.get("id")
+        if elem_id is not None:
+            ids[elem_id] = Scene.group(group)
+
+        return group
+
+    root = etree.parse(file).getroot()
+    default_color = np.array([0.0, 0.0, 0.0, 1.0], dtype=FLOAT) if fg is None else fg
+    group = walk(root, {"color": default_color}, top=True, forced_width=width)
+    if not group:
+        return None, ids, doc_size[0]
+    return Scene.group(group), ids, doc_size[0]
+
+
+def scene_from_filepath(path, fg=None, width=None, fonts: FontsDB | None = None):
+    """Build a Scene from an .svg or gzipped .svgz/.gz file path."""
+    path = os.path.expanduser(path)
+    _, ext = os.path.splitext(path)
+    if ext in (".svgz", ".gz"):
+        with gzip.open(path, mode="rt", encoding="utf-8") as file:
+            return scene_from_xml(file, fg, width, fonts)
+    with open(path, encoding="utf-8") as file:
+        return scene_from_xml(file, fg, width, fonts)
+
+
+def scene_from_str(text: str, fg=None, width=None, fonts: FontsDB | None = None):
+    """Build a Scene from SVG source text."""
+    return scene_from_xml(io.StringIO(text), fg, width, fonts)

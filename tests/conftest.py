@@ -8,10 +8,21 @@ unsetting JAX_PLATFORMS (device-gated tests check jax.devices()).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The environment's sitecustomize may register a TPU plugin and force
+# jax_platforms to it; tests must run on the virtual 8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+# Cache compiled kernels across test runs (first full run is compile-heavy).
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import pytest
 
