@@ -225,14 +225,12 @@ def parse_color(text: str | None):
             func, raw = match.groups()
             args = [a for a in raw.replace(",", " ").replace("/", " ").split() if a]
             if func in ("rgb", "rgba"):
-                channels = []
-                for i, arg in enumerate(args):
-                    if arg.endswith("%"):
-                        channels.append(float(arg[:-1]) / 100.0)
-                    elif i == 3:
-                        channels.append(float(arg))  # alpha is 0..1
-                    else:
-                        channels.append(float(arg) / 255.0)
+                # every non-% channel is divided by 255, alpha included —
+                # matching the reference parser's semantics exactly
+                channels = [
+                    float(a[:-1]) / 100.0 if a.endswith("%") else float(a) / 255.0
+                    for a in args
+                ]
                 rgba = np.array(channels, dtype=FLOAT)
             else:  # hsl / hsla
                 h = parse_angle(args[0]) * 180.0 / math.pi if args[0][-1].isalpha() else float(args[0])

@@ -80,13 +80,8 @@ def _chunk_winding(lines, rows, cols):
     return jnp.sum(sign * dy * mean, axis=0)                 # (H,W)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def winding(lines, height: int, width: int):
-    """Exact AA winding field of a padded edge list.
-
-    lines: (S, 4) float32, S a multiple of the chunk size; degenerate rows
-    (all zeros / horizontal) contribute nothing.  Returns (height, width) f32.
-    """
+def winding_impl(lines, height: int, width: int):
+    """Traceable winding computation (see `winding`); call inside jit/shard_map."""
     lines = lines.astype(DEVICE_FLOAT)
     s = lines.shape[0]
     rows = jax.lax.broadcasted_iota(DEVICE_FLOAT, (height, 1), 0)
@@ -102,6 +97,16 @@ def winding(lines, height: int, width: int):
 
     acc, _ = jax.lax.scan(body, jnp.zeros((height, width), DEVICE_FLOAT), chunks)
     return acc
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def winding(lines, height: int, width: int):
+    """Exact AA winding field of a padded edge list.
+
+    lines: (S, 4) float32, S a multiple of the chunk size; degenerate rows
+    (all zeros / horizontal) contribute nothing.  Returns (height, width) f32.
+    """
+    return winding_impl(lines, height, width)
 
 
 def pad_lines(lines, multiple: int = _CHUNK):

@@ -1,0 +1,202 @@
+"""Frontend tests: value parsers and scene building vs the reference oracle."""
+
+import numpy as np
+import pytest
+
+from svgrasterize_tpu.core.transform import Transform
+from svgrasterize_tpu.frontend import parsers
+from svgrasterize_tpu.frontend.svg import (
+    ellipse_path_data,
+    rect_path_data,
+    scene_from_str,
+    viewbox_transform,
+)
+
+
+# ------------------------------------------------------------------------------
+# parsers
+# ------------------------------------------------------------------------------
+COLORS = [
+    "#fff",
+    "#123456",
+    "#12345678",
+    "#abcd",
+    "rgb(255, 0, 0)",
+    "rgb(10%, 20%, 30%)",
+    "rgba(255, 0, 0, 0.5)",
+    "steelblue",
+    "Tomato",
+    "none-such-color",
+]
+
+
+def test_parse_color_matches_reference(reference):
+    for text in COLORS:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ours = parsers.parse_color(text)
+            theirs = reference.svg_color(text)
+        if theirs is None:
+            assert ours is None, text
+        else:
+            assert ours is not None, text
+            np.testing.assert_allclose(ours, theirs, atol=1e-12, err_msg=text)
+
+
+TRANSFORMS = [
+    "translate(10, 20)",
+    "translate(5)",
+    "scale(2)",
+    "scale(2, 3)",
+    "rotate(45)",
+    "rotate(30, 10, 10)",
+    "skewX(10)",
+    "skewY(-10)",
+    "matrix(1, 2, 3, 4, 5, 6)",
+    "translate(1,2) rotate(90) scale(3)",
+]
+
+
+def test_parse_transform_matches_reference(reference):
+    for text in TRANSFORMS:
+        ours = parsers.parse_transform(text)
+        theirs = reference.svg_transform(text)
+        np.testing.assert_allclose(ours.m, theirs.m, atol=1e-12, err_msg=text)
+
+
+def test_parse_size_units(reference):
+    for text in ["10", "10px", "1in", "2.54cm", "25.4mm", "72pt", "6pc", "2em", "4ex"]:
+        assert parsers.parse_size(text) == pytest.approx(reference.svg_size(text))
+
+
+def test_parse_float_percent():
+    assert parsers.parse_float("50%") == 0.5
+    assert parsers.parse_float("12px") == 12
+    assert parsers.parse_float(None) is None
+
+
+def test_viewbox_transform_matches_reference(reference):
+    cases = [
+        ((0, 0, 100, 50), (0, 0, 200, 100)),
+        ((0, 0, 100, None), (0, 0, 200, 100)),
+        ((0, 0, None, None), (10, 10, 50, 50)),
+        ((5, 5, 60, 60), (0, 0, 30, 40)),
+    ]
+    for bbox, viewbox in cases:
+        ours = viewbox_transform(bbox, viewbox)
+        theirs = reference.svg_viewbox_transform(bbox, viewbox)
+        np.testing.assert_allclose(ours.m, theirs.m, atol=1e-12)
+
+
+# ------------------------------------------------------------------------------
+# shape lowering
+# ------------------------------------------------------------------------------
+def _same_geometry(ours_data: str, ref_data: str):
+    """Parse both path strings and compare segment structure + coordinates."""
+    from svgrasterize_tpu.geom.path import Path
+
+    ours = Path.from_svg(ours_data)
+    ref = Path.from_svg(ref_data)
+    assert len(ours.subpaths) == len(ref.subpaths)
+    for sub_o, sub_r in zip(ours.subpaths, ref.subpaths):
+        assert len(sub_o) == len(sub_r)
+        for (k_o, pts_o), (k_r, pts_r) in zip(sub_o, sub_r):
+            assert k_o == k_r
+            if k_o == 3:  # ARC payload: (center, rx, ry, phi, eta, eta_delta)
+                np.testing.assert_allclose(pts_o[0], pts_r[0], atol=1e-9)
+                assert pts_o[1:] == pytest.approx(pts_r[1:])
+            else:
+                np.testing.assert_allclose(pts_o, pts_r, atol=1e-9)
+
+
+def test_rect_path_data_matches_reference(reference):
+    assert rect_path_data(1, 2, 30, 40) == reference.svg_rect_to_path(1, 2, 30, 40)
+    _same_geometry(
+        rect_path_data(0, 0, 10, 10, 2, 3), reference.svg_rect_to_path(0, 0, 10, 10, 2, 3)
+    )
+
+
+def test_ellipse_path_data_matches_reference(reference):
+    _same_geometry(ellipse_path_data(5, 5, 3, 4), reference.svg_ellipse_to_path(5, 5, 3, 4))
+    _same_geometry(ellipse_path_data(0, 0, 7, 7), reference.svg_ellipse_to_path(0, 0, 7, 7))
+
+
+# ------------------------------------------------------------------------------
+# scene building
+# ------------------------------------------------------------------------------
+SVG_DOC = """
+<svg xmlns="http://www.w3.org/2000/svg" width="100" height="80" viewBox="0 0 50 40">
+  <defs>
+    <linearGradient id="lg" x1="0" y1="0" x2="1" y2="0">
+      <stop offset="0" stop-color="red"/>
+      <stop offset="1" stop-color="blue" stop-opacity="0.5"/>
+    </linearGradient>
+    <clipPath id="cp"><circle cx="25" cy="20" r="10"/></clipPath>
+  </defs>
+  <g transform="translate(5,5)" opacity="0.8">
+    <rect x="0" y="0" width="20" height="10" fill="url(#lg)"/>
+    <path d="M0 0 L10 0 L10 10 Z" fill="#0f0" clip-path="url(#cp)"/>
+    <line x1="0" y1="0" x2="10" y2="10" stroke="black" stroke-width="2"/>
+  </g>
+  <use href="#missing"/>
+</svg>
+"""
+
+
+def test_scene_structure_vs_reference(reference):
+    import warnings
+
+    scene, ids, size = scene_from_str(SVG_DOC)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref_scene, ref_ids, ref_size = reference.svg_scene_from_str(SVG_DOC)
+    assert size == tuple(ref_size)
+    assert set(ids) == set(ref_ids)
+
+    ours = repr(scene)
+    # same node kinds in the same order (coordinates formatted the same way)
+    import re
+
+    def skeleton(text):
+        return [line.split()[0] for line in text.splitlines() if line.strip()]
+
+    assert skeleton(ours) == skeleton(repr(ref_scene))
+
+
+def test_scene_gradient_registered():
+    from svgrasterize_tpu.paint import GradLinear
+
+    _scene, ids, _size = scene_from_str(SVG_DOC)
+    assert isinstance(ids["lg"], GradLinear)
+    assert len(ids["lg"].stops) == 2
+    assert isinstance(ids["cp"], tuple)
+
+
+def test_render_solid_doc_matches_reference(reference):
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="48" height="48">
+      <rect x="4" y="4" width="24" height="20" fill="#336699"/>
+      <path d="M8 40 L24 10 L40 40 Z" fill="green" fill-opacity="0.7"/>
+    </svg>
+    """
+    scene, _ids, size = scene_from_str(doc)
+    ref_scene, _rids, ref_size = reference.svg_scene_from_str(doc)
+
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    layer, _hull = scene.render(tr, viewport=(0, 0, 48, 48))
+    ref_tr = reference.Transform().matrix(0, 1, 0, 1, 0, 0)
+    ref_layer, _ = ref_scene.render(ref_tr, viewport=[0, 0, 48, 48])
+
+    ours = np.zeros((48, 48, 4))
+    img = np.asarray(layer.convert(pre_alpha=True, linear_rgb=False).image)
+    ours[layer.x : layer.x + layer.height, layer.y : layer.y + layer.width] = img
+
+    theirs = np.zeros((48, 48, 4))
+    ref_layer = ref_layer.convert(pre_alpha=True, linear_rgb=False)
+    x, y = ref_layer.offset
+    theirs[x : x + ref_layer.image.shape[0], y : y + ref_layer.image.shape[1]] = ref_layer.image
+
+    # interiors pixel-equal, AA edges within tolerance
+    assert np.abs(ours - theirs).max() < 0.02

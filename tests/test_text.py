@@ -1,0 +1,79 @@
+"""Font subsystem tests: shaping parity with the reference implementation."""
+
+import numpy as np
+import pytest
+
+from svgrasterize_tpu.text.fonts import DEFAULT_FONTS, FontsDB, font_weight
+
+
+@pytest.fixture(scope="module")
+def db():
+    db = FontsDB()
+    db.register_file(DEFAULT_FONTS)
+    return db
+
+
+@pytest.fixture(scope="module")
+def ref_db(reference):
+    db = reference.FontsDB()
+    db.register_file("/root/reference/fonts.svgz")
+    return db
+
+
+def test_font_weight_parsing():
+    assert font_weight(None) == 400
+    assert font_weight("normal") == 400
+    assert font_weight("bold") == 700
+    assert font_weight("550") == 550
+
+
+def test_resolve_families(db):
+    mono = db.resolve("monospace")
+    assert mono is not None and ("code" in mono.family.lower() or "iosevka" in mono.family.lower())
+    assert db.resolve("sans") is not None
+    assert db.resolve(None) is not None  # defaults to serif
+    # unknown family falls back by generic classification
+    assert "sans" in db.resolve("Helvetica Neue Sans").family.lower()
+
+
+def test_resolve_weight_and_style():
+    from svgrasterize_tpu.text.fonts import Font, FontsDB, Glyph
+
+    def mk(weight, style):
+        return Font("Fam", weight, style, 800, -200, 1000, {}, None, {})
+
+    db = FontsDB()
+    for w, s in [(400, "normal"), (700, "normal"), (400, "italic")]:
+        db.register(mk(w, s))
+    assert db.resolve("fam", 700).weight == 700
+    assert db.resolve("fam", 500).weight == 400
+    assert db.resolve("fam", 400, "italic").style == "italic"
+    assert db.resolve("fam", 700, "oblique").style == "normal"  # style fallback
+
+
+def test_shaping_matches_reference(db, ref_db):
+    for family, text, size in [
+        ("monospace", "Hello, World!", 16),
+        ("sans", "affluent fjord", 20),  # ligature-rich
+        ("Iosevka", "a=>b |> c", 14),
+        ("serif", "AV To Wa", 12),  # kerning pairs
+    ]:
+        ours_font = db.resolve(family)
+        ref_font = ref_db.resolve(family)
+        assert ours_font.family == ref_font.family
+
+        ours_path, ours_adv = ours_font.str_to_path(size, text)
+        ref_path, ref_adv = ref_font.str_to_path(size, text)
+        assert ours_adv == pytest.approx(ref_adv)
+        assert len(ours_path.subpaths) == len(ref_path.subpaths)
+        for sub_o, sub_r in zip(ours_path.subpaths, ref_path.subpaths):
+            assert len(sub_o) == len(sub_r)
+            for (k_o, pts_o), (k_r, pts_r) in zip(sub_o, sub_r):
+                assert k_o == k_r
+                np.testing.assert_allclose(pts_o, pts_r, atol=1e-9)
+
+
+def test_missing_glyph_fallback(db):
+    font = db.resolve("monospace")
+    path, adv = font.str_to_path(16, "中")  # CJK char not in the font
+    assert adv >= 0  # missing glyph renders its box (or nothing) without crashing
