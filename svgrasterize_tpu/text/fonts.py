@@ -165,6 +165,20 @@ class FontsDB:
         """Queue an SVG(Z) file containing <font> elements for lazy loading."""
         self._pending_files.append(path)
 
+    def all_fonts(self) -> list[Font]:
+        """Every distinct registered font (loading pending files first)."""
+        self._load_pending()
+        seen: list[Font] = []
+        for fonts in self._fonts.values():
+            for font in fonts:
+                if all(font is not other for other in seen):
+                    seen.append(font)
+        return seen
+
+    def families(self) -> list[str]:
+        self._load_pending()
+        return sorted(self._fonts)
+
     def _load_pending(self) -> None:
         from ..frontend.svg import scene_from_filepath
 
