@@ -106,11 +106,18 @@ def main(argv=None) -> int:
         return 0
 
     start = time.monotonic()
+    result = None
     if size is not None:
+        from .render_plan import render_fast
+
         w, h = size
-        result = scene.render(
-            transform, viewport=(0, 0, int(h), int(w)), linear_rgb=opts.linear_rgb
-        )
+        viewport = (0, 0, int(h), int(w))
+        # whole-scene batched path: one device dispatch when the scene lowers
+        fast = render_fast(scene, transform, viewport, linear_rgb=opts.linear_rgb)
+        if fast is not None:
+            result = (fast, None)
+        else:
+            result = scene.render(transform, viewport=viewport, linear_rgb=opts.linear_rgb)
     else:
         result = scene.render(transform, linear_rgb=opts.linear_rgb)
     if result is not None:

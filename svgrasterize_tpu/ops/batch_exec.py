@@ -1,0 +1,175 @@
+"""Whole-scene batched rasterization: one device dispatch per scene.
+
+This is the TPU-first replacement for the reference's per-path interpreter
+loop (/root/reference/svgrasterize.py:649-688).  The host lowers a scene into
+a flat, z-ordered list of (tile, segments, paint) work items (see
+render_plan.py); this module executes ALL of them in a single jitted program:
+
+    1. winding + fill rule for every work item (vmapped dense coverage)
+    2. paint evaluation (solid / linear gradient / radial gradient)
+    3. per-tile Porter-Duff OVER composition via a *segmented* associative
+       scan over the z-sorted item axis (log-depth, no host round trips)
+    4. masked scatter of each tile's composite into the canvas
+
+Work items are processed in fixed-size chunks inside a lax.scan to bound
+device memory ((CHUNK, T, T, 4) intermediates instead of (N, ...)); chunk
+boundaries may split a tile run, which is corrected by OVER-composing each
+chunk's result onto the canvas (composition within a tile stays in z order).
+
+Static shapes: tile size T, segments-per-item S, and the chunk size are
+compile-time constants; the item count is padded to a chunk multiple, so one
+compiled program serves every scene with the same (T, S) bucket.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import DEVICE_FLOAT
+from .coverage import winding_impl
+
+# paint kinds (must match render_plan.PAINT_*)
+PAINT_SOLID = 0
+PAINT_LINEAR = 1
+PAINT_RADIAL = 2
+
+MAX_STOPS = 8  # gradient stops padded to this many
+CHUNK_ITEMS = 128  # work items rasterized per scan step
+
+
+def _interp_stops(t, offsets, colors):
+    """Piecewise-linear stop lookup; offsets (K,), colors (K, 4), t (...)."""
+    k = offsets.shape[0]
+    idx = jnp.clip(jnp.searchsorted(offsets, t, side="left"), 1, k - 1)
+    o0 = offsets[idx - 1]
+    o1 = offsets[idx]
+    ratio = jnp.clip((t - o0) / jnp.where(o1 - o0 > 1e-12, o1 - o0, 1.0), 0.0, 1.0)
+    return (1.0 - ratio)[..., None] * colors[idx - 1] + ratio[..., None] * colors[idx]
+
+
+def _spread(t, mode):
+    """Spread by integer mode: 0 pad, 1 repeat, 2 reflect."""
+    pad = t
+    repeat = t - jnp.trunc(t)
+    reflect = jnp.abs(jnp.remainder(t + 1.0, 2.0) - 1.0)
+    return jnp.where(mode == 0, pad, jnp.where(mode == 1, repeat, reflect))
+
+
+def _paint_item(item, tile_r, tile_c, t_size: int):
+    """Evaluate one work item's paint over its tile -> (T, T, 4).
+
+    item is a dict of per-item params; tile pixel centers are computed from
+    the tile's canvas-space origin so gradients are evaluated in the same
+    coordinates the host used to precompose the affines.
+    """
+    rows = jax.lax.broadcasted_iota(DEVICE_FLOAT, (t_size, t_size), 0) + tile_r + 0.5
+    cols = jax.lax.broadcasted_iota(DEVICE_FLOAT, (t_size, t_size), 1) + tile_c + 0.5
+    # device pixel -> gradient space (2x3 affine rows [a, b, t])
+    m = item["affine"]
+    gx = rows * m[0, 0] + cols * m[0, 1] + m[0, 2]
+    gy = rows * m[1, 0] + cols * m[1, 1] + m[1, 2]
+
+    # linear: project onto the gradient axis
+    p0 = item["p0"]
+    p1 = item["p1"]
+    vec0 = p1[0] - p0[0]
+    vec1 = p1[1] - p0[1]
+    denom = jnp.maximum(vec0 * vec0 + vec1 * vec1, 1e-30)
+    t_lin = ((gx - p0[0]) * vec0 + (gy - p0[1]) * vec1) / denom
+
+    # radial: two-circle equation (focal form; fcenter==center when unused)
+    center = item["center"]
+    fc = item["fcenter"]
+    radius = item["radius"]
+    fradius = item["fradius"]
+    cd0 = center[0] - fc[0]
+    cd1 = center[1] - fc[1]
+    pd0 = gx - fc[0]
+    pd1 = gy - fc[1]
+    rd = radius - fradius
+    a = cd0 * cd0 + cd1 * cd1 - rd * rd
+    b = pd0 * cd0 + pd1 * cd1 + fradius * rd
+    c = pd0 * pd0 + pd1 * pd1 - fradius * fradius
+    det = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    a_safe = jnp.where(jnp.abs(a) > 1e-30, a, 1e-30)
+    t_rad = jnp.maximum((b + sq) / a_safe, (b - sq) / a_safe)
+    rad_valid = det >= 0
+    lim = fradius / jnp.where(jnp.abs(rd) > 1e-12, fradius - radius, 1.0)
+    rad_valid = jnp.where(jnp.abs(rd) > 1e-12, rad_valid & (t_rad > lim), rad_valid)
+
+    kind = item["kind"]
+    t = jnp.where(kind == PAINT_LINEAR, t_lin, t_rad)
+    grad = _interp_stops(
+        _spread(t, item["spread"]), item["stop_offsets"], item["stop_colors"]
+    )
+    grad = jnp.where(
+        (kind == PAINT_RADIAL) & ~rad_valid[..., None], 0.0, grad
+    )
+    solid = jnp.broadcast_to(item["color"], (t_size, t_size, 4))
+    return jnp.where(kind == PAINT_SOLID, solid, grad)
+
+
+def _raster_item(item, t_size: int):
+    """One work item -> premultiplied RGBA tile (T, T, 4).
+
+    Clipping is per item: the clip edge list's nonzero coverage multiplies
+    the fill mask (items without a clip carry a sentinel full-coverage edge).
+    """
+    wind = winding_impl(item["lines"], t_size, t_size)
+    nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
+    evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
+    mask = jnp.where(item["fill_rule"] == 0, nonzero, evenodd)
+    clip_wind = winding_impl(item["clip_lines"], t_size, t_size)
+    mask = mask * jnp.clip(jnp.abs(clip_wind), 0.0, 1.0)
+    mask = jnp.where(mask < 1e-6, 0.0, mask) * item["opacity"]
+    paint = _paint_item(item, item["tile_r"], item["tile_c"], t_size)
+    return mask[..., None] * paint
+
+
+@partial(jax.jit, static_argnames=("t_size", "num_tiles"))
+def execute_plan(items: dict, t_size: int, num_tiles: int):
+    """Run a whole lowered scene; returns the canvas (num_tiles, T, T, 4).
+
+    items: dict of per-item arrays, all with leading dim N (a multiple of
+    CHUNK_ITEMS), z-sorted by (tile_id, z).  Padding items carry
+    tile_id == num_tiles and are dropped by the scatter.
+    """
+    n = items["tile_id"].shape[0]
+    num_chunks = n // CHUNK_ITEMS
+    chunked = jax.tree_util.tree_map(
+        lambda a: a.reshape(num_chunks, CHUNK_ITEMS, *a.shape[1:]), items
+    )
+
+    canvas0 = jnp.zeros((num_tiles + 1, t_size, t_size, 4), DEVICE_FLOAT)
+
+    def step(canvas, chunk):
+        rgba = jax.vmap(lambda it: _raster_item(it, t_size))(chunk)  # (C, T, T, 4)
+
+        tile_id = chunk["tile_id"]  # (C,) int32, sorted
+        starts = jnp.concatenate([jnp.array([True]), tile_id[1:] != tile_id[:-1]])
+        ends = jnp.concatenate([tile_id[:-1] != tile_id[1:], jnp.array([True])])
+
+        def seg_over(a, b):
+            flag_a, img_a = a
+            flag_b, img_b = b
+            # if b starts a new segment, drop a's accumulation
+            composed = img_b + img_a * (1.0 - img_b[..., -1:])
+            return flag_a | flag_b, jnp.where(flag_b[:, None, None, None], img_b, composed)
+
+        _, scanned = jax.lax.associative_scan(seg_over, (starts, rgba), axis=0)
+
+        # compose each tile-run's result onto the canvas (once per run end)
+        ids = jnp.where(ends, jnp.minimum(tile_id, num_tiles), num_tiles)
+        current = canvas[ids]  # padding lanes read the scratch tile
+        composed = scanned + current * (1.0 - scanned[..., -1:])
+        canvas = canvas.at[ids].set(composed, mode="drop")
+        # keep the scratch tile clean for the next chunk
+        canvas = canvas.at[num_tiles].set(0.0)
+        return canvas, None
+
+    canvas, _ = jax.lax.scan(step, canvas0, chunked)
+    return canvas[:num_tiles]

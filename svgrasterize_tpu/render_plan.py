@@ -1,0 +1,369 @@
+"""Host lowering: Scene -> flat tiled work-item plan -> one device dispatch.
+
+The interpreter in scene.py issues one device call per path; on TPU the
+dispatch latency dominates.  This module compiles a scene subtree into the
+batched form ops/batch_exec.py executes in a single program:
+
+  * the canvas is a fixed grid of T x T tiles
+  * every FILL/STROKE draw is flattened on host and *binned*: each tile the
+    draw's bbox overlaps gets the draw's edges in tile-local coordinates;
+    edges entirely to the LEFT of a tile are clamped to x = -1, which the
+    coverage kernel's left-clamp semantics turns into exactly the full
+    row-clipped winding contribution (this is how interior tiles of a large
+    shape get their coverage without carrying segment lists around)
+  * items are sorted by (tile, z) so per-tile composition is a segmented scan
+
+Supported nodes: FILL, STROKE, GROUP, TRANSFORM, and OPACITY over a single
+draw (folded into the paint).  Scenes containing CLIP/MASK/FILTER/pattern
+paints or multi-child OPACITY return None and fall back to the interpreter.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .core import color as color_ops
+from .core.layer import Layer
+from .core.transform import Transform
+from .geom.hull import ConvexHull
+from .ops import batch_exec
+from .ops.batch_exec import CHUNK_ITEMS, MAX_STOPS, PAINT_LINEAR, PAINT_RADIAL, PAINT_SOLID
+from .paint import GradLinear, GradRadial, stops_to_arrays
+from .scene import (
+    RENDER_CLIP,
+    RENDER_FILL,
+    RENDER_GROUP,
+    RENDER_OPACITY,
+    RENDER_STROKE,
+    RENDER_TRANSFORM,
+)
+from .utils.constants import DEVICE_FLOAT, FLATNESS
+
+TILE = 128
+
+_FILL_RULE_ID = {None: 0, "nonzero": 0, "evenodd": 1}
+
+
+class _Unsupported(Exception):
+    """Scene contains a node the batched path cannot lower."""
+
+
+def _collect_draws(scene, transform: Transform, opacity: float, clip, out: list) -> None:
+    """clip: None or (clip_scene, clip_transform) active for this subtree."""
+    kind, args = scene
+    if kind == RENDER_FILL:
+        path, paint, fill_rule = args
+        out.append((path, transform, paint, fill_rule, opacity, clip))
+    elif kind == RENDER_STROKE:
+        path, paint, width, linecap, linejoin = args
+        outline = path.stroke(width, linecap, linejoin)
+        out.append((outline, transform, paint, None, opacity, clip))
+    elif kind == RENDER_GROUP:
+        for child in args:
+            _collect_draws(child, transform, opacity, clip, out)
+    elif kind == RENDER_TRANSFORM:
+        target, inner = args
+        _collect_draws(target, transform @ inner, opacity, clip, out)
+    elif kind == RENDER_OPACITY:
+        target, value = args
+        # opacity over a group only folds when the group cannot self-overlap;
+        # a single draw is always safe
+        if target[0] in (RENDER_FILL, RENDER_STROKE):
+            _collect_draws(target, transform, opacity * value, clip, out)
+        else:
+            raise _Unsupported("group opacity")
+    elif kind == RENDER_CLIP:
+        target, clip_scene, bbox_units = args
+        if clip is not None:
+            raise _Unsupported("nested clip")
+        if bbox_units:
+            raise _Unsupported("bbox-units clip")
+        _collect_draws(target, transform, opacity, (clip_scene, transform), out)
+    else:
+        raise _Unsupported(f"scene kind {kind}")
+
+
+def _clip_edges(clip_scene, transform: Transform, cache: dict) -> np.ndarray:
+    """Flatten a clip scene to one nonzero edge list in device coords.
+
+    Multiple clip fills are approximated by their combined nonzero winding
+    (exact except on AA boundaries of self-overlapping clip shapes).
+    """
+    key = (id(clip_scene), id(transform))
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+
+    paths: list = []
+
+    def walk(scene, tr):
+        kind, args = scene
+        if kind == RENDER_FILL:
+            rule = args[2]
+            if rule not in (None, "nonzero"):
+                raise _Unsupported("evenodd clip")
+            paths.append(args[0].flatten(tr, FLATNESS))
+        elif kind == RENDER_GROUP:
+            for child in args:
+                walk(child, tr)
+        elif kind == RENDER_TRANSFORM:
+            walk(args[0], tr @ args[1])
+        else:
+            raise _Unsupported(f"clip scene kind {kind}")
+
+    walk(clip_scene, transform)
+    parts = [p.reshape(-1, 4) for p in paths if p.size]
+    if not parts:
+        raise _Unsupported("empty clip")
+    edges = np.concatenate(parts, axis=0)
+    cache[key] = edges
+    return edges
+
+
+def _paint_params(paint, hull: ConvexHull, transform: Transform, linear_rgb: bool):
+    """Resolve a paint to the per-item param dict fields (numpy scalars/arrays)."""
+    zeros2 = np.zeros(2, DEVICE_FLOAT)
+    base = {
+        "kind": PAINT_SOLID,
+        "color": np.zeros(4, DEVICE_FLOAT),
+        "affine": np.zeros((2, 3), DEVICE_FLOAT),
+        "p0": zeros2,
+        "p1": zeros2,
+        "center": zeros2,
+        "fcenter": zeros2,
+        "radius": np.float32(0),
+        "fradius": np.float32(0),
+        "spread": np.int32(0),
+        "stop_offsets": np.ones(MAX_STOPS, DEVICE_FLOAT),
+        "stop_colors": np.zeros((MAX_STOPS, 4), DEVICE_FLOAT),
+    }
+
+    if isinstance(paint, np.ndarray) and paint.shape == (4,):
+        color = paint
+        if not linear_rgb:
+            color = color_ops.pre_linear_to_pre_srgb(color)
+        base["color"] = color.astype(DEVICE_FLOAT)
+        return base
+
+    if isinstance(paint, (GradLinear, GradRadial)):
+        if paint.linear_rgb is not None and paint.linear_rgb != linear_rgb:
+            raise _Unsupported("per-paint colorspace override")
+        if paint.bbox_units:
+            user_tr = hull.bbox_transform(transform).invert
+        else:
+            user_tr = transform.invert
+        to_grad = user_tr if paint.transform is None else paint.transform.invert @ user_tr
+        offsets, colors = stops_to_arrays(paint.stops, linear_rgb)
+        k = len(offsets)
+        if k > MAX_STOPS:
+            raise _Unsupported(f"{k} gradient stops > {MAX_STOPS}")
+        base["affine"] = to_grad.m[:2, :].astype(DEVICE_FLOAT)
+        base["spread"] = np.int32({"pad": 0, "repeat": 1, "reflect": 2}[paint.spread])
+        stop_offsets = np.ones(MAX_STOPS, DEVICE_FLOAT)
+        stop_offsets[:k] = offsets
+        stop_colors = np.broadcast_to(colors[-1], (MAX_STOPS, 4)).copy()
+        stop_colors[:k] = colors
+        base["stop_offsets"] = stop_offsets
+        base["stop_colors"] = stop_colors.astype(DEVICE_FLOAT)
+        if isinstance(paint, GradLinear):
+            base["kind"] = PAINT_LINEAR
+            base["p0"] = np.asarray(paint.p0, DEVICE_FLOAT)
+            base["p1"] = np.asarray(paint.p1, DEVICE_FLOAT)
+        else:
+            base["kind"] = PAINT_RADIAL
+            base["center"] = np.asarray(paint.center, DEVICE_FLOAT)
+            base["radius"] = np.float32(paint.radius)
+            fc = paint.center if paint.fcenter is None else paint.fcenter
+            base["fcenter"] = np.asarray(fc, DEVICE_FLOAT)
+            base["fradius"] = np.float32(paint.fradius or 0.0)
+        return base
+
+    raise _Unsupported(f"paint {type(paint).__name__}")
+
+
+def _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti: int, tj: int) -> np.ndarray:
+    """Edges of `lines` relevant to tile (ti, tj), in tile-local coords.
+
+    Edges entirely left of the tile are clamped to x = -1 (full row-clipped
+    winding contribution); edges with no row overlap or entirely right of the
+    tile are dropped.  Returns (K, 4), possibly empty.
+    """
+    row_sel = (r_hi > ti * TILE) & (r_lo < (ti + 1) * TILE) & (c_lo < (tj + 1) * TILE)
+    if not row_sel.any():
+        return np.zeros((0, 4), dtype=lines.dtype)
+    edges = lines[row_sel].copy()
+    fully_left = c_hi[row_sel] <= tj * TILE
+    edges[:, 0] -= ti * TILE
+    edges[:, 2] -= ti * TILE
+    edges[:, 1] -= tj * TILE
+    edges[:, 3] -= tj * TILE
+    edges[fully_left, 1] = -1.0
+    edges[fully_left, 3] = -1.0
+    return edges
+
+
+def _edge_extents(lines):
+    r_lo = np.minimum(lines[:, 0], lines[:, 2])
+    r_hi = np.maximum(lines[:, 0], lines[:, 2])
+    c_lo = np.minimum(lines[:, 1], lines[:, 3])
+    c_hi = np.maximum(lines[:, 1], lines[:, 3])
+    return r_lo, r_hi, c_lo, c_hi
+
+
+def _bin_draw(lines: np.ndarray, grid_h: int, grid_w: int):
+    """Bin a draw's edges (K, 4) into tiles; yields (tile_row, tile_col, edges)."""
+    r_lo, r_hi, c_lo, c_hi = _edge_extents(lines)
+    tr0 = max(int(np.floor(r_lo.min() / TILE)), 0)
+    tr1 = min(int(np.floor((r_hi.max() - 1e-9) / TILE)) + 1, grid_h)
+    tc0 = max(int(np.floor(c_lo.min() / TILE)), 0)
+    tc1 = min(int(np.floor((c_hi.max() - 1e-9) / TILE)) + 1, grid_w)
+
+    for ti in range(tr0, tr1):
+        for tj in range(tc0, tc1):
+            edges = _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti, tj)
+            if edges.shape[0]:
+                yield ti, tj, edges
+
+
+def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
+    """Lower a scene to the batched item dict; None if unsupported.
+
+    viewport: (origin0, origin1, extent0, extent1) in device pixels.
+    Returns (items, grid shape) with items z-sorted by (tile, z).
+    """
+    try:
+        draws: list = []
+        _collect_draws(scene, transform, 1.0, None, draws)
+    except _Unsupported:
+        return None
+
+    v0, v1, h, w = viewport
+    grid_h = math.ceil(h / TILE)
+    grid_w = math.ceil(w / TILE)
+    num_tiles = grid_h * grid_w
+    shift = np.array([v0, v1, v0, v1], dtype=np.float64)
+
+    # no-clip sentinel: one left-clamped edge spanning every row = coverage 1
+    full_cover = np.array([[0.0, -1.0, float(TILE), -1.0]], dtype=DEVICE_FLOAT)
+
+    clip_flat_cache: dict = {}  # clip identity -> (edges, extents)
+    clip_tile_cache: dict = {}  # (clip identity, ti, tj) -> tile-local edges
+
+    records = []  # (tile_id, z, edges, clip_edges, params, rule, opacity, origin)
+    try:
+        for z, (path, tr, paint, fill_rule, opacity, clip) in enumerate(draws):
+            if paint is None:
+                continue
+            lines = path.flatten(tr, FLATNESS)
+            if lines.size == 0:
+                continue
+            flat = lines.reshape(-1, 4) - shift
+            params = _paint_params(paint, ConvexHull(lines), tr, linear_rgb)
+            rule = _FILL_RULE_ID.get(fill_rule)
+            if rule is None:
+                return None
+
+            clip_key = None
+            if clip is not None:
+                clip_scene, clip_tr = clip
+                clip_key = (id(clip_scene), id(clip_tr))
+                if clip_key not in clip_flat_cache:
+                    clip_lines = _clip_edges(clip_scene, clip_tr, {}) - shift
+                    clip_flat_cache[clip_key] = (clip_lines, _edge_extents(clip_lines))
+
+            for ti, tj, edges in _bin_draw(flat, grid_h, grid_w):
+                if clip_key is None:
+                    clip_edges = full_cover
+                else:
+                    tile_key = (clip_key, ti, tj)
+                    clip_edges = clip_tile_cache.get(tile_key)
+                    if clip_edges is None:
+                        clip_lines, extents = clip_flat_cache[clip_key]
+                        clip_edges = _tile_local_edges(clip_lines, *extents, ti, tj)
+                        clip_tile_cache[tile_key] = clip_edges
+                    if clip_edges.shape[0] == 0:
+                        continue  # tile entirely outside the clip region
+                records.append(
+                    (ti * grid_w + tj, z, edges, clip_edges, params, rule, opacity,
+                     ti * TILE, tj * TILE)
+                )
+    except _Unsupported:
+        return None
+
+    if not records:
+        return None
+
+    records.sort(key=lambda r: (r[0], r[1]))
+    n = len(records)
+
+    def bucket(count: int, minimum: int = 32) -> int:
+        size = minimum
+        while size < count:
+            size *= 2
+        return size
+
+    # pad the item count to a power-of-two number of chunks so the compiled
+    # program count stays logarithmic in scene size
+    n_pad = CHUNK_ITEMS * bucket(-(-n // CHUNK_ITEMS), minimum=1)
+
+    # bucket segment counts to limit distinct compiled shapes
+    s_bucket = bucket(max(r[2].shape[0] for r in records))
+    c_bucket = bucket(max(r[3].shape[0] for r in records))
+
+    items = {
+        "lines": np.zeros((n_pad, s_bucket, 4), DEVICE_FLOAT),
+        "clip_lines": np.zeros((n_pad, c_bucket, 4), DEVICE_FLOAT),
+        "tile_id": np.full(n_pad, num_tiles, np.int32),
+        "fill_rule": np.zeros(n_pad, np.int32),
+        "opacity": np.zeros(n_pad, DEVICE_FLOAT),
+        "tile_r": np.zeros(n_pad, DEVICE_FLOAT),
+        "tile_c": np.zeros(n_pad, DEVICE_FLOAT),
+        "kind": np.zeros(n_pad, np.int32),
+        "color": np.zeros((n_pad, 4), DEVICE_FLOAT),
+        "affine": np.zeros((n_pad, 2, 3), DEVICE_FLOAT),
+        "p0": np.zeros((n_pad, 2), DEVICE_FLOAT),
+        "p1": np.zeros((n_pad, 2), DEVICE_FLOAT),
+        "center": np.zeros((n_pad, 2), DEVICE_FLOAT),
+        "fcenter": np.zeros((n_pad, 2), DEVICE_FLOAT),
+        "radius": np.zeros(n_pad, DEVICE_FLOAT),
+        "fradius": np.zeros(n_pad, DEVICE_FLOAT),
+        "spread": np.zeros(n_pad, np.int32),
+        "stop_offsets": np.ones((n_pad, MAX_STOPS), DEVICE_FLOAT),
+        "stop_colors": np.zeros((n_pad, MAX_STOPS, 4), DEVICE_FLOAT),
+    }
+    for i, (tile_id, _z, edges, clip_edges, params, rule, opacity, tr_origin, tc_origin) in enumerate(
+        records
+    ):
+        items["lines"][i, : edges.shape[0]] = edges
+        items["clip_lines"][i, : clip_edges.shape[0]] = clip_edges
+        items["tile_id"][i] = tile_id
+        items["fill_rule"][i] = rule
+        items["opacity"][i] = opacity
+        # gradient affines expect canvas coordinates; add the viewport origin
+        items["tile_r"][i] = tr_origin + v0
+        items["tile_c"][i] = tc_origin + v1
+        for key in (
+            "kind", "color", "affine", "p0", "p1", "center", "fcenter",
+            "radius", "fradius", "spread", "stop_offsets", "stop_colors",
+        ):
+            items[key][i] = params[key]
+
+    return items, (grid_h, grid_w)
+
+
+def render_fast(scene, transform: Transform, viewport, linear_rgb: bool = False):
+    """Whole-scene batched render; returns a Layer or None if unsupported."""
+    import jax.numpy as jnp
+
+    lowered = lower_scene(scene, transform, viewport, linear_rgb)
+    if lowered is None:
+        return None
+    items, (grid_h, grid_w) = lowered
+    device_items = {k: jnp.asarray(v) for k, v in items.items()}
+    tiles = batch_exec.execute_plan(device_items, TILE, grid_h * grid_w)
+    canvas = tiles.reshape(grid_h, grid_w, TILE, TILE, 4)
+    canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(grid_h * TILE, grid_w * TILE, 4)
+    v0, v1, h, w = viewport
+    return Layer(canvas[: int(h), : int(w)], (int(v0), int(v1)), pre_alpha=True, linear_rgb=linear_rgb)
