@@ -31,6 +31,16 @@ import jax.numpy as jnp
 from ..utils.constants import DEVICE_FLOAT
 from .coverage import winding_impl
 
+
+def _winding(lines, t_size: int):
+    """Backend-selected winding: Pallas on TPU (VMEM-resident accumulator
+    avoids materializing per-chunk broadcasts to HBM), XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        from .pallas_coverage import winding_pallas_impl
+
+        return winding_pallas_impl(lines, t_size, t_size)
+    return winding_impl(lines, t_size, t_size)
+
 # paint kinds (must match render_plan.PAINT_*)
 PAINT_SOLID = 0
 PAINT_LINEAR = 1
@@ -119,11 +129,11 @@ def _raster_item(item, t_size: int):
     Clipping is per item: the clip edge list's nonzero coverage multiplies
     the fill mask (items without a clip carry a sentinel full-coverage edge).
     """
-    wind = winding_impl(item["lines"], t_size, t_size)
+    wind = _winding(item["lines"], t_size)
     nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
     evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
     mask = jnp.where(item["fill_rule"] == 0, nonzero, evenodd)
-    clip_wind = winding_impl(item["clip_lines"], t_size, t_size)
+    clip_wind = _winding(item["clip_lines"], t_size)
     mask = mask * jnp.clip(jnp.abs(clip_wind), 0.0, 1.0)
     mask = jnp.where(mask < 1e-6, 0.0, mask) * item["opacity"]
     paint = _paint_item(item, item["tile_r"], item["tile_c"], t_size)
