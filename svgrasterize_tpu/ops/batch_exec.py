@@ -33,12 +33,13 @@ from .coverage import winding_impl
 
 
 def _winding(lines, t_size: int):
-    """Backend-selected winding: Pallas on TPU (VMEM-resident accumulator
-    avoids materializing per-chunk broadcasts to HBM), XLA elsewhere."""
-    if jax.default_backend() == "tpu":
-        from .pallas_coverage import winding_pallas_impl
+    """Winding for one work item's edge list.
 
-        return winding_pallas_impl(lines, t_size, t_size)
+    Measured on v5e: the XLA formulation beats the Pallas kernel under the
+    batched vmap shape (125ms vs 419ms for a 2048x512-segment scene) — the
+    per-(item, block) program granularity is too fine for Mosaic dispatch.
+    ops/pallas_coverage.py remains available for large single frames.
+    """
     return winding_impl(lines, t_size, t_size)
 
 # paint kinds (must match render_plan.PAINT_*)
@@ -51,13 +52,21 @@ CHUNK_ITEMS = 128  # work items rasterized per scan step
 
 
 def _interp_stops(t, offsets, colors):
-    """Piecewise-linear stop lookup; offsets (K,), colors (K, 4), t (...)."""
+    """Piecewise-linear stop lookup; offsets (K,), colors (K, 4), t (...).
+
+    Telescoping form: color(t) = c0 + sum_k clip((t-o_{k-1})/(o_k-o_{k-1}))
+    * (c_k - c_{k-1}).  Pure elementwise VPU work — per-pixel searchsorted +
+    gather lowers to scalar gathers on TPU and is ~100x slower.
+    """
     k = offsets.shape[0]
-    idx = jnp.clip(jnp.searchsorted(offsets, t, side="left"), 1, k - 1)
-    o0 = offsets[idx - 1]
-    o1 = offsets[idx]
-    ratio = jnp.clip((t - o0) / jnp.where(o1 - o0 > 1e-12, o1 - o0, 1.0), 0.0, 1.0)
-    return (1.0 - ratio)[..., None] * colors[idx - 1] + ratio[..., None] * colors[idx]
+    out = jnp.broadcast_to(colors[0], (*t.shape, 4))
+    for i in range(1, k):
+        span = offsets[i] - offsets[i - 1]
+        ratio = jnp.clip((t - offsets[i - 1]) / jnp.where(span > 1e-12, span, 1.0), 0.0, 1.0)
+        # duplicate offsets (zero span) step at the stop position
+        ratio = jnp.where(span > 1e-12, ratio, (t >= offsets[i]).astype(t.dtype))
+        out = out + ratio[..., None] * (colors[i] - colors[i - 1])
+    return out
 
 
 def _spread(t, mode):
