@@ -1,8 +1,15 @@
-"""Convex hulls (Andrew's monotone chain) and objectBoundingBox transforms.
+"""Convex hulls and objectBoundingBox transforms.
 
-Parity target: /root/reference/svgrasterize.py:1963-2029.  Hull points are
-kept in the presentation (device) coordinate system so merging is free of
+Parity target: /root/reference/svgrasterize.py:1963-2029.  Points are kept
+in the presentation (device) coordinate system so merging is free of
 transform round-trips.
+
+Hull vertex computation is LAZY: bounding boxes (the overwhelmingly common
+query — gradients, patterns, bbox-units clips) only need min/max over the
+raw points, so the chain is never built unless .points is accessed.  When it
+is, scipy's qhull is used if available, with a pure-numpy monotone chain as
+the fallback.  Merging concatenates raw point sets, collapsing through the
+hull only when the set grows large.
 """
 
 from __future__ import annotations
@@ -14,26 +21,44 @@ import numpy as np
 from ..utils.constants import FLOAT
 from ..core.transform import Transform
 
+_REDUCE_THRESHOLD = 4096  # collapse raw points to hull vertices beyond this
+
 
 class ConvexHull:
-    __slots__ = ("points",)
+    __slots__ = ("_raw", "_hull")
 
     def __init__(self, points):
-        pts = np.asarray(points, dtype=FLOAT).reshape(-1, 2)
-        self.points = _monotone_chain(pts)
+        self._raw = np.asarray(points, dtype=FLOAT).reshape(-1, 2)
+        self._hull: np.ndarray | None = None
+
+    @property
+    def points(self) -> np.ndarray:
+        """Hull vertices in CCW order (computed on first access)."""
+        if self._hull is None:
+            self._hull = _hull_vertices(self._raw)
+        return self._hull
 
     @classmethod
     def merge(cls, hulls: Iterable["ConvexHull"]) -> "ConvexHull":
-        stacked = [h.points for h in hulls if h is not None and len(h.points)]
-        if not stacked:
+        parts = []
+        for h in hulls:
+            if h is None:
+                continue
+            raw = h._hull if h._hull is not None else h._raw
+            if len(raw):
+                parts.append(raw if len(raw) <= _REDUCE_THRESHOLD else h.points)
+        if not parts:
             return cls(np.zeros((0, 2)))
-        return cls(np.concatenate(stacked, axis=0))
+        merged = cls(np.concatenate(parts, axis=0))
+        if len(merged._raw) > _REDUCE_THRESHOLD:
+            merged._raw = _hull_vertices(merged._raw)
+        return merged
 
     def bbox(self, transform: Transform):
         """Bounding box (x, y, w, h) in user space (inverse-transformed)."""
-        if len(self.points) == 0:
+        if len(self._raw) == 0:
             return (0.0, 0.0, 0.0, 0.0)
-        points = transform.invert(self.points)
+        points = transform.invert(self._raw)
         lo = points.min(axis=0)
         hi = points.max(axis=0)
         return (lo[0], lo[1], hi[0] - lo[0], hi[1] - lo[1])
@@ -54,10 +79,25 @@ class ConvexHull:
         return Path([segs])
 
 
-def _monotone_chain(pts: np.ndarray) -> np.ndarray:
-    """Andrew's monotone chain; returns hull vertices in CCW order."""
+def _hull_vertices(pts: np.ndarray) -> np.ndarray:
     if len(pts) <= 2:
         return pts.copy()
+    try:
+        from scipy.spatial import ConvexHull as _QHull
+        from scipy.spatial import QhullError
+
+        try:
+            qh = _QHull(pts)
+            return pts[qh.vertices]
+        except QhullError:
+            pass  # degenerate (collinear) input: fall through
+    except ImportError:
+        pass
+    return _monotone_chain(pts)
+
+
+def _monotone_chain(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns hull vertices in CCW order."""
     order = np.lexsort((pts[:, 1], pts[:, 0]))
     pts = pts[order]
 
