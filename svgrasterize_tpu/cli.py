@@ -112,11 +112,10 @@ def main(argv=None) -> int:
 
         w, h = size
         viewport = (0, 0, int(h), int(w))
-        # whole-scene batched path: one device dispatch when the scene lowers
-        fast = render_fast(scene, transform, viewport, linear_rgb=opts.linear_rgb)
-        if fast is not None:
-            result = (fast, None)
-        else:
+        # whole-scene batched path: one device dispatch when the scene lowers;
+        # otherwise the interpreter batches lowerable group runs internally
+        result = render_fast(scene, transform, viewport, linear_rgb=opts.linear_rgb)
+        if result is None:
             result = scene.render(transform, viewport=viewport, linear_rgb=opts.linear_rgb)
     else:
         result = scene.render(transform, linear_rgb=opts.linear_rgb)

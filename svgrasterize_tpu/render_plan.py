@@ -43,6 +43,10 @@ from .utils.constants import DEVICE_FLOAT, FLATNESS
 
 TILE = 128
 
+# interpreter group-run batching switch (tests disable it to get a pure
+# per-path oracle)
+HYBRID_ENABLED = True
+
 _FILL_RULE_ID = {None: 0, "nonzero": 0, "evenodd": 1}
 
 
@@ -252,6 +256,7 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
     clip_tile_cache: dict = {}  # (clip identity, ti, tj) -> tile-local edges
 
     records = []  # (tile_id, z, edges, clip_edges, params, rule, opacity, origin)
+    all_points: list = []
     try:
         for z, (path, tr, paint, fill_rule, opacity, clip) in enumerate(draws):
             if paint is None:
@@ -259,6 +264,7 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
             lines = path.flatten(tr, FLATNESS)
             if lines.size == 0:
                 continue
+            all_points.append(lines[:, 0])
             flat = lines.reshape(-1, 4) - shift
             params = _paint_params(paint, ConvexHull(lines), tr, linear_rgb)
             rule = _FILL_RULE_ID.get(fill_rule)
@@ -350,20 +356,107 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
         ):
             items[key][i] = params[key]
 
-    return items, (grid_h, grid_w)
+    hull = ConvexHull(np.concatenate(all_points, axis=0))
+    return items, (grid_h, grid_w), hull
 
 
 def render_fast(scene, transform: Transform, viewport, linear_rgb: bool = False):
-    """Whole-scene batched render; returns a Layer or None if unsupported."""
+    """Whole-scene batched render; returns (Layer, hull) or None if unsupported."""
     import jax.numpy as jnp
 
     lowered = lower_scene(scene, transform, viewport, linear_rgb)
     if lowered is None:
         return None
-    items, (grid_h, grid_w) = lowered
+    items, (grid_h, grid_w), hull = lowered
     device_items = {k: jnp.asarray(v) for k, v in items.items()}
     tiles = batch_exec.execute_plan(device_items, TILE, grid_h * grid_w)
     canvas = tiles.reshape(grid_h, grid_w, TILE, TILE, 4)
     canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(grid_h * TILE, grid_w * TILE, 4)
     v0, v1, h, w = viewport
-    return Layer(canvas[: int(h), : int(w)], (int(v0), int(v1)), pre_alpha=True, linear_rgb=linear_rgb)
+    layer = Layer(
+        canvas[: int(h), : int(w)], (int(v0), int(v1)), pre_alpha=True, linear_rgb=linear_rgb
+    )
+    return layer, hull
+
+
+def can_lower(scene, linear_rgb: bool, in_clip: bool = False) -> bool:
+    """Cheap structural predicate: would lower_scene accept this subtree?
+
+    Mirrors _collect_draws / _paint_params / _clip_edges checks without
+    touching geometry, so the hybrid group renderer can partition children
+    into batchable runs in O(nodes).
+    """
+    kind, args = scene
+    if kind in (RENDER_FILL, RENDER_STROKE):
+        paint = args[1]
+        if paint is None:
+            return True
+        if isinstance(paint, np.ndarray):
+            return True
+        if isinstance(paint, (GradLinear, GradRadial)):
+            if paint.linear_rgb is not None and paint.linear_rgb != linear_rgb:
+                return False
+            return len(paint.stops) <= MAX_STOPS
+        return False
+    if kind == RENDER_GROUP:
+        return all(can_lower(c, linear_rgb, in_clip) for c in args)
+    if kind == RENDER_TRANSFORM:
+        return can_lower(args[0], linear_rgb, in_clip)
+    if kind == RENDER_OPACITY:
+        return args[0][0] in (RENDER_FILL, RENDER_STROKE) and can_lower(
+            args[0], linear_rgb, in_clip
+        )
+    if kind == RENDER_CLIP:
+        target, clip_scene, bbox_units = args
+        if in_clip or bbox_units:
+            return False
+        return _clip_scene_ok(clip_scene) and can_lower(target, linear_rgb, True)
+    return False
+
+
+def _clip_scene_ok(scene) -> bool:
+    kind, args = scene
+    if kind == RENDER_FILL:
+        return args[2] in (None, "nonzero")
+    if kind == RENDER_GROUP:
+        return all(_clip_scene_ok(c) for c in args)
+    if kind == RENDER_TRANSFORM:
+        return _clip_scene_ok(args[0])
+    return False
+
+
+def render_group_hybrid(children, transform: Transform, viewport, linear_rgb: bool):
+    """Render a group's children, batching maximal runs of lowerable ones.
+
+    Returns a list of (Layer, hull) results in paint order (callers compose
+    with OVER); non-batchable children render through Scene.render.
+    """
+    from .scene import Scene
+
+    results: list = []
+    run: list = []
+
+    def flush():
+        if not run:
+            return
+        group = Scene.group(run) if len(run) > 1 else run[0]
+        rendered = render_fast(group, transform, viewport, linear_rgb)
+        if rendered is not None:
+            results.append(rendered)
+        else:  # predicate was optimistic; render the run via the interpreter
+            for child in run:
+                sub = child.render(transform, viewport=viewport, linear_rgb=linear_rgb)
+                if sub is not None:
+                    results.append(sub)
+        run.clear()
+
+    for child in children:
+        if viewport is not None and can_lower(child, linear_rgb):
+            run.append(child)
+            continue
+        flush()
+        sub = child.render(transform, viewport=viewport, linear_rgb=linear_rgb)
+        if sub is not None:
+            results.append(sub)
+    flush()
+    return results

@@ -106,14 +106,24 @@ class Scene(tuple):
             return outline.fill(transform, paint, viewport=viewport, linear_rgb=linear_rgb)
 
         if kind == RENDER_GROUP:
-            layers, hulls = [], []
-            for child in args:
-                result = child.render(transform, mask_only, viewport, linear_rgb)
-                if result is None:
-                    continue
-                layer, hull = result
-                layers.append(layer)
-                hulls.append(hull)
+            from . import render_plan
+
+            if not mask_only and viewport is not None and render_plan.HYBRID_ENABLED:
+                # batch maximal runs of lowerable children into single dispatches
+                results = render_plan.render_group_hybrid(
+                    args, transform, viewport, linear_rgb
+                )
+            else:
+                results = [
+                    r
+                    for child in args
+                    if (r := child.render(transform, mask_only, viewport, linear_rgb))
+                    is not None
+                ]
+            if not results:
+                return None
+            layers = [layer for layer, _ in results]
+            hulls = [hull for _, hull in results]
             group = Layer.compose(layers, COMPOSE_OVER, linear_rgb)
             if group is None:
                 return None

@@ -17,10 +17,17 @@ def _compare(doc: str, atol: float = 2e-3):
     w, h = size
     viewport = (0, 0, int(h), int(w))
 
-    fast = render_fast(scene, TR, viewport)
-    assert fast is not None, "scene should lower to the batched plan"
+    result = render_fast(scene, TR, viewport)
+    assert result is not None, "scene should lower to the batched plan"
+    fast, _hull = result
 
-    slow, _hull = scene.render(TR, viewport=viewport)
+    import svgrasterize_tpu.render_plan as rp
+
+    rp.HYBRID_ENABLED = False  # pure per-path interpreter as the oracle
+    try:
+        slow, _hull = scene.render(TR, viewport=viewport)
+    finally:
+        rp.HYBRID_ENABLED = True
     canvas = jnp.zeros((int(h), int(w), 4), dtype=jnp.float32)
     canvas = merge_at(canvas, slow.convert(pre_alpha=True, linear_rgb=False).image, slow.offset)
 
