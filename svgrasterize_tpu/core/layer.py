@@ -141,7 +141,8 @@ class Layer:
             return None
         if len(layers) == 1:
             return layers[0]
-        pre_alpha = method in COMPOSE_PRE_ALPHA
+        # named Porter-Duff operators and blend modes work on premultiplied
+        pre_alpha = method in COMPOSE_PRE_ALPHA or isinstance(method, str)
         images = [(l.convert(pre_alpha=pre_alpha, linear_rgb=linear_rgb).image, l.offset) for l in layers]
         blend = lambda dst, src: compose_ops.compose(method, dst, src)
         if method == COMPOSE_IN:

@@ -143,8 +143,15 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
         return Layer.compose(inputs, linear_rgb=True)
 
     if kind == FE_BLEND:
-        warnings.warn("feBlend modes are approximated with OVER")
+        from .ops.compose import BLEND_MODES
+
+        (mode,) = attrs
         in1, in2 = inputs
+        if mode is None or mode == "normal":
+            return Layer.compose([in2, in1], linear_rgb=True)
+        if mode in BLEND_MODES:
+            return Layer.compose([in2, in1], mode, linear_rgb=True)
+        warnings.warn(f"unsupported blend mode {mode!r}; using OVER")
         return Layer.compose([in2, in1], linear_rgb=True)
 
     if kind == FE_COMPOSITE:

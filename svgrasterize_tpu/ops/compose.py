@@ -23,13 +23,44 @@ def _alpha_of(img):
     return img[..., -1:] if img.ndim == 3 else img
 
 
+# separable blend modes (W3C compositing spec, premultiplied forms); the
+# reference degrades all of these to OVER (svgrasterize.py:1877) — here they
+# are implemented properly.
+BLEND_MODES = {"normal", "multiply", "screen", "darken", "lighten"}
+
+
+def _blend(mode: str, dst, src):
+    """Blend premultiplied `src` over `dst` with a separable blend mode."""
+    src_a = _alpha_of(src)
+    dst_a = _alpha_of(dst)
+    if mode == "normal":
+        return src + dst * (1 - src_a)
+    if mode == "screen":
+        return src + dst - src * dst
+    if mode == "multiply":
+        color = src * dst + src * (1 - dst_a) + dst * (1 - src_a)
+    elif mode == "darken":
+        color = jnp.minimum(src * dst_a, dst * src_a) + src * (1 - dst_a) + dst * (1 - src_a)
+    elif mode == "lighten":
+        color = jnp.maximum(src * dst_a, dst * src_a) + src * (1 - dst_a) + dst * (1 - src_a)
+    else:
+        raise ValueError(f"invalid blend mode: {mode}")
+    alpha = src_a + dst_a * (1 - src_a)
+    if color.ndim == 3 and color.shape[-1] > 1:
+        color = jnp.concatenate([color[..., :-1], alpha], axis=-1)
+    return color
+
+
 def compose(mode, dst, src):
     """Compose premultiplied `src` onto `dst` with the given operator.
 
-    `mode` is one of the COMPOSE_* ints or a 4-tuple (k1, k2, k3, k4) for the
-    feComposite arithmetic operator.  Broadcasting follows numpy rules, so a
-    single-channel alpha mask composes against an RGBA image directly.
+    `mode` is a COMPOSE_* int, a 4-tuple (k1, k2, k3, k4) for the feComposite
+    arithmetic operator, or a blend-mode name from BLEND_MODES.  Broadcasting
+    follows numpy rules, so a single-channel alpha mask composes against an
+    RGBA image directly.
     """
+    if isinstance(mode, str):
+        return _blend(mode, dst, src)
     src_a = _alpha_of(src)
     dst_a = _alpha_of(dst)
     if isinstance(mode, tuple) and len(mode) == 4:
