@@ -48,9 +48,10 @@ def bench_scene():
     w, h = int(size[0]), int(size[1])
     tr = Transform().matrix(0, 1, 0, 1, 0, 0)
     t_lower = time.perf_counter()
-    items, (gh, gw) = lower_scene(scene, tr, (0, 0, h, w), False)
+    items, big_lines, (gh, gw), _hull = lower_scene(scene, tr, (0, 0, h, w), False)
     t_lower = time.perf_counter() - t_lower
     dev = {k: jnp.asarray(v) for k, v in items.items()}
+    big = jnp.asarray(big_lines)
 
     def run_chain(k: int) -> float:
         start = time.perf_counter()
@@ -58,7 +59,7 @@ def bench_scene():
         for _ in range(k):
             d = dict(dev)
             d["opacity"] = dev["opacity"] + carry  # data dependency between iters
-            tiles = batch_exec.execute_plan(d, TILE, gh * gw)
+            tiles = batch_exec.execute_plan(d, TILE, gh * gw, big)
             carry = tiles[0, 0, 0, 0] * 0.0
         float(carry)  # scalar readback forces completion
         return time.perf_counter() - start
@@ -71,7 +72,7 @@ def bench_scene():
         "value": round(mpx / per_render, 2),
         "unit": "Mpx/s",
         "vs_baseline": round(mpx / per_render / REFERENCE_SCENE_MPX_S, 1),
-    }, f"items={items['tile_id'].shape[0]} segs={items['lines'].shape[1]} lower={t_lower:.2f}s per_render={per_render * 1e3:.1f}ms"
+    }, f"items={items["tile_id"].shape[0]} segs={items["lines"].shape[1]} big={big_lines.shape} lower={t_lower:.2f}s per_render={per_render * 1e3:.1f}ms"
 
 
 def bench_kernel():

@@ -49,6 +49,8 @@ PAINT_RADIAL = 2
 
 MAX_STOPS = 8  # gradient stops padded to this many
 CHUNK_ITEMS = 128  # work items rasterized per scan step
+SMALL_SEGS = 64  # per-item segment budget in the main pass
+CHUNK_BIG = 32  # heavy items rasterized per pre-pass scan step
 
 
 def _interp_stops(t, offsets, colors):
@@ -132,13 +134,12 @@ def _paint_item(item, tile_r, tile_c, t_size: int):
     return jnp.where(kind == PAINT_SOLID, solid, grad)
 
 
-def _raster_item(item, t_size: int):
-    """One work item -> premultiplied RGBA tile (T, T, 4).
+def _raster_item(item, wind, t_size: int):
+    """Finish one work item from its winding field -> premultiplied RGBA tile.
 
     Clipping is per item: the clip edge list's nonzero coverage multiplies
     the fill mask (items without a clip carry a sentinel full-coverage edge).
     """
-    wind = _winding(item["lines"], t_size)
     nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
     evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
     mask = jnp.where(item["fill_rule"] == 0, nonzero, evenodd)
@@ -150,12 +151,19 @@ def _raster_item(item, t_size: int):
 
 
 @partial(jax.jit, static_argnames=("t_size", "num_tiles"))
-def execute_plan(items: dict, t_size: int, num_tiles: int):
+def execute_plan(items: dict, t_size: int, num_tiles: int, big_lines=None):
     """Run a whole lowered scene; returns the canvas (num_tiles, T, T, 4).
 
     items: dict of per-item arrays, all with leading dim N (a multiple of
     CHUNK_ITEMS), z-sorted by (tile_id, z).  Padding items carry
     tile_id == num_tiles and are dropped by the scatter.
+
+    Two-class segment scheduling: every item's "lines" is capped at
+    SMALL_SEGS edges; the few heavy items carry their full edge list in
+    `big_lines` (M, S_big, 4), rasterized once in a pre-pass, and the main
+    pass gathers their winding by items["big_idx"] (-1 for small items).
+    This keeps the per-item winding cost proportional to the common case
+    instead of the scene's worst tile.
     """
     n = items["tile_id"].shape[0]
     num_chunks = n // CHUNK_ITEMS
@@ -163,10 +171,28 @@ def execute_plan(items: dict, t_size: int, num_tiles: int):
         lambda a: a.reshape(num_chunks, CHUNK_ITEMS, *a.shape[1:]), items
     )
 
+    if big_lines is not None and big_lines.shape[0] > 0:
+        m = big_lines.shape[0]
+        big_chunks = big_lines.reshape(m // CHUNK_BIG, CHUNK_BIG, *big_lines.shape[1:])
+        big_wind = jax.lax.map(
+            lambda chunk: jax.vmap(lambda l: _winding(l, t_size))(chunk), big_chunks
+        ).reshape(m, t_size, t_size)
+        # one scratch row so gathers with idx -1 -> m stay in bounds
+        big_wind = jnp.concatenate(
+            [big_wind, jnp.zeros((1, t_size, t_size), DEVICE_FLOAT)], axis=0
+        )
+    else:
+        big_wind = None
+
     canvas0 = jnp.zeros((num_tiles + 1, t_size, t_size, 4), DEVICE_FLOAT)
 
     def step(canvas, chunk):
-        rgba = jax.vmap(lambda it: _raster_item(it, t_size))(chunk)  # (C, T, T, 4)
+        wind = jax.vmap(lambda l: _winding(l, t_size))(chunk["lines"])
+        if big_wind is not None:
+            idx = chunk["big_idx"]
+            gathered = big_wind[jnp.where(idx >= 0, idx, big_wind.shape[0] - 1)]
+            wind = jnp.where((idx >= 0)[:, None, None], gathered, wind)
+        rgba = jax.vmap(lambda it, w: _raster_item(it, w, t_size))(chunk, wind)  # (C, T, T, 4)
 
         tile_id = chunk["tile_id"]  # (C,) int32, sorted
         starts = jnp.concatenate([jnp.array([True]), tile_id[1:] != tile_id[:-1]])

@@ -314,12 +314,29 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
     # program count stays logarithmic in scene size
     n_pad = CHUNK_ITEMS * bucket(-(-n // CHUNK_ITEMS), minimum=1)
 
-    # bucket segment counts to limit distinct compiled shapes
-    s_bucket = bucket(max(r[2].shape[0] for r in records))
+    # two-class segment scheduling: the common case gets a fixed SMALL_SEGS
+    # budget; heavy tiles go to a separate pre-pass array so one complex path
+    # does not inflate every item's padded width
+    from .ops.batch_exec import CHUNK_BIG, SMALL_SEGS
+
+    big_edge_lists = [r[2] for r in records if r[2].shape[0] > SMALL_SEGS]
+    s_bucket = SMALL_SEGS
+    if big_edge_lists and len(big_edge_lists) >= len(records) // 2:
+        # mostly-heavy scene: a split buys nothing, widen the single bucket
+        s_bucket = bucket(max(e.shape[0] for e in big_edge_lists))
+        big_edge_lists = []
     c_bucket = bucket(max(r[3].shape[0] for r in records))
+
+    if big_edge_lists:
+        m_pad = CHUNK_BIG * bucket(-(-len(big_edge_lists) // CHUNK_BIG), minimum=1)
+        s_big = bucket(max(e.shape[0] for e in big_edge_lists), minimum=2 * SMALL_SEGS)
+        big_lines = np.zeros((m_pad, s_big, 4), DEVICE_FLOAT)
+    else:
+        big_lines = np.zeros((0, 0, 4), DEVICE_FLOAT)
 
     items = {
         "lines": np.zeros((n_pad, s_bucket, 4), DEVICE_FLOAT),
+        "big_idx": np.full(n_pad, -1, np.int32),
         "clip_lines": np.zeros((n_pad, c_bucket, 4), DEVICE_FLOAT),
         "tile_id": np.full(n_pad, num_tiles, np.int32),
         "fill_rule": np.zeros(n_pad, np.int32),
@@ -339,10 +356,16 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
         "stop_offsets": np.ones((n_pad, MAX_STOPS), DEVICE_FLOAT),
         "stop_colors": np.zeros((n_pad, MAX_STOPS, 4), DEVICE_FLOAT),
     }
+    n_big = 0
     for i, (tile_id, _z, edges, clip_edges, params, rule, opacity, tr_origin, tc_origin) in enumerate(
         records
     ):
-        items["lines"][i, : edges.shape[0]] = edges
+        if big_lines.shape[0] and edges.shape[0] > s_bucket:
+            big_lines[n_big, : edges.shape[0]] = edges
+            items["big_idx"][i] = n_big
+            n_big += 1
+        else:
+            items["lines"][i, : edges.shape[0]] = edges
         items["clip_lines"][i, : clip_edges.shape[0]] = clip_edges
         items["tile_id"][i] = tile_id
         items["fill_rule"][i] = rule
@@ -357,7 +380,7 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
             items[key][i] = params[key]
 
     hull = ConvexHull(np.concatenate(all_points, axis=0))
-    return items, (grid_h, grid_w), hull
+    return items, big_lines, (grid_h, grid_w), hull
 
 
 def render_fast(scene, transform: Transform, viewport, linear_rgb: bool = False):
@@ -367,9 +390,11 @@ def render_fast(scene, transform: Transform, viewport, linear_rgb: bool = False)
     lowered = lower_scene(scene, transform, viewport, linear_rgb)
     if lowered is None:
         return None
-    items, (grid_h, grid_w), hull = lowered
+    items, big_lines, (grid_h, grid_w), hull = lowered
     device_items = {k: jnp.asarray(v) for k, v in items.items()}
-    tiles = batch_exec.execute_plan(device_items, TILE, grid_h * grid_w)
+    tiles = batch_exec.execute_plan(
+        device_items, TILE, grid_h * grid_w, jnp.asarray(big_lines)
+    )
     canvas = tiles.reshape(grid_h, grid_w, TILE, TILE, 4)
     canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(grid_h * TILE, grid_w * TILE, 4)
     v0, v1, h, w = viewport
