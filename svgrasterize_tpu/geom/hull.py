@@ -38,6 +38,11 @@ class ConvexHull:
             self._hull = _hull_vertices(self._raw)
         return self._hull
 
+    @property
+    def raw_points(self) -> np.ndarray:
+        """The underlying point set (device coords), without hull reduction."""
+        return self._raw
+
     @classmethod
     def merge(cls, hulls: Iterable["ConvexHull"]) -> "ConvexHull":
         parts = []

@@ -150,21 +150,8 @@ def _raster_item(item, wind, t_size: int):
     return mask[..., None] * paint
 
 
-@partial(jax.jit, static_argnames=("t_size", "num_tiles"))
-def execute_plan(items: dict, t_size: int, num_tiles: int, big_lines=None):
-    """Run a whole lowered scene; returns the canvas (num_tiles, T, T, 4).
-
-    items: dict of per-item arrays, all with leading dim N (a multiple of
-    CHUNK_ITEMS), z-sorted by (tile_id, z).  Padding items carry
-    tile_id == num_tiles and are dropped by the scatter.
-
-    Two-class segment scheduling: every item's "lines" is capped at
-    SMALL_SEGS edges; the few heavy items carry their full edge list in
-    `big_lines` (M, S_big, 4), rasterized once in a pre-pass, and the main
-    pass gathers their winding by items["big_idx"] (-1 for small items).
-    This keeps the per-item winding cost proportional to the common case
-    instead of the scene's worst tile.
-    """
+def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None):
+    """Traceable whole-scene execution; see execute_plan for the contract."""
     n = items["tile_id"].shape[0]
     num_chunks = n // CHUNK_ITEMS
     chunked = jax.tree_util.tree_map(
@@ -218,3 +205,21 @@ def execute_plan(items: dict, t_size: int, num_tiles: int, big_lines=None):
 
     canvas, _ = jax.lax.scan(step, canvas0, chunked)
     return canvas[:num_tiles]
+
+
+@partial(jax.jit, static_argnames=("t_size", "num_tiles"))
+def execute_plan(items: dict, t_size: int, num_tiles: int, big_lines=None):
+    """Run a whole lowered scene; returns the canvas (num_tiles, T, T, 4).
+
+    items: dict of per-item arrays, all with leading dim N (a multiple of
+    CHUNK_ITEMS), z-sorted by (tile_id, z).  Padding items carry
+    tile_id == num_tiles and are dropped by the scatter.
+
+    Two-class segment scheduling: every item's "lines" is capped at
+    SMALL_SEGS edges; the few heavy items carry their full edge list in
+    `big_lines` (M, S_big, 4), rasterized once in a pre-pass, and the main
+    pass gathers their winding by items["big_idx"] (-1 for small items).
+    This keeps the per-item winding cost proportional to the common case
+    instead of the scene's worst tile.
+    """
+    return execute_items(items, t_size, num_tiles, big_lines)

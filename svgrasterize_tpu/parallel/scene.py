@@ -1,0 +1,135 @@
+"""Multi-chip scene rendering: shard the tiled work-item plan across a mesh.
+
+This is the framework's "spatial parallelism": the canvas tile grid is
+partitioned into contiguous ranges along the mesh's "data" axis and each
+device executes the full batched pipeline (winding, clips, paints, segmented
+composition) for its range only — z-ordering is per tile, so tile ranges are
+embarrassingly parallel and the only collective is the implicit all-gather
+XLA inserts to assemble the sharded canvas.  Work items are balanced by
+count, not tile count: device d gets an equal slice of the z-sorted item
+stream, aligned to tile boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops import batch_exec
+from ..ops.batch_exec import CHUNK_BIG, CHUNK_ITEMS
+from ..utils.constants import DEVICE_FLOAT
+
+
+def _pow2_pad(n: int, chunk: int) -> int:
+    out = chunk
+    while out < n:
+        out *= 2
+    return out
+
+
+def partition_plan(items: dict, big_lines: np.ndarray, num_tiles: int, n_devices: int):
+    """Split a lowered plan into per-device shards.
+
+    Returns (stacked_items, stacked_big, tiles_per_device) where every array
+    gains a leading device axis; tile ids are remapped device-local and
+    padding items carry the device-local scratch id.
+    """
+    tiles_per_dev = -(-num_tiles // n_devices)
+    tile_id = items["tile_id"]
+    valid = tile_id < num_tiles
+    device_of = np.where(valid, tile_id // tiles_per_dev, n_devices)  # padding -> drop
+
+    counts = [(device_of == d).sum() for d in range(n_devices)]
+    max_count = max(max(counts), 1)
+    n_dev = CHUNK_ITEMS * _pow2_pad(-(-max_count // CHUNK_ITEMS), 1)
+
+    big_counts = []
+    big_rows_per_dev = []
+    for d in range(n_devices):
+        sel = device_of == d
+        rows = items["big_idx"][sel]
+        rows = np.unique(rows[rows >= 0])
+        big_rows_per_dev.append(rows)
+        big_counts.append(len(rows))
+    if big_lines.shape[0] and max(big_counts):
+        m_dev = CHUNK_BIG * max(1, _pow2_pad(-(-max(big_counts) // CHUNK_BIG), 1))
+        s_big = big_lines.shape[1]
+    else:
+        m_dev, s_big = 0, 0
+
+    stacked = {
+        k: np.zeros((n_devices, n_dev, *v.shape[1:]), v.dtype) for k, v in items.items()
+    }
+    stacked_big = np.zeros((n_devices, m_dev, s_big, 4), DEVICE_FLOAT)
+
+    for d in range(n_devices):
+        sel = np.where(device_of == d)[0]
+        k = len(sel)
+        for key, value in items.items():
+            shard = stacked[key][d]
+            shard[:k] = value[sel]
+            if key == "tile_id":
+                shard[:k] -= d * tiles_per_dev
+                shard[k:] = tiles_per_dev  # device-local scratch/drop id
+            elif key == "big_idx" and k:
+                rows = big_rows_per_dev[d]
+                remap = np.full(big_lines.shape[0] + 1, -1, np.int32)
+                remap[rows] = np.arange(len(rows), dtype=np.int32)
+                shard[:k] = remap[np.where(shard[:k] >= 0, shard[:k], big_lines.shape[0])]
+        if m_dev and len(big_rows_per_dev[d]):
+            stacked_big[d, : len(big_rows_per_dev[d])] = big_lines[big_rows_per_dev[d]]
+
+    # padding rows of tile_id default to 0 from np.zeros; fix them to drop
+    for d in range(n_devices):
+        k = (device_of == d).sum()
+        stacked["tile_id"][d, k:] = tiles_per_dev
+
+    return stacked, stacked_big, tiles_per_dev
+
+
+def sharded_render_plan(mesh: Mesh, items: dict, big_lines, t_size: int, num_tiles: int):
+    """Execute a partitioned plan over the mesh's "data" axis.
+
+    items/big_lines must already carry the leading device axis from
+    partition_plan.  Returns the assembled canvas
+    (n_devices * tiles_per_device, T, T, 4); callers slice to num_tiles.
+    """
+    import jax.numpy as jnp
+
+    n_devices = items["tile_id"].shape[0]
+    tiles_per_dev = -(-num_tiles // n_devices)
+    has_big = big_lines.shape[1] > 0
+
+    def local(items_l, big_l):
+        local_items = {k: v[0] for k, v in items_l.items()}
+        big = big_l[0] if has_big else None
+        canvas = batch_exec.execute_items(local_items, t_size, tiles_per_dev, big)
+        return canvas[None]
+
+    spec_items = {k: P("data") for k in items}
+    # check_vma off: scan carries inside execute_items start from shard-local
+    # constants, which the varying-axes checker cannot type
+    try:
+        mapped = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec_items, P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+    except TypeError:
+        mapped = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec_items, P("data")),
+            out_specs=P("data"),
+            check_rep=False,
+        )
+    device_items = {k: jnp.asarray(v) for k, v in items.items()}
+    canvas = mapped(device_items, jnp.asarray(big_lines))
+    return canvas.reshape(n_devices * tiles_per_dev, t_size, t_size, 4)

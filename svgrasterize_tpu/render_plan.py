@@ -450,6 +450,38 @@ def _clip_scene_ok(scene) -> bool:
     return False
 
 
+def crop_layer_to_hull(layer: Layer, hull: ConvexHull, viewport) -> Layer:
+    """Crop a viewport-sized layer down to its hull's bucketed bbox.
+
+    Downstream layer ops (colorspace conversion, filters, composition) then
+    run on content-sized tensors; bucketed dims keep the set of compiled
+    shapes small.
+    """
+    from .utils.buckets import bucket_dim
+
+    pts = hull.raw_points
+    if len(pts) == 0:
+        return layer
+    v0, v1, vh, vw = (int(x) for x in viewport)
+    r0 = max(int(np.floor(pts[:, 0].min())) - 1, v0)
+    c0 = max(int(np.floor(pts[:, 1].min())) - 1, v1)
+    r1 = min(int(np.ceil(pts[:, 0].max())) + 1, v0 + vh)
+    c1 = min(int(np.ceil(pts[:, 1].max())) + 1, v1 + vw)
+    if r1 <= r0 or c1 <= c0:
+        return layer
+    h = bucket_dim(r1 - r0)
+    w = bucket_dim(c1 - c0)
+    if h >= layer.height and w >= layer.width:
+        return layer
+    # shift the window up-left so the bucketed extent stays inside the canvas
+    r0 = max(min(r0, v0 + vh - h), v0)
+    c0 = max(min(c0, v1 + vw - w), v1)
+    h = min(h, layer.height)
+    w = min(w, layer.width)
+    image = layer.image[r0 - layer.x : r0 - layer.x + h, c0 - layer.y : c0 - layer.y + w]
+    return Layer(image, (r0, c0), layer.pre_alpha, layer.linear_rgb)
+
+
 def render_group_hybrid(children, transform: Transform, viewport, linear_rgb: bool):
     """Render a group's children, batching maximal runs of lowerable ones.
 
@@ -467,7 +499,8 @@ def render_group_hybrid(children, transform: Transform, viewport, linear_rgb: bo
         group = Scene.group(run) if len(run) > 1 else run[0]
         rendered = render_fast(group, transform, viewport, linear_rgb)
         if rendered is not None:
-            results.append(rendered)
+            layer, hull = rendered
+            results.append((crop_layer_to_hull(layer, hull, viewport), hull))
         else:  # predicate was optimistic; render the run via the interpreter
             for child in run:
                 sub = child.render(transform, viewport=viewport, linear_rgb=linear_rgb)

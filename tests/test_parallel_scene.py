@@ -1,0 +1,60 @@
+"""Tile-sharded scene execution vs single-device (virtual 8-device mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from svgrasterize_tpu.core.transform import Transform
+from svgrasterize_tpu.frontend.svg import scene_from_str
+from svgrasterize_tpu.ops import batch_exec
+from svgrasterize_tpu.parallel.scene import partition_plan, sharded_render_plan
+from svgrasterize_tpu.render_plan import TILE, lower_scene
+
+DOC = """
+<svg xmlns="http://www.w3.org/2000/svg" width="400" height="300">
+  <defs>
+    <linearGradient id="g"><stop offset="0" stop-color="red"/>
+    <stop offset="1" stop-color="blue" stop-opacity="0.6"/></linearGradient>
+    <clipPath id="c"><circle cx="200" cy="150" r="130"/></clipPath>
+  </defs>
+  <rect x="20" y="20" width="360" height="260" fill="url(#g)"/>
+  <circle cx="200" cy="150" r="120" fill="#ffaa00" clip-path="url(#c)"/>
+  <path d="M30 280 L200 30 L370 280 Z" fill="green" fill-opacity="0.5"/>
+</svg>
+"""
+
+
+@pytest.fixture(scope="module")
+def plan():
+    scene, _ids, _size = scene_from_str(DOC)
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    items, big, (gh, gw), _hull = lower_scene(scene, tr, (0, 0, 300, 400), False)
+    ref = np.asarray(
+        batch_exec.execute_plan(
+            {k: jnp.asarray(v) for k, v in items.items()}, TILE, gh * gw, jnp.asarray(big)
+        )
+    )
+    return items, big, gh * gw, ref
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_sharded_plan_matches_single_device(plan, n_devices):
+    items, big, num_tiles, ref = plan
+    mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("data",))
+    st_items, st_big, _tpd = partition_plan(items, big, num_tiles, n_devices)
+    out = np.asarray(sharded_render_plan(mesh, st_items, st_big, TILE, num_tiles))
+    np.testing.assert_allclose(out[:num_tiles], ref, atol=1e-5)
+
+
+def test_partition_balances_and_remaps(plan):
+    items, big, num_tiles, _ref = plan
+    st_items, _st_big, tiles_per_dev = partition_plan(items, big, num_tiles, 4)
+    assert st_items["tile_id"].shape[0] == 4
+    # every shard's tile ids are device-local (within [0, tiles_per_dev])
+    assert (st_items["tile_id"] <= tiles_per_dev).all()
+    # all real items are preserved
+    real_before = (items["tile_id"] < num_tiles).sum()
+    real_after = (st_items["tile_id"] < tiles_per_dev).sum()
+    assert real_before == real_after
