@@ -1,0 +1,69 @@
+"""Golden-image tests: full pipeline vs the reference renderer on demo icons.
+
+Each icon is rendered at a small width by both implementations with the same
+transform/viewport and compared as final composited canvases.  Tolerances
+allow AA-edge and stroke-join differences (f32 vs f64, different curve
+flattening and offset heuristics) while catching any structural regression.
+"""
+
+import numpy as np
+import pytest
+
+from svgrasterize_tpu import scene_from_filepath
+from svgrasterize_tpu.core.layer import merge_at
+from svgrasterize_tpu.core.transform import Transform
+
+WIDTH = 96
+
+# (icon, allowed fraction of pixels with channel diff > 16/255)
+ICONS = [
+    ("python.svg", 0.02),
+    ("fontforge.svg", 0.02),
+    ("format-fill-color.svg", 0.02),
+    ("gamepad.svg", 0.02),
+    ("rust.svg", 0.035),  # stroke-heavy: join heuristics differ more
+    ("tiger.svg", 0.035),
+]
+
+
+def _render_ours(path: str):
+    import jax.numpy as jnp
+
+    scene, _ids, size = scene_from_filepath(path, width=WIDTH)
+    w, h = int(size[0]), int(size[1])
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    layer, _hull = scene.render(tr, viewport=(0, 0, h, w), linear_rgb=False)
+    canvas = jnp.zeros((h, w, 4), dtype=jnp.float32)
+    layer = layer.convert(pre_alpha=True, linear_rgb=False)
+    canvas = merge_at(canvas, layer.image, layer.offset)
+    return np.asarray(canvas)
+
+
+def _render_reference(reference, path: str):
+    scene, _ids, size = reference.svg_scene_from_filepath(path, width=WIDTH)
+    w, h = int(size[0]), int(size[1])
+    tr = reference.Transform().matrix(0, 1, 0, 1, 0, 0)
+    layer, _hull = scene.render(tr, viewport=[0, 0, h, w], linear_rgb=False)
+    layer = layer.convert(pre_alpha=True, linear_rgb=False)
+    canvas = np.zeros((h, w, 4))
+    reference.canvas_merge_at(canvas, layer.image, layer.offset)
+    return canvas
+
+
+@pytest.mark.parametrize("icon,tolerance", ICONS)
+def test_icon_matches_reference(reference, demo_dir, icon, tolerance):
+    import os
+    import warnings
+
+    path = os.path.join(demo_dir, "icons", icon)
+    ours = _render_ours(path)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        theirs = _render_reference(reference, path)
+    assert ours.shape == theirs.shape
+
+    diff = np.abs(ours - theirs).max(axis=-1)
+    bad = (diff > 16 / 255).mean()
+    assert bad <= tolerance, f"{icon}: {bad:.4f} of pixels differ by >16/255"
+    # interiors must be essentially exact
+    assert np.median(diff) < 1 / 255
