@@ -134,11 +134,14 @@ def _paint_item(item, tile_r, tile_c, t_size: int):
     return jnp.where(kind == PAINT_SOLID, solid, grad)
 
 
-def _raster_item(item, wind, t_size: int):
+def _raster_item(item, wind, t_size: int, texture=None):
     """Finish one work item from its winding field -> premultiplied RGBA tile.
 
     Clipping is per item: the clip edge list's nonzero coverage multiplies
     the fill mask (items without a clip carry a sentinel full-coverage edge).
+    Texture items (tex_idx >= 0) paint a pre-rendered isolation-pass tile
+    instead of a paint server; their fill edges are the sentinel, so the
+    mask reduces to clip x opacity.
     """
     nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
     evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
@@ -147,11 +150,17 @@ def _raster_item(item, wind, t_size: int):
     mask = mask * jnp.clip(jnp.abs(clip_wind), 0.0, 1.0)
     mask = jnp.where(mask < 1e-6, 0.0, mask) * item["opacity"]
     paint = _paint_item(item, item["tile_r"], item["tile_c"], t_size)
+    if texture is not None:
+        paint = jnp.where(item["tex_idx"] >= 0, texture, paint)
     return mask[..., None] * paint
 
 
-def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None):
-    """Traceable whole-scene execution; see execute_plan for the contract."""
+def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None, pool=None):
+    """Traceable whole-scene execution; see execute_plan for the contract.
+
+    pool: (P, T, T, 4) texture tiles from earlier isolation passes, gathered
+    by items["tex_idx"].
+    """
     n = items["tile_id"].shape[0]
     num_chunks = n // CHUNK_ITEMS
     chunked = jax.tree_util.tree_map(
@@ -171,6 +180,12 @@ def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None):
     else:
         big_wind = None
 
+    if pool is not None:
+        # scratch row so tex_idx == -1 gathers stay in bounds
+        pool_padded = jnp.concatenate(
+            [pool, jnp.zeros((1, t_size, t_size, 4), DEVICE_FLOAT)], axis=0
+        )
+
     canvas0 = jnp.zeros((num_tiles + 1, t_size, t_size, 4), DEVICE_FLOAT)
 
     def step(canvas, chunk):
@@ -179,7 +194,14 @@ def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None):
             idx = chunk["big_idx"]
             gathered = big_wind[jnp.where(idx >= 0, idx, big_wind.shape[0] - 1)]
             wind = jnp.where((idx >= 0)[:, None, None], gathered, wind)
-        rgba = jax.vmap(lambda it, w: _raster_item(it, w, t_size))(chunk, wind)  # (C, T, T, 4)
+        if pool is not None:
+            tex_idx = chunk["tex_idx"]
+            textures = pool_padded[jnp.where(tex_idx >= 0, tex_idx, pool.shape[0])]
+            rgba = jax.vmap(lambda it, w, tex: _raster_item(it, w, t_size, tex))(
+                chunk, wind, textures
+            )
+        else:
+            rgba = jax.vmap(lambda it, w: _raster_item(it, w, t_size))(chunk, wind)
 
         tile_id = chunk["tile_id"]  # (C,) int32, sorted
         starts = jnp.concatenate([jnp.array([True]), tile_id[1:] != tile_id[:-1]])
@@ -208,7 +230,7 @@ def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None):
 
 
 @partial(jax.jit, static_argnames=("t_size", "num_tiles"))
-def execute_plan(items: dict, t_size: int, num_tiles: int, big_lines=None):
+def execute_plan(items: dict, t_size: int, num_tiles: int, big_lines=None, pool=None):
     """Run a whole lowered scene; returns the canvas (num_tiles, T, T, 4).
 
     items: dict of per-item arrays, all with leading dim N (a multiple of
@@ -222,4 +244,4 @@ def execute_plan(items: dict, t_size: int, num_tiles: int, big_lines=None):
     This keeps the per-item winding cost proportional to the common case
     instead of the scene's worst tile.
     """
-    return execute_items(items, t_size, num_tiles, big_lines)
+    return execute_items(items, t_size, num_tiles, big_lines, pool)

@@ -91,12 +91,14 @@ def render_atlas(
         canvas = jnp.zeros((height, width, 4), DEVICE_FLOAT)
         canvas = merge_at(canvas, layer.image, layer.offset)
         return Layer(canvas, (0, 0), pre_alpha=True, linear_rgb=linear_rgb)
-    items, big, (gh, gw), _hull = lowered
+    items, big, (gh, gw), _hull, passes = lowered
 
+    if mesh is not None and passes:
+        mesh = None  # isolation passes are not tile-partitionable yet
     if mesh is None:
-        tiles = batch_exec.execute_plan(
-            {k: jnp.asarray(v) for k, v in items.items()}, TILE, gh * gw, jnp.asarray(big)
-        )
+        from ..render_plan import execute_lowered
+
+        tiles = execute_lowered(lowered)
     else:
         from .scene import partition_plan, sharded_render_plan
 

@@ -59,11 +59,11 @@ def _collect_draws(scene, transform: Transform, opacity: float, clip, out: list)
     kind, args = scene
     if kind == RENDER_FILL:
         path, paint, fill_rule = args
-        out.append((path, transform, paint, fill_rule, opacity, clip))
+        out.append(("draw", path, transform, paint, fill_rule, opacity, clip))
     elif kind == RENDER_STROKE:
         path, paint, width, linecap, linejoin = args
         outline = path.stroke(width, linecap, linejoin)
-        out.append((outline, transform, paint, None, opacity, clip))
+        out.append(("draw", outline, transform, paint, None, opacity, clip))
     elif kind == RENDER_GROUP:
         for child in args:
             _collect_draws(child, transform, opacity, clip, out)
@@ -72,12 +72,13 @@ def _collect_draws(scene, transform: Transform, opacity: float, clip, out: list)
         _collect_draws(target, transform @ inner, opacity, clip, out)
     elif kind == RENDER_OPACITY:
         target, value = args
-        # opacity over a group only folds when the group cannot self-overlap;
-        # a single draw is always safe
+        # opacity over a single draw folds into its paint; opacity over a
+        # group needs isolation -> rendered as a separate pass whose tiles
+        # re-enter the parent stream as texture items
         if target[0] in (RENDER_FILL, RENDER_STROKE):
             _collect_draws(target, transform, opacity * value, clip, out)
         else:
-            raise _Unsupported("group opacity")
+            out.append(("pass", target, transform, opacity * value, clip))
     elif kind == RENDER_CLIP:
         target, clip_scene, bbox_units = args
         if clip is not None:
@@ -231,170 +232,244 @@ def _bin_draw(lines: np.ndarray, grid_h: int, grid_w: int):
                 yield ti, tj, edges
 
 
-def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
-    """Lower a scene to the batched item dict; None if unsupported.
+# no-clip sentinel: one left-clamped edge spanning every row = coverage 1
+_FULL_COVER = np.array([[0.0, -1.0, float(TILE), -1.0]], dtype=DEVICE_FLOAT)
 
-    viewport: (origin0, origin1, extent0, extent1) in device pixels.
-    Returns (items, grid shape) with items z-sorted by (tile, z).
+
+def _bucket(count: int, minimum: int = 32) -> int:
+    size = minimum
+    while size < count:
+        size *= 2
+    return size
+
+
+class _Builder:
+    """Lowers a scene into one or more packed passes over a shared tile grid.
+
+    Isolation groups (opacity over a group; later masks/filters) become
+    separate passes rendered before the stream that references them: each
+    output tile of a pass re-enters its parent stream as a texture item
+    gathered from the pass pool.
     """
-    try:
+
+    def __init__(self, viewport, linear_rgb: bool):
+        v0, v1, h, w = viewport
+        self.v0, self.v1 = v0, v1
+        self.grid_h = math.ceil(h / TILE)
+        self.grid_w = math.ceil(w / TILE)
+        self.num_tiles = self.grid_h * self.grid_w
+        self.shift = np.array([v0, v1, v0, v1], dtype=np.float64)
+        self.linear_rgb = linear_rgb
+        self.clip_flat_cache: dict = {}
+        self.clip_tile_cache: dict = {}
+        self.passes: list = []  # [(items, big_lines, out_tile_ids)]
+        self.pool_size = 0
+        self.all_points: list = []
+        self._blank_params = _paint_params(
+            np.zeros(4, dtype=np.float64), None, Transform(), linear_rgb
+        )
+
+    # -- clip helpers -------------------------------------------------------
+    def _clip_tile(self, clip, ti: int, tj: int):
+        """Tile-local clip edges for tile (ti, tj); None = no clip (sentinel)."""
+        if clip is None:
+            return _FULL_COVER
+        clip_scene, clip_tr = clip
+        clip_key = (id(clip_scene), id(clip_tr))
+        if clip_key not in self.clip_flat_cache:
+            clip_lines = _clip_edges(clip_scene, clip_tr, {}) - self.shift
+            self.clip_flat_cache[clip_key] = (clip_lines, _edge_extents(clip_lines))
+        tile_key = (clip_key, ti, tj)
+        edges = self.clip_tile_cache.get(tile_key)
+        if edges is None:
+            clip_lines, extents = self.clip_flat_cache[clip_key]
+            edges = _tile_local_edges(clip_lines, *extents, ti, tj)
+            self.clip_tile_cache[tile_key] = edges
+        return edges if edges.shape[0] else None
+
+    # -- lowering -----------------------------------------------------------
+    def build(self, scene, transform: Transform) -> list:
+        """Subtree -> record list (z-sorted later); may append nested passes."""
         draws: list = []
         _collect_draws(scene, transform, 1.0, None, draws)
-    except _Unsupported:
-        return None
 
-    v0, v1, h, w = viewport
-    grid_h = math.ceil(h / TILE)
-    grid_w = math.ceil(w / TILE)
-    num_tiles = grid_h * grid_w
-    shift = np.array([v0, v1, v0, v1], dtype=np.float64)
+        records: list = []
+        for z, entry in enumerate(draws):
+            if entry[0] == "pass":
+                _tag, target, tr, opacity, clip = entry
+                sub_records = self.build(target, tr)
+                if not sub_records:
+                    continue
+                sub_records.sort(key=lambda r: (r[0], r[1]))
+                out_tiles = sorted({r[0] for r in sub_records})
+                items, big = self._pack(sub_records)
+                base = self.pool_size
+                self.pool_size += len(out_tiles)
+                self.passes.append((items, big, np.asarray(out_tiles, np.int32)))
+                for rank, tile in enumerate(out_tiles):
+                    ti, tj = divmod(tile, self.grid_w)
+                    clip_edges = self._clip_tile(clip, ti, tj)
+                    if clip_edges is None:
+                        continue
+                    records.append(
+                        (tile, z, _FULL_COVER, clip_edges, self._blank_params, 0,
+                         opacity, ti * TILE, tj * TILE, base + rank)
+                    )
+                continue
 
-    # no-clip sentinel: one left-clamped edge spanning every row = coverage 1
-    full_cover = np.array([[0.0, -1.0, float(TILE), -1.0]], dtype=DEVICE_FLOAT)
-
-    clip_flat_cache: dict = {}  # clip identity -> (edges, extents)
-    clip_tile_cache: dict = {}  # (clip identity, ti, tj) -> tile-local edges
-
-    records = []  # (tile_id, z, edges, clip_edges, params, rule, opacity, origin)
-    all_points: list = []
-    try:
-        for z, (path, tr, paint, fill_rule, opacity, clip) in enumerate(draws):
+            _tag, path, tr, paint, fill_rule, opacity, clip = entry
             if paint is None:
                 continue
             lines = path.flatten(tr, FLATNESS)
             if lines.size == 0:
                 continue
-            all_points.append(lines[:, 0])
-            flat = lines.reshape(-1, 4) - shift
-            params = _paint_params(paint, ConvexHull(lines), tr, linear_rgb)
+            self.all_points.append(lines[:, 0])
+            flat = lines.reshape(-1, 4) - self.shift
+            params = _paint_params(paint, ConvexHull(lines), tr, self.linear_rgb)
             rule = _FILL_RULE_ID.get(fill_rule)
             if rule is None:
-                return None
+                raise _Unsupported(f"fill rule {fill_rule}")
 
-            clip_key = None
-            if clip is not None:
-                clip_scene, clip_tr = clip
-                clip_key = (id(clip_scene), id(clip_tr))
-                if clip_key not in clip_flat_cache:
-                    clip_lines = _clip_edges(clip_scene, clip_tr, {}) - shift
-                    clip_flat_cache[clip_key] = (clip_lines, _edge_extents(clip_lines))
-
-            for ti, tj, edges in _bin_draw(flat, grid_h, grid_w):
-                if clip_key is None:
-                    clip_edges = full_cover
-                else:
-                    tile_key = (clip_key, ti, tj)
-                    clip_edges = clip_tile_cache.get(tile_key)
-                    if clip_edges is None:
-                        clip_lines, extents = clip_flat_cache[clip_key]
-                        clip_edges = _tile_local_edges(clip_lines, *extents, ti, tj)
-                        clip_tile_cache[tile_key] = clip_edges
-                    if clip_edges.shape[0] == 0:
-                        continue  # tile entirely outside the clip region
+            for ti, tj, edges in _bin_draw(flat, self.grid_h, self.grid_w):
+                clip_edges = self._clip_tile(clip, ti, tj)
+                if clip_edges is None:
+                    continue  # tile entirely outside the clip region
                 records.append(
-                    (ti * grid_w + tj, z, edges, clip_edges, params, rule, opacity,
-                     ti * TILE, tj * TILE)
+                    (ti * self.grid_w + tj, z, edges, clip_edges, params, rule,
+                     opacity, ti * TILE, tj * TILE, -1)
                 )
+        return records
+
+    # -- packing ------------------------------------------------------------
+    def _pack(self, records: list):
+        """Sorted records -> (items dict, big_lines) with padded static shapes."""
+        from .ops.batch_exec import CHUNK_BIG, SMALL_SEGS
+
+        n = len(records)
+        n_pad = CHUNK_ITEMS * _bucket(-(-n // CHUNK_ITEMS), minimum=1)
+
+        # two-class segment scheduling: the common case gets a fixed
+        # SMALL_SEGS budget; heavy tiles go to a pre-pass array so one
+        # complex path does not inflate every item's padded width
+        big_edge_lists = [r[2] for r in records if r[2].shape[0] > SMALL_SEGS]
+        s_bucket = SMALL_SEGS
+        if big_edge_lists and len(big_edge_lists) >= len(records) // 2:
+            s_bucket = _bucket(max(e.shape[0] for e in big_edge_lists))
+            big_edge_lists = []
+        c_bucket = _bucket(max(r[3].shape[0] for r in records))
+
+        if big_edge_lists:
+            m_pad = CHUNK_BIG * _bucket(-(-len(big_edge_lists) // CHUNK_BIG), minimum=1)
+            s_big = _bucket(max(e.shape[0] for e in big_edge_lists), minimum=2 * SMALL_SEGS)
+            big_lines = np.zeros((m_pad, s_big, 4), DEVICE_FLOAT)
+        else:
+            big_lines = np.zeros((0, 0, 4), DEVICE_FLOAT)
+
+        items = {
+            "lines": np.zeros((n_pad, s_bucket, 4), DEVICE_FLOAT),
+            "big_idx": np.full(n_pad, -1, np.int32),
+            "tex_idx": np.full(n_pad, -1, np.int32),
+            "clip_lines": np.zeros((n_pad, c_bucket, 4), DEVICE_FLOAT),
+            "tile_id": np.full(n_pad, self.num_tiles, np.int32),
+            "fill_rule": np.zeros(n_pad, np.int32),
+            "opacity": np.zeros(n_pad, DEVICE_FLOAT),
+            "tile_r": np.zeros(n_pad, DEVICE_FLOAT),
+            "tile_c": np.zeros(n_pad, DEVICE_FLOAT),
+            "kind": np.zeros(n_pad, np.int32),
+            "color": np.zeros((n_pad, 4), DEVICE_FLOAT),
+            "affine": np.zeros((n_pad, 2, 3), DEVICE_FLOAT),
+            "p0": np.zeros((n_pad, 2), DEVICE_FLOAT),
+            "p1": np.zeros((n_pad, 2), DEVICE_FLOAT),
+            "center": np.zeros((n_pad, 2), DEVICE_FLOAT),
+            "fcenter": np.zeros((n_pad, 2), DEVICE_FLOAT),
+            "radius": np.zeros(n_pad, DEVICE_FLOAT),
+            "fradius": np.zeros(n_pad, DEVICE_FLOAT),
+            "spread": np.zeros(n_pad, np.int32),
+            "stop_offsets": np.ones((n_pad, MAX_STOPS), DEVICE_FLOAT),
+            "stop_colors": np.zeros((n_pad, MAX_STOPS, 4), DEVICE_FLOAT),
+        }
+        n_big = 0
+        for i, (tile_id, _z, edges, clip_edges, params, rule, opacity,
+                tr_origin, tc_origin, tex_idx) in enumerate(records):
+            if big_lines.shape[0] and edges.shape[0] > s_bucket:
+                big_lines[n_big, : edges.shape[0]] = edges
+                items["big_idx"][i] = n_big
+                n_big += 1
+            else:
+                items["lines"][i, : edges.shape[0]] = edges
+            items["tex_idx"][i] = tex_idx
+            items["clip_lines"][i, : clip_edges.shape[0]] = clip_edges
+            items["tile_id"][i] = tile_id
+            items["fill_rule"][i] = rule
+            items["opacity"][i] = opacity
+            # gradient affines expect canvas coordinates: add viewport origin
+            items["tile_r"][i] = tr_origin + self.v0
+            items["tile_c"][i] = tc_origin + self.v1
+            for key in (
+                "kind", "color", "affine", "p0", "p1", "center", "fcenter",
+                "radius", "fradius", "spread", "stop_offsets", "stop_colors",
+            ):
+                items[key][i] = params[key]
+        return items, big_lines
+
+
+def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
+    """Lower a scene to packed device arrays; None if unsupported.
+
+    viewport: (origin0, origin1, extent0, extent1) in device pixels.
+    Returns (items, big_lines, (grid_h, grid_w), hull, passes); passes is the
+    ordered list of isolation passes ((items, big_lines, out_tile_ids)) whose
+    output tiles the main items reference by tex_idx.
+    """
+    builder = _Builder(viewport, linear_rgb)
+    try:
+        records = builder.build(scene, transform)
     except _Unsupported:
         return None
-
     if not records:
         return None
-
     records.sort(key=lambda r: (r[0], r[1]))
-    n = len(records)
-
-    def bucket(count: int, minimum: int = 32) -> int:
-        size = minimum
-        while size < count:
-            size *= 2
-        return size
-
-    # pad the item count to a power-of-two number of chunks so the compiled
-    # program count stays logarithmic in scene size
-    n_pad = CHUNK_ITEMS * bucket(-(-n // CHUNK_ITEMS), minimum=1)
-
-    # two-class segment scheduling: the common case gets a fixed SMALL_SEGS
-    # budget; heavy tiles go to a separate pre-pass array so one complex path
-    # does not inflate every item's padded width
-    from .ops.batch_exec import CHUNK_BIG, SMALL_SEGS
-
-    big_edge_lists = [r[2] for r in records if r[2].shape[0] > SMALL_SEGS]
-    s_bucket = SMALL_SEGS
-    if big_edge_lists and len(big_edge_lists) >= len(records) // 2:
-        # mostly-heavy scene: a split buys nothing, widen the single bucket
-        s_bucket = bucket(max(e.shape[0] for e in big_edge_lists))
-        big_edge_lists = []
-    c_bucket = bucket(max(r[3].shape[0] for r in records))
-
-    if big_edge_lists:
-        m_pad = CHUNK_BIG * bucket(-(-len(big_edge_lists) // CHUNK_BIG), minimum=1)
-        s_big = bucket(max(e.shape[0] for e in big_edge_lists), minimum=2 * SMALL_SEGS)
-        big_lines = np.zeros((m_pad, s_big, 4), DEVICE_FLOAT)
+    items, big_lines = builder._pack(records)
+    if builder.all_points:
+        hull = ConvexHull(np.concatenate(builder.all_points, axis=0))
     else:
-        big_lines = np.zeros((0, 0, 4), DEVICE_FLOAT)
+        hull = ConvexHull(np.zeros((0, 2)))
+    return items, big_lines, (builder.grid_h, builder.grid_w), hull, builder.passes
 
-    items = {
-        "lines": np.zeros((n_pad, s_bucket, 4), DEVICE_FLOAT),
-        "big_idx": np.full(n_pad, -1, np.int32),
-        "clip_lines": np.zeros((n_pad, c_bucket, 4), DEVICE_FLOAT),
-        "tile_id": np.full(n_pad, num_tiles, np.int32),
-        "fill_rule": np.zeros(n_pad, np.int32),
-        "opacity": np.zeros(n_pad, DEVICE_FLOAT),
-        "tile_r": np.zeros(n_pad, DEVICE_FLOAT),
-        "tile_c": np.zeros(n_pad, DEVICE_FLOAT),
-        "kind": np.zeros(n_pad, np.int32),
-        "color": np.zeros((n_pad, 4), DEVICE_FLOAT),
-        "affine": np.zeros((n_pad, 2, 3), DEVICE_FLOAT),
-        "p0": np.zeros((n_pad, 2), DEVICE_FLOAT),
-        "p1": np.zeros((n_pad, 2), DEVICE_FLOAT),
-        "center": np.zeros((n_pad, 2), DEVICE_FLOAT),
-        "fcenter": np.zeros((n_pad, 2), DEVICE_FLOAT),
-        "radius": np.zeros(n_pad, DEVICE_FLOAT),
-        "fradius": np.zeros(n_pad, DEVICE_FLOAT),
-        "spread": np.zeros(n_pad, np.int32),
-        "stop_offsets": np.ones((n_pad, MAX_STOPS), DEVICE_FLOAT),
-        "stop_colors": np.zeros((n_pad, MAX_STOPS, 4), DEVICE_FLOAT),
-    }
-    n_big = 0
-    for i, (tile_id, _z, edges, clip_edges, params, rule, opacity, tr_origin, tc_origin) in enumerate(
-        records
-    ):
-        if big_lines.shape[0] and edges.shape[0] > s_bucket:
-            big_lines[n_big, : edges.shape[0]] = edges
-            items["big_idx"][i] = n_big
-            n_big += 1
-        else:
-            items["lines"][i, : edges.shape[0]] = edges
-        items["clip_lines"][i, : clip_edges.shape[0]] = clip_edges
-        items["tile_id"][i] = tile_id
-        items["fill_rule"][i] = rule
-        items["opacity"][i] = opacity
-        # gradient affines expect canvas coordinates; add the viewport origin
-        items["tile_r"][i] = tr_origin + v0
-        items["tile_c"][i] = tc_origin + v1
-        for key in (
-            "kind", "color", "affine", "p0", "p1", "center", "fcenter",
-            "radius", "fradius", "spread", "stop_offsets", "stop_colors",
-        ):
-            items[key][i] = params[key]
 
-    hull = ConvexHull(np.concatenate(all_points, axis=0))
-    return items, big_lines, (grid_h, grid_w), hull
+def execute_lowered(lowered, t_size: int = TILE):
+    """Execute a lowered plan (isolation passes, then the main stream)."""
+    import jax.numpy as jnp
+
+    items, big_lines, (grid_h, grid_w), _hull, passes = lowered
+    num_tiles = grid_h * grid_w
+    pool = None
+    for p_items, p_big, out_tiles in passes:
+        canvas = batch_exec.execute_plan(
+            {k: jnp.asarray(v) for k, v in p_items.items()},
+            t_size,
+            num_tiles,
+            jnp.asarray(p_big),
+            pool,
+        )
+        part = canvas[jnp.asarray(out_tiles)]
+        pool = part if pool is None else jnp.concatenate([pool, part], axis=0)
+    return batch_exec.execute_plan(
+        {k: jnp.asarray(v) for k, v in items.items()},
+        t_size,
+        num_tiles,
+        jnp.asarray(big_lines),
+        pool,
+    )
 
 
 def render_fast(scene, transform: Transform, viewport, linear_rgb: bool = False):
     """Whole-scene batched render; returns (Layer, hull) or None if unsupported."""
-    import jax.numpy as jnp
-
     lowered = lower_scene(scene, transform, viewport, linear_rgb)
     if lowered is None:
         return None
-    items, big_lines, (grid_h, grid_w), hull = lowered
-    device_items = {k: jnp.asarray(v) for k, v in items.items()}
-    tiles = batch_exec.execute_plan(
-        device_items, TILE, grid_h * grid_w, jnp.asarray(big_lines)
-    )
+    _items, _big, (grid_h, grid_w), hull, _passes = lowered
+    tiles = execute_lowered(lowered)
     canvas = tiles.reshape(grid_h, grid_w, TILE, TILE, 4)
     canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(grid_h * TILE, grid_w * TILE, 4)
     v0, v1, h, w = viewport
@@ -428,9 +503,8 @@ def can_lower(scene, linear_rgb: bool, in_clip: bool = False) -> bool:
     if kind == RENDER_TRANSFORM:
         return can_lower(args[0], linear_rgb, in_clip)
     if kind == RENDER_OPACITY:
-        return args[0][0] in (RENDER_FILL, RENDER_STROKE) and can_lower(
-            args[0], linear_rgb, in_clip
-        )
+        # single draws fold; groups become isolation passes — both lower
+        return can_lower(args[0], linear_rgb, in_clip)
     if kind == RENDER_CLIP:
         target, clip_scene, bbox_units = args
         if in_clip or bbox_units:

@@ -140,3 +140,52 @@ def test_z_order_across_tiles():
     )
     assert img[64, 128, 1] == pytest.approx(1.0)  # lime on top in the middle
     assert img[40, 128, 0] == pytest.approx(1.0)  # red above black
+
+
+def test_group_opacity_isolation():
+    # two overlapping opaque children under 50% group opacity: the overlap
+    # must NOT double-darken (isolation pass semantics)
+    img = _compare(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="96" height="96">
+          <g opacity="0.5">
+            <rect x="8" y="8" width="60" height="60" fill="red"/>
+            <rect x="30" y="30" width="60" height="60" fill="red"/>
+          </g>
+        </svg>
+        """
+    )
+    # overlap pixel and single-coverage pixel must have identical alpha
+    assert abs(img[40, 40, 3] - img[16, 16, 3]) < 1e-5
+    assert abs(img[40, 40, 3] - 0.5) < 1e-5
+
+
+def test_nested_group_opacity():
+    _compare(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="96" height="96">
+          <g opacity="0.6">
+            <rect x="4" y="4" width="50" height="50" fill="blue"/>
+            <g opacity="0.5">
+              <circle cx="60" cy="60" r="25" fill="red"/>
+              <circle cx="70" cy="50" r="20" fill="red"/>
+            </g>
+          </g>
+        </svg>
+        """
+    )
+
+
+def test_group_opacity_under_clip():
+    _compare(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="96" height="96">
+          <defs><clipPath id="c"><rect x="20" y="20" width="56" height="56"/></clipPath></defs>
+          <g opacity="0.5" clip-path="url(#c)">
+            <rect x="0" y="0" width="96" height="48" fill="green"/>
+            <rect x="0" y="40" width="96" height="48" fill="green"/>
+          </g>
+        </svg>
+        """,
+        atol=0.02,
+    )
