@@ -134,14 +134,20 @@ def _paint_item(item, tile_r, tile_c, t_size: int):
     return jnp.where(kind == PAINT_SOLID, solid, grad)
 
 
-def _raster_item(item, wind, t_size: int, texture=None):
+# SVG mask value = luminance x alpha; on premultiplied pixels that is just
+# the luminance weights dotted with the premultiplied rgb.
+_MASK_LUM = jnp.asarray([0.2125, 0.7154, 0.072], DEVICE_FLOAT)
+
+
+def _raster_item(item, wind, t_size: int, texture=None, mask_tex=None):
     """Finish one work item from its winding field -> premultiplied RGBA tile.
 
     Clipping is per item: the clip edge list's nonzero coverage multiplies
     the fill mask (items without a clip carry a sentinel full-coverage edge).
     Texture items (tex_idx >= 0) paint a pre-rendered isolation-pass tile
     instead of a paint server; their fill edges are the sentinel, so the
-    mask reduces to clip x opacity.
+    mask reduces to clip x opacity.  mask_tex (mask_idx >= 0) multiplies in
+    an SVG mask pass's luminance-alpha.
     """
     nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
     evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
@@ -149,6 +155,9 @@ def _raster_item(item, wind, t_size: int, texture=None):
     clip_wind = _winding(item["clip_lines"], t_size)
     mask = mask * jnp.clip(jnp.abs(clip_wind), 0.0, 1.0)
     mask = jnp.where(mask < 1e-6, 0.0, mask) * item["opacity"]
+    if mask_tex is not None:
+        value = mask_tex[..., :3] @ _MASK_LUM
+        mask = mask * jnp.where(item["mask_idx"] >= 0, value, 1.0)
     paint = _paint_item(item, item["tile_r"], item["tile_c"], t_size)
     if texture is not None:
         paint = jnp.where(item["tex_idx"] >= 0, texture, paint)
@@ -196,10 +205,12 @@ def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None, pool
             wind = jnp.where((idx >= 0)[:, None, None], gathered, wind)
         if pool is not None:
             tex_idx = chunk["tex_idx"]
+            mask_idx = chunk["mask_idx"]
             textures = pool_padded[jnp.where(tex_idx >= 0, tex_idx, pool.shape[0])]
-            rgba = jax.vmap(lambda it, w, tex: _raster_item(it, w, t_size, tex))(
-                chunk, wind, textures
-            )
+            mask_tex = pool_padded[jnp.where(mask_idx >= 0, mask_idx, pool.shape[0])]
+            rgba = jax.vmap(
+                lambda it, w, tex, mt: _raster_item(it, w, t_size, tex, mt)
+            )(chunk, wind, textures, mask_tex)
         else:
             rgba = jax.vmap(lambda it, w: _raster_item(it, w, t_size))(chunk, wind)
 

@@ -35,6 +35,7 @@ from .scene import (
     RENDER_CLIP,
     RENDER_FILL,
     RENDER_GROUP,
+    RENDER_MASK,
     RENDER_OPACITY,
     RENDER_STROKE,
     RENDER_TRANSFORM,
@@ -86,6 +87,11 @@ def _collect_draws(scene, transform: Transform, opacity: float, clip, out: list)
         if bbox_units:
             raise _Unsupported("bbox-units clip")
         _collect_draws(target, transform, opacity, (clip_scene, transform), out)
+    elif kind == RENDER_MASK:
+        target, mask_scene, bbox_units = args
+        if bbox_units:
+            raise _Unsupported("bbox-units mask")
+        out.append(("mask", target, mask_scene, transform, opacity, clip))
     else:
         raise _Unsupported(f"scene kind {kind}")
 
@@ -287,6 +293,30 @@ class _Builder:
             self.clip_tile_cache[tile_key] = edges
         return edges if edges.shape[0] else None
 
+    # -- pass emission --------------------------------------------------------
+    def _emit_pass(self, scene, transform: Transform):
+        """Lower a subtree as an isolation pass; returns {tile_id: pool_idx}."""
+        sub_records = self.build(scene, transform)
+        if not sub_records:
+            return None
+        sub_records.sort(key=lambda r: (r[0], r[1]))
+        out_tiles = sorted({r[0] for r in sub_records})
+        items, big = self._pack(sub_records)
+        base = self.pool_size
+        self.pool_size += len(out_tiles)
+        self.passes.append((items, big, np.asarray(out_tiles, np.int32)))
+        return {tile: base + rank for rank, tile in enumerate(out_tiles)}
+
+    def _texture_record(self, tile: int, z: int, opacity, clip, tex_idx: int, mask_idx: int):
+        ti, tj = divmod(tile, self.grid_w)
+        clip_edges = self._clip_tile(clip, ti, tj)
+        if clip_edges is None:
+            return None
+        return (
+            tile, z, _FULL_COVER, clip_edges, self._blank_params, 0,
+            opacity, ti * TILE, tj * TILE, tex_idx, mask_idx,
+        )
+
     # -- lowering -----------------------------------------------------------
     def build(self, scene, transform: Transform) -> list:
         """Subtree -> record list (z-sorted later); may append nested passes."""
@@ -297,24 +327,29 @@ class _Builder:
         for z, entry in enumerate(draws):
             if entry[0] == "pass":
                 _tag, target, tr, opacity, clip = entry
-                sub_records = self.build(target, tr)
-                if not sub_records:
+                pool_of_tile = self._emit_pass(target, tr)
+                if pool_of_tile is None:
                     continue
-                sub_records.sort(key=lambda r: (r[0], r[1]))
-                out_tiles = sorted({r[0] for r in sub_records})
-                items, big = self._pack(sub_records)
-                base = self.pool_size
-                self.pool_size += len(out_tiles)
-                self.passes.append((items, big, np.asarray(out_tiles, np.int32)))
-                for rank, tile in enumerate(out_tiles):
-                    ti, tj = divmod(tile, self.grid_w)
-                    clip_edges = self._clip_tile(clip, ti, tj)
-                    if clip_edges is None:
-                        continue
-                    records.append(
-                        (tile, z, _FULL_COVER, clip_edges, self._blank_params, 0,
-                         opacity, ti * TILE, tj * TILE, base + rank)
+                for tile, pool_idx in pool_of_tile.items():
+                    record = self._texture_record(tile, z, opacity, clip, pool_idx, -1)
+                    if record is not None:
+                        records.append(record)
+                continue
+
+            if entry[0] == "mask":
+                _tag, target, mask_scene, tr, opacity, clip = entry
+                target_tiles = self._emit_pass(target, tr)
+                if target_tiles is None:
+                    continue
+                mask_tiles = self._emit_pass(mask_scene, tr)
+                if mask_tiles is None:
+                    continue  # empty mask hides the target entirely
+                for tile in sorted(set(target_tiles) & set(mask_tiles)):
+                    record = self._texture_record(
+                        tile, z, opacity, clip, target_tiles[tile], mask_tiles[tile]
                     )
+                    if record is not None:
+                        records.append(record)
                 continue
 
             _tag, path, tr, paint, fill_rule, opacity, clip = entry
@@ -336,7 +371,7 @@ class _Builder:
                     continue  # tile entirely outside the clip region
                 records.append(
                     (ti * self.grid_w + tj, z, edges, clip_edges, params, rule,
-                     opacity, ti * TILE, tj * TILE, -1)
+                     opacity, ti * TILE, tj * TILE, -1, -1)
                 )
         return records
 
@@ -369,6 +404,7 @@ class _Builder:
             "lines": np.zeros((n_pad, s_bucket, 4), DEVICE_FLOAT),
             "big_idx": np.full(n_pad, -1, np.int32),
             "tex_idx": np.full(n_pad, -1, np.int32),
+            "mask_idx": np.full(n_pad, -1, np.int32),
             "clip_lines": np.zeros((n_pad, c_bucket, 4), DEVICE_FLOAT),
             "tile_id": np.full(n_pad, self.num_tiles, np.int32),
             "fill_rule": np.zeros(n_pad, np.int32),
@@ -390,7 +426,7 @@ class _Builder:
         }
         n_big = 0
         for i, (tile_id, _z, edges, clip_edges, params, rule, opacity,
-                tr_origin, tc_origin, tex_idx) in enumerate(records):
+                tr_origin, tc_origin, tex_idx, mask_idx) in enumerate(records):
             if big_lines.shape[0] and edges.shape[0] > s_bucket:
                 big_lines[n_big, : edges.shape[0]] = edges
                 items["big_idx"][i] = n_big
@@ -398,6 +434,7 @@ class _Builder:
             else:
                 items["lines"][i, : edges.shape[0]] = edges
             items["tex_idx"][i] = tex_idx
+            items["mask_idx"][i] = mask_idx
             items["clip_lines"][i, : clip_edges.shape[0]] = clip_edges
             items["tile_id"][i] = tile_id
             items["fill_rule"][i] = rule
@@ -510,6 +547,13 @@ def can_lower(scene, linear_rgb: bool, in_clip: bool = False) -> bool:
         if in_clip or bbox_units:
             return False
         return _clip_scene_ok(clip_scene) and can_lower(target, linear_rgb, True)
+    if kind == RENDER_MASK:
+        target, mask_scene, bbox_units = args
+        if bbox_units:
+            return False
+        return can_lower(target, linear_rgb, in_clip) and can_lower(
+            mask_scene, linear_rgb, in_clip
+        )
     return False
 
 

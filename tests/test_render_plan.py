@@ -189,3 +189,40 @@ def test_group_opacity_under_clip():
         """,
         atol=0.02,
     )
+
+
+def test_mask_matches_interpreter():
+    _compare(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="128" height="96">
+          <defs>
+            <mask id="m">
+              <rect x="0" y="0" width="128" height="96" fill="white"/>
+              <circle cx="64" cy="48" r="30" fill="black"/>
+            </mask>
+            <mask id="grad_m">
+              <linearGradient id="mg"><stop offset="0" stop-color="white"/>
+              <stop offset="1" stop-color="black"/></linearGradient>
+              <rect x="0" y="0" width="128" height="96" fill="url(#mg)"/>
+            </mask>
+          </defs>
+          <rect x="8" y="8" width="112" height="80" fill="tomato" mask="url(#m)"/>
+          <circle cx="64" cy="48" r="20" fill="navy" mask="url(#grad_m)"/>
+        </svg>
+        """,
+        atol=0.02,
+    )
+
+
+def test_mask_hides_outside_region():
+    img = _compare(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="96" height="96">
+          <defs><mask id="m"><rect x="0" y="0" width="48" height="96" fill="white"/></mask></defs>
+          <rect x="0" y="0" width="96" height="96" fill="lime" mask="url(#m)"/>
+        </svg>
+        """,
+        atol=0.02,
+    )
+    assert img[48, 24, 3] > 0.99   # inside the mask
+    assert img[48, 72, 3] < 1e-6   # outside the mask: fully hidden
