@@ -118,6 +118,9 @@ class Layer:
         layer = self.convert(pre_alpha=False, linear_rgb=True)
         kh, kw = kernel.shape
         image = blur.convolve_full(layer.image, jnp.asarray(kernel, DEVICE_FLOAT))
+        # the reference truncates x - k/2 toward zero, which shifts the blur
+        # by one pixel whenever x > k/2; reproduced bit-for-bit (callers feed
+        # bbox-tight layers so the same x reaches this formula)
         offset = (int(layer.x - kh / 2), int(layer.y - kw / 2))
         return Layer(image, offset, False, True)
 

@@ -47,7 +47,7 @@ PAINT_SOLID = 0
 PAINT_LINEAR = 1
 PAINT_RADIAL = 2
 
-MAX_STOPS = 8  # gradient stops padded to this many
+MAX_STOPS = 16  # gradient stops padded to this many
 CHUNK_ITEMS = 128  # work items rasterized per scan step
 SMALL_SEGS = 64  # per-item segment budget in the main pass
 CHUNK_BIG = 32  # heavy items rasterized per pre-pass scan step
@@ -171,9 +171,10 @@ def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None, pool
     by items["tex_idx"].
     """
     n = items["tile_id"].shape[0]
-    num_chunks = n // CHUNK_ITEMS
+    chunk_items = min(n, CHUNK_ITEMS)  # small passes stay small
+    num_chunks = n // chunk_items
     chunked = jax.tree_util.tree_map(
-        lambda a: a.reshape(num_chunks, CHUNK_ITEMS, *a.shape[1:]), items
+        lambda a: a.reshape(num_chunks, chunk_items, *a.shape[1:]), items
     )
 
     if big_lines is not None and big_lines.shape[0] > 0:

@@ -98,7 +98,7 @@ def render_atlas(
     if mesh is None:
         from ..render_plan import execute_lowered
 
-        tiles = execute_lowered(lowered)
+        tiles = execute_lowered(lowered, viewport[:2], linear_rgb)
     else:
         from .scene import partition_plan, sharded_render_plan
 

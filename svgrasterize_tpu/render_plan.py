@@ -34,6 +34,7 @@ from .paint import GradLinear, GradRadial, stops_to_arrays
 from .scene import (
     RENDER_CLIP,
     RENDER_FILL,
+    RENDER_FILTER,
     RENDER_GROUP,
     RENDER_MASK,
     RENDER_OPACITY,
@@ -82,16 +83,22 @@ def _collect_draws(scene, transform: Transform, opacity: float, clip, out: list)
             out.append(("pass", target, transform, opacity * value, clip))
     elif kind == RENDER_CLIP:
         target, clip_scene, bbox_units = args
-        if clip is not None:
-            raise _Unsupported("nested clip")
         if bbox_units:
             raise _Unsupported("bbox-units clip")
-        _collect_draws(target, transform, opacity, (clip_scene, transform), out)
+        if clip is not None:
+            # nested clip: isolate the inner clip chain as a pass; the outer
+            # clip multiplies its texture items (alpha products commute)
+            out.append(("pass", scene, transform, opacity, clip))
+        else:
+            _collect_draws(target, transform, opacity, (clip_scene, transform), out)
     elif kind == RENDER_MASK:
         target, mask_scene, bbox_units = args
         if bbox_units:
             raise _Unsupported("bbox-units mask")
         out.append(("mask", target, mask_scene, transform, opacity, clip))
+    elif kind == RENDER_FILTER:
+        target, flt = args
+        out.append(("filter", target, flt, transform, opacity, clip))
     else:
         raise _Unsupported(f"scene kind {kind}")
 
@@ -242,6 +249,32 @@ def _bin_draw(lines: np.ndarray, grid_h: int, grid_w: int):
 _FULL_COVER = np.array([[0.0, -1.0, float(TILE), -1.0]], dtype=DEVICE_FLOAT)
 
 
+def _filter_margin(flt, transform: Transform) -> tuple[int, int]:
+    """Conservative device-pixel growth of a filter chain in (rows, cols)."""
+    from .filter import FE_GAUSSIAN_BLUR, FE_MORPHOLOGY, FE_OFFSET
+    from .ops import blur as blur_ops
+
+    mr = mc = 0.0
+    for kind, attrs, _inputs in flt.filters:
+        if kind == FE_GAUSSIAN_BLUR:
+            std_x, std_y = attrs
+            kernel = blur_ops.gaussian_kernel(transform, (std_x, std_x if std_y is None else std_y))
+            if kernel is not None:
+                mr += kernel.shape[0]
+                mc += kernel.shape[1]
+        elif kind == FE_OFFSET:
+            dx, dy = attrs
+            moved = transform.apply_vectors(np.array([[dx, dy]]))[0]
+            mr += abs(moved[0])
+            mc += abs(moved[1])
+        elif kind == FE_MORPHOLOGY:
+            rx, ry, _method = attrs
+            unit = transform.apply_vectors(np.array([[rx, 0.0], [0.0, ry]]))
+            mr += 2 * float(np.linalg.norm(unit[0]))
+            mc += 2 * float(np.linalg.norm(unit[1]))
+    return int(np.ceil(mr)), int(np.ceil(mc))
+
+
 def _bucket(count: int, minimum: int = 32) -> int:
     size = minimum
     while size < count:
@@ -294,18 +327,56 @@ class _Builder:
         return edges if edges.shape[0] else None
 
     # -- pass emission --------------------------------------------------------
+    def _finish_pass(self, sub_records: list, out_tiles=None, post=None):
+        """Pack sorted records as a pass; returns {tile_id: pool_idx}."""
+        sub_records.sort(key=lambda r: (r[0], r[1]))
+        src_tiles = sorted({r[0] for r in sub_records})
+        if out_tiles is None:
+            out_tiles = src_tiles
+        items, big = self._pack(sub_records)
+        base = self.pool_size
+        self.pool_size += len(out_tiles)
+        self.passes.append((items, big, np.asarray(out_tiles, np.int32), post))
+        return {tile: base + rank for rank, tile in enumerate(out_tiles)}
+
     def _emit_pass(self, scene, transform: Transform):
         """Lower a subtree as an isolation pass; returns {tile_id: pool_idx}."""
         sub_records = self.build(scene, transform)
         if not sub_records:
             return None
-        sub_records.sort(key=lambda r: (r[0], r[1]))
-        out_tiles = sorted({r[0] for r in sub_records})
-        items, big = self._pack(sub_records)
-        base = self.pool_size
-        self.pool_size += len(out_tiles)
-        self.passes.append((items, big, np.asarray(out_tiles, np.int32)))
-        return {tile: base + rank for rank, tile in enumerate(out_tiles)}
+        return self._finish_pass(sub_records)
+
+    def _emit_filter_pass(self, target, flt, transform: Transform):
+        """Lower filter(target): the pass output is the filtered, grown region."""
+        points_start = len(self.all_points)
+        sub_records = self.build(target, transform)
+        if not sub_records:
+            return None
+        # bbox-tight source region (the reference filters bbox-tight layers;
+        # its blur placement truncation is offset-dependent, so the same
+        # origin must reach the convolution)
+        pts = np.concatenate(self.all_points[points_start:], axis=0)
+        content_bbox = (
+            int(np.floor(pts[:, 0].min())) - 1,
+            int(np.floor(pts[:, 1].min())) - 1,
+            int(np.ceil(pts[:, 0].max())) + 1,
+            int(np.ceil(pts[:, 1].max())) + 1,
+        )
+        src_tiles = sorted({r[0] for r in sub_records})
+        mr, mc = _filter_margin(flt, transform)
+        rows = [t // self.grid_w for t in src_tiles]
+        cols = [t % self.grid_w for t in src_tiles]
+        ti0 = max(min(rows) - -(-mr // TILE), 0)
+        ti1 = min(max(rows) + -(-mr // TILE), self.grid_h - 1)
+        tj0 = max(min(cols) - -(-mc // TILE), 0)
+        tj1 = min(max(cols) + -(-mc // TILE), self.grid_w - 1)
+        dst_tiles = [
+            ti * self.grid_w + tj
+            for ti in range(ti0, ti1 + 1)
+            for tj in range(tj0, tj1 + 1)
+        ]
+        post = (flt, transform, content_bbox)
+        return self._finish_pass(sub_records, out_tiles=dst_tiles, post=post)
 
     def _texture_record(self, tile: int, z: int, opacity, clip, tex_idx: int, mask_idx: int):
         ti, tj = divmod(tile, self.grid_w)
@@ -352,6 +423,17 @@ class _Builder:
                         records.append(record)
                 continue
 
+            if entry[0] == "filter":
+                _tag, target, flt, tr, opacity, clip = entry
+                pool_of_tile = self._emit_filter_pass(target, flt, tr)
+                if pool_of_tile is None:
+                    continue
+                for tile, pool_idx in pool_of_tile.items():
+                    record = self._texture_record(tile, z, opacity, clip, pool_idx, -1)
+                    if record is not None:
+                        records.append(record)
+                continue
+
             _tag, path, tr, paint, fill_rule, opacity, clip = entry
             if paint is None:
                 continue
@@ -381,7 +463,12 @@ class _Builder:
         from .ops.batch_exec import CHUNK_BIG, SMALL_SEGS
 
         n = len(records)
-        n_pad = CHUNK_ITEMS * _bucket(-(-n // CHUNK_ITEMS), minimum=1)
+        # small passes pad to a small power of two; large ones to a power-of-
+        # two count of full chunks
+        if n <= CHUNK_ITEMS:
+            n_pad = _bucket(n, minimum=16)
+        else:
+            n_pad = CHUNK_ITEMS * _bucket(-(-n // CHUNK_ITEMS), minimum=1)
 
         # two-class segment scheduling: the common case gets a fixed
         # SMALL_SEGS budget; heavy tiles go to a pre-pass array so one
@@ -474,23 +561,98 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
     return items, big_lines, (builder.grid_h, builder.grid_w), hull, builder.passes
 
 
-def execute_lowered(lowered, t_size: int = TILE):
-    """Execute a lowered plan (isolation passes, then the main stream)."""
+def _tiles_to_image(canvas, grid_h: int, grid_w: int, t_size: int):
+    img = canvas.reshape(grid_h, grid_w, t_size, t_size, 4)
+    return img.transpose(0, 2, 1, 3, 4).reshape(grid_h * t_size, grid_w * t_size, 4)
+
+
+def _apply_pass_filter(canvas, post, out_tiles, grid, viewport, linear_rgb, t_size):
+    """Host-coordinated filter between passes: assemble the source region,
+    run the filter chain (device ops), re-tile the grown result."""
+    import jax.numpy as jnp
+
+    from .core.layer import Layer, merge_at
+
+    flt, transform, content_bbox = post
+    grid_h, grid_w = grid
+    v0, v1 = int(viewport[0]), int(viewport[1])
+
+    # bbox-tight source crop: the filter sees the same layer origin the
+    # reference's interpreter would, so truncation-sensitive placement
+    # (blur offsets) matches bit-for-bit
+    r0 = max(content_bbox[0] - v0, 0)
+    c0 = max(content_bbox[1] - v1, 0)
+    r1 = min(content_bbox[2] - v0, grid_h * t_size)
+    c1 = min(content_bbox[3] - v1, grid_w * t_size)
+    image = _tiles_to_image(canvas, grid_h, grid_w, t_size)
+    crop = image[r0:r1, c0:c1]
+    layer = Layer(crop, (v0 + r0, v1 + c0), pre_alpha=True, linear_rgb=linear_rgb)
+    filtered = flt(transform, layer).convert(pre_alpha=True, linear_rgb=linear_rgb)
+
+    d_rows = [int(t) // grid_w for t in out_tiles]
+    d_cols = [int(t) % grid_w for t in out_tiles]
+    di0, dj0 = min(d_rows), min(d_cols)
+    dst = jnp.zeros(
+        ((max(d_rows) - di0 + 1) * t_size, (max(d_cols) - dj0 + 1) * t_size, 4),
+        DEVICE_FLOAT,
+    )
+    dst = merge_at(dst, filtered.image, (filtered.x - v0 - di0 * t_size, filtered.y - v1 - dj0 * t_size))
+    nti = dst.shape[0] // t_size
+    ntj = dst.shape[1] // t_size
+    tiles = dst.reshape(nti, t_size, ntj, t_size, 4).transpose(0, 2, 1, 3, 4)
+    tiles = tiles.reshape(nti * ntj, t_size, t_size, 4)
+    local = [(r - di0) * ntj + (c - dj0) for r, c in zip(d_rows, d_cols)]
+    return tiles[jnp.asarray(local, jnp.int32)]
+
+
+def execute_lowered(lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: int = TILE):
+    """Execute a lowered plan: isolation passes (with any post-op filters) in
+    order, then the main stream referencing their pooled output tiles."""
     import jax.numpy as jnp
 
     items, big_lines, (grid_h, grid_w), _hull, passes = lowered
     num_tiles = grid_h * grid_w
+
+    # the pool is kept at power-of-two capacity so its shape (part of every
+    # downstream program's signature) changes only logarithmically often
     pool = None
-    for p_items, p_big, out_tiles in passes:
+    pool_rows = 0
+
+    def append_to_pool(part):
+        nonlocal pool, pool_rows
+        needed = pool_rows + part.shape[0]
+        capacity = 0 if pool is None else pool.shape[0]
+        if needed > capacity:
+            new_cap = max(16, capacity or 16)
+            while new_cap < needed:
+                new_cap *= 2
+            grown = jnp.zeros((new_cap, t_size, t_size, 4), DEVICE_FLOAT)
+            if pool is not None:
+                grown = grown.at[:pool_rows].set(pool[:pool_rows])
+            pool = grown
+        pool = jax.lax.dynamic_update_slice(pool, part, (pool_rows, 0, 0, 0))
+        pool_rows = needed
+
+    import jax
+
+    for p_items, p_big, out_tiles, post in passes:
+        # most passes reference no textures; omitting the pool keeps their
+        # compiled signature independent of pool capacity
+        needs_pool = bool((p_items["tex_idx"] >= 0).any() or (p_items["mask_idx"] >= 0).any())
         canvas = batch_exec.execute_plan(
             {k: jnp.asarray(v) for k, v in p_items.items()},
             t_size,
             num_tiles,
             jnp.asarray(p_big),
-            pool,
+            pool if needs_pool else None,
         )
-        part = canvas[jnp.asarray(out_tiles)]
-        pool = part if pool is None else jnp.concatenate([pool, part], axis=0)
+        if post is None:
+            part = canvas[jnp.asarray(out_tiles)]
+        else:
+            part = _apply_pass_filter(
+                canvas, post, out_tiles, (grid_h, grid_w), viewport, linear_rgb, t_size
+            )
+        append_to_pool(part)
     return batch_exec.execute_plan(
         {k: jnp.asarray(v) for k, v in items.items()},
         t_size,
@@ -506,7 +668,7 @@ def render_fast(scene, transform: Transform, viewport, linear_rgb: bool = False)
     if lowered is None:
         return None
     _items, _big, (grid_h, grid_w), hull, _passes = lowered
-    tiles = execute_lowered(lowered)
+    tiles = execute_lowered(lowered, viewport[:2], linear_rgb)
     canvas = tiles.reshape(grid_h, grid_w, TILE, TILE, 4)
     canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(grid_h * TILE, grid_w * TILE, 4)
     v0, v1, h, w = viewport
@@ -544,8 +706,9 @@ def can_lower(scene, linear_rgb: bool, in_clip: bool = False) -> bool:
         return can_lower(args[0], linear_rgb, in_clip)
     if kind == RENDER_CLIP:
         target, clip_scene, bbox_units = args
-        if in_clip or bbox_units:
+        if bbox_units:
             return False
+        # nested clips isolate as passes, so in_clip does not block
         return _clip_scene_ok(clip_scene) and can_lower(target, linear_rgb, True)
     if kind == RENDER_MASK:
         target, mask_scene, bbox_units = args
@@ -554,6 +717,8 @@ def can_lower(scene, linear_rgb: bool, in_clip: bool = False) -> bool:
         return can_lower(target, linear_rgb, in_clip) and can_lower(
             mask_scene, linear_rgb, in_clip
         )
+    if kind == RENDER_FILTER:
+        return can_lower(args[0], linear_rgb, in_clip)
     return False
 
 

@@ -117,9 +117,11 @@ def test_unsupported_scene_returns_none():
     doc = """
     <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
       <defs>
-        <filter id="f"><feGaussianBlur stdDeviation="2"/></filter>
+        <pattern id="p" width="8" height="8">
+          <rect width="4" height="4" fill="red"/>
+        </pattern>
       </defs>
-      <rect x="8" y="8" width="48" height="48" fill="red" filter="url(#f)"/>
+      <rect x="8" y="8" width="48" height="48" fill="url(#p)"/>
     </svg>
     """
     scene, _ids, size = scene_from_str(doc)
@@ -226,3 +228,38 @@ def test_mask_hides_outside_region():
     )
     assert img[48, 24, 3] > 0.99   # inside the mask
     assert img[48, 72, 3] < 1e-6   # outside the mask: fully hidden
+
+
+def test_filter_blur_matches_interpreter():
+    _compare(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="160" height="120">
+          <defs>
+            <filter id="b"><feGaussianBlur stdDeviation="3"/></filter>
+            <filter id="o"><feOffset dx="6" dy="4"/></filter>
+          </defs>
+          <rect x="30" y="30" width="60" height="40" fill="#2266aa" filter="url(#b)"/>
+          <circle cx="120" cy="60" r="22" fill="tomato" filter="url(#o)"/>
+        </svg>
+        """,
+        atol=0.02,
+    )
+
+
+def test_filter_drop_shadow_composite():
+    # merge of a blurred alpha shadow under the source: a classic chain
+    _compare(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="128" height="128">
+          <defs>
+            <filter id="ds">
+              <feGaussianBlur in="SourceAlpha" stdDeviation="2" result="blur"/>
+              <feOffset in="blur" dx="4" dy="4" result="shadow"/>
+              <feMerge><feMergeNode in="shadow"/><feMergeNode in="SourceGraphic"/></feMerge>
+            </filter>
+          </defs>
+          <rect x="24" y="24" width="64" height="64" fill="gold" filter="url(#ds)"/>
+        </svg>
+        """,
+        atol=0.02,
+    )
