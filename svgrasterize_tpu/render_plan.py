@@ -144,6 +144,7 @@ def _paint_params(paint, hull: ConvexHull, transform: Transform, linear_rgb: boo
     """Resolve a paint to the per-item param dict fields (numpy scalars/arrays)."""
     zeros2 = np.zeros(2, DEVICE_FLOAT)
     base = {
+        "_n_stops": 1,  # real stop count (host-only; packing trims the tables)
         "kind": PAINT_SOLID,
         "color": np.zeros(4, DEVICE_FLOAT),
         "affine": np.zeros((2, 3), DEVICE_FLOAT),
@@ -185,6 +186,7 @@ def _paint_params(paint, hull: ConvexHull, transform: Transform, linear_rgb: boo
         stop_colors[:k] = colors
         base["stop_offsets"] = stop_offsets
         base["stop_colors"] = stop_colors.astype(DEVICE_FLOAT)
+        base["_n_stops"] = k
         if isinstance(paint, GradLinear):
             base["kind"] = PAINT_LINEAR
             base["p0"] = np.asarray(paint.p0, DEVICE_FLOAT)
@@ -479,6 +481,10 @@ class _Builder:
             s_bucket = _bucket(max(e.shape[0] for e in big_edge_lists))
             big_edge_lists = []
         c_bucket = _bucket(max(r[3].shape[0] for r in records))
+        # stop tables shrink to the scene's real maximum (paint evaluation
+        # cost is linear in the table width)
+        k_bucket = _bucket(max(r[4]["_n_stops"] for r in records), minimum=4)
+        k_bucket = min(k_bucket, MAX_STOPS)
 
         if big_edge_lists:
             m_pad = CHUNK_BIG * _bucket(-(-len(big_edge_lists) // CHUNK_BIG), minimum=1)
@@ -508,8 +514,8 @@ class _Builder:
             "radius": np.zeros(n_pad, DEVICE_FLOAT),
             "fradius": np.zeros(n_pad, DEVICE_FLOAT),
             "spread": np.zeros(n_pad, np.int32),
-            "stop_offsets": np.ones((n_pad, MAX_STOPS), DEVICE_FLOAT),
-            "stop_colors": np.zeros((n_pad, MAX_STOPS, 4), DEVICE_FLOAT),
+            "stop_offsets": np.ones((n_pad, k_bucket), DEVICE_FLOAT),
+            "stop_colors": np.zeros((n_pad, k_bucket, 4), DEVICE_FLOAT),
         }
         n_big = 0
         for i, (tile_id, _z, edges, clip_edges, params, rule, opacity,
@@ -531,9 +537,11 @@ class _Builder:
             items["tile_c"][i] = tc_origin + self.v1
             for key in (
                 "kind", "color", "affine", "p0", "p1", "center", "fcenter",
-                "radius", "fradius", "spread", "stop_offsets", "stop_colors",
+                "radius", "fradius", "spread",
             ):
                 items[key][i] = params[key]
+            items["stop_offsets"][i] = params["stop_offsets"][:k_bucket]
+            items["stop_colors"][i] = params["stop_colors"][:k_bucket]
         return items, big_lines
 
 
