@@ -142,17 +142,21 @@ _MASK_LUM = jnp.asarray([0.2125, 0.7154, 0.072], DEVICE_FLOAT)
 def _raster_item(item, wind, t_size: int, texture=None, mask_tex=None):
     """Finish one work item from its winding field -> premultiplied RGBA tile.
 
-    Clipping is per item: the clip edge list's nonzero coverage multiplies
-    the fill mask (items without a clip carry a sentinel full-coverage edge).
+    item["carry"] / item["clip_carry"] are per-row winding offsets carried
+    into the tile by edges entirely to its left (host-precomputed exact
+    row-clipped contributions); adding them to the winding field is
+    equivalent to rasterizing those edges but costs O(T) instead of
+    O(edges * T * T).  Unclipped items carry clip_carry == 1 (full cover).
     Texture items (tex_idx >= 0) paint a pre-rendered isolation-pass tile
-    instead of a paint server; their fill edges are the sentinel, so the
-    mask reduces to clip x opacity.  mask_tex (mask_idx >= 0) multiplies in
-    an SVG mask pass's luminance-alpha.
+    instead of a paint server; their fill carry is 1, so the mask reduces
+    to clip x opacity.  mask_tex (mask_idx >= 0) multiplies in an SVG mask
+    pass's luminance-alpha.
     """
+    wind = wind + item["carry"][:, None]
     nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
     evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
     mask = jnp.where(item["fill_rule"] == 0, nonzero, evenodd)
-    clip_wind = _winding(item["clip_lines"], t_size)
+    clip_wind = _winding(item["clip_lines"], t_size) + item["clip_carry"][:, None]
     mask = mask * jnp.clip(jnp.abs(clip_wind), 0.0, 1.0)
     mask = jnp.where(mask < 1e-6, 0.0, mask) * item["opacity"]
     if mask_tex is not None:

@@ -203,25 +203,49 @@ def _paint_params(paint, hull: ConvexHull, transform: Transform, linear_rgb: boo
     raise _Unsupported(f"paint {type(paint).__name__}")
 
 
-def _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti: int, tj: int) -> np.ndarray:
+_ROWS = np.arange(TILE, dtype=np.float64)
+_NO_EDGES = np.zeros((0, 4), dtype=DEVICE_FLOAT)
+_ZERO_CARRY = np.zeros(TILE, dtype=DEVICE_FLOAT)
+_ONES_CARRY = np.ones(TILE, dtype=DEVICE_FLOAT)
+
+
+def _row_carry(sel: np.ndarray, ti: int) -> np.ndarray:
+    """Per-row winding carried into a tile by edges entirely to its left.
+
+    For an edge left of every pixel of the tile, the coverage kernel's
+    closed form reduces to sign(dy) * row-overlap — the clamped mean is 1 —
+    so the whole contribution is this exact (TILE,) vector, added to the
+    winding field after rasterization instead of rasterizing clamped edges.
+    """
+    a0 = sel[:, 0] - ti * TILE
+    b0 = sel[:, 2] - ti * TILE
+    lo = np.minimum(a0, b0)[:, None]
+    hi = np.maximum(a0, b0)[:, None]
+    sign = np.sign(b0 - a0)[:, None]
+    dy = np.clip(np.minimum(hi, _ROWS + 1.0) - np.maximum(lo, _ROWS), 0.0, None)
+    return (sign * dy).sum(axis=0).astype(DEVICE_FLOAT)
+
+
+def _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti: int, tj: int):
     """Edges of `lines` relevant to tile (ti, tj), in tile-local coords.
 
-    Edges entirely left of the tile are clamped to x = -1 (full row-clipped
-    winding contribution); edges with no row overlap or entirely right of the
-    tile are dropped.  Returns (K, 4), possibly empty.
+    Edges entirely left of the tile become a per-row winding carry vector
+    (exact row-clipped contribution, see _row_carry); edges with no row
+    overlap or entirely right of the tile are dropped.  Returns
+    (edges (K, 4), carry (TILE,)), both possibly all-empty/zero.
     """
     row_sel = (r_hi > ti * TILE) & (r_lo < (ti + 1) * TILE) & (c_lo < (tj + 1) * TILE)
     if not row_sel.any():
-        return np.zeros((0, 4), dtype=lines.dtype)
-    edges = lines[row_sel].copy()
-    fully_left = c_hi[row_sel] <= tj * TILE
+        return _NO_EDGES, _ZERO_CARRY
+    fully_left = row_sel & (c_hi <= tj * TILE)
+    keep = row_sel & ~fully_left
+    edges = lines[keep].copy()
     edges[:, 0] -= ti * TILE
     edges[:, 2] -= ti * TILE
     edges[:, 1] -= tj * TILE
     edges[:, 3] -= tj * TILE
-    edges[fully_left, 1] = -1.0
-    edges[fully_left, 3] = -1.0
-    return edges
+    carry = _row_carry(lines[fully_left], ti) if fully_left.any() else _ZERO_CARRY
+    return edges, carry
 
 
 def _edge_extents(lines):
@@ -233,7 +257,7 @@ def _edge_extents(lines):
 
 
 def _bin_draw(lines: np.ndarray, grid_h: int, grid_w: int):
-    """Bin a draw's edges (K, 4) into tiles; yields (tile_row, tile_col, edges)."""
+    """Bin a draw's edges (K, 4) into tiles; yields (ti, tj, edges, carry)."""
     r_lo, r_hi, c_lo, c_hi = _edge_extents(lines)
     tr0 = max(int(np.floor(r_lo.min() / TILE)), 0)
     tr1 = min(int(np.floor((r_hi.max() - 1e-9) / TILE)) + 1, grid_h)
@@ -242,13 +266,9 @@ def _bin_draw(lines: np.ndarray, grid_h: int, grid_w: int):
 
     for ti in range(tr0, tr1):
         for tj in range(tc0, tc1):
-            edges = _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti, tj)
-            if edges.shape[0]:
-                yield ti, tj, edges
-
-
-# no-clip sentinel: one left-clamped edge spanning every row = coverage 1
-_FULL_COVER = np.array([[0.0, -1.0, float(TILE), -1.0]], dtype=DEVICE_FLOAT)
+            edges, carry = _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti, tj)
+            if edges.shape[0] or carry.any():
+                yield ti, tj, edges, carry
 
 
 def _filter_margin(flt, transform: Transform) -> tuple[int, int]:
@@ -284,6 +304,20 @@ def _bucket(count: int, minimum: int = 32) -> int:
     return size
 
 
+class _Pass:
+    """One isolation pass: raw records + where its output lands in the pool."""
+
+    __slots__ = ("records", "src_tiles", "out_tiles", "post", "pool_base", "refs")
+
+    def __init__(self, records, src_tiles, out_tiles, post, pool_base, refs):
+        self.records = records
+        self.src_tiles = src_tiles
+        self.out_tiles = out_tiles
+        self.post = post
+        self.pool_base = pool_base
+        self.refs = refs
+
+
 class _Builder:
     """Lowers a scene into one or more packed passes over a shared tile grid.
 
@@ -303,7 +337,7 @@ class _Builder:
         self.linear_rgb = linear_rgb
         self.clip_flat_cache: dict = {}
         self.clip_tile_cache: dict = {}
-        self.passes: list = []  # [(items, big_lines, out_tile_ids)]
+        self.passes: list = []  # [_Pass] in emission order; merged by _plan_groups
         self.pool_size = 0
         self.all_points: list = []
         self._blank_params = _paint_params(
@@ -312,33 +346,48 @@ class _Builder:
 
     # -- clip helpers -------------------------------------------------------
     def _clip_tile(self, clip, ti: int, tj: int):
-        """Tile-local clip edges for tile (ti, tj); None = no clip (sentinel)."""
+        """Tile-local clip (edges, carry) for tile (ti, tj).
+
+        Returns (_NO_EDGES, _ONES_CARRY) when unclipped, None when the tile
+        lies entirely outside the clip region.
+        """
         if clip is None:
-            return _FULL_COVER
+            return _NO_EDGES, _ONES_CARRY
         clip_scene, clip_tr = clip
         clip_key = (id(clip_scene), id(clip_tr))
         if clip_key not in self.clip_flat_cache:
             clip_lines = _clip_edges(clip_scene, clip_tr, {}) - self.shift
             self.clip_flat_cache[clip_key] = (clip_lines, _edge_extents(clip_lines))
         tile_key = (clip_key, ti, tj)
-        edges = self.clip_tile_cache.get(tile_key)
-        if edges is None:
+        cached = self.clip_tile_cache.get(tile_key)
+        if cached is None:
             clip_lines, extents = self.clip_flat_cache[clip_key]
-            edges = _tile_local_edges(clip_lines, *extents, ti, tj)
-            self.clip_tile_cache[tile_key] = edges
-        return edges if edges.shape[0] else None
+            cached = _tile_local_edges(clip_lines, *extents, ti, tj)
+            self.clip_tile_cache[tile_key] = cached
+        edges, carry = cached
+        if edges.shape[0] == 0 and not carry.any():
+            return None
+        return edges, carry
 
     # -- pass emission --------------------------------------------------------
     def _finish_pass(self, sub_records: list, out_tiles=None, post=None):
-        """Pack sorted records as a pass; returns {tile_id: pool_idx}."""
+        """Record sorted records as a pass; returns {tile_id: pool_idx}.
+
+        Packing is deferred to _plan_groups so that independent passes merge
+        into one device program (icons.svg: 127 passes -> a handful of
+        programs instead of 128 dispatches with distinct compiled shapes).
+        """
         sub_records.sort(key=lambda r: (r[0], r[1]))
         src_tiles = sorted({r[0] for r in sub_records})
         if out_tiles is None:
             out_tiles = src_tiles
-        items, big = self._pack(sub_records)
         base = self.pool_size
         self.pool_size += len(out_tiles)
-        self.passes.append((items, big, np.asarray(out_tiles, np.int32), post))
+        refs = sorted(
+            {r[11] for r in sub_records if r[11] >= 0}
+            | {r[12] for r in sub_records if r[12] >= 0}
+        )
+        self.passes.append(_Pass(sub_records, src_tiles, list(out_tiles), post, base, refs))
         return {tile: base + rank for rank, tile in enumerate(out_tiles)}
 
     def _emit_pass(self, scene, transform: Transform):
@@ -382,12 +431,13 @@ class _Builder:
 
     def _texture_record(self, tile: int, z: int, opacity, clip, tex_idx: int, mask_idx: int):
         ti, tj = divmod(tile, self.grid_w)
-        clip_edges = self._clip_tile(clip, ti, tj)
-        if clip_edges is None:
+        clip_tile = self._clip_tile(clip, ti, tj)
+        if clip_tile is None:
             return None
+        clip_edges, clip_carry = clip_tile
         return (
-            tile, z, _FULL_COVER, clip_edges, self._blank_params, 0,
-            opacity, ti * TILE, tj * TILE, tex_idx, mask_idx,
+            tile, z, _NO_EDGES, _ONES_CARRY, clip_edges, clip_carry,
+            self._blank_params, 0, opacity, ti * TILE, tj * TILE, tex_idx, mask_idx,
         )
 
     # -- lowering -----------------------------------------------------------
@@ -449,21 +499,29 @@ class _Builder:
             if rule is None:
                 raise _Unsupported(f"fill rule {fill_rule}")
 
-            for ti, tj, edges in _bin_draw(flat, self.grid_h, self.grid_w):
-                clip_edges = self._clip_tile(clip, ti, tj)
-                if clip_edges is None:
+            for ti, tj, edges, carry in _bin_draw(flat, self.grid_h, self.grid_w):
+                clip_tile = self._clip_tile(clip, ti, tj)
+                if clip_tile is None:
                     continue  # tile entirely outside the clip region
+                clip_edges, clip_carry = clip_tile
                 records.append(
-                    (ti * self.grid_w + tj, z, edges, clip_edges, params, rule,
-                     opacity, ti * TILE, tj * TILE, -1, -1)
+                    (ti * self.grid_w + tj, z, edges, carry, clip_edges, clip_carry,
+                     params, rule, opacity, ti * TILE, tj * TILE, -1, -1)
                 )
         return records
 
     # -- packing ------------------------------------------------------------
-    def _pack(self, records: list):
-        """Sorted records -> (items dict, big_lines) with padded static shapes."""
+    def _pack(self, records: list, pad_tile: int | None = None):
+        """Sorted records -> (items dict, big_lines) with padded static shapes.
+
+        pad_tile: tile id written into padding items (the executor's scratch
+        row) — the canvas tile count for the main stream, the virtual row
+        count for merged pass groups.
+        """
         from .ops.batch_exec import CHUNK_BIG, SMALL_SEGS
 
+        if pad_tile is None:
+            pad_tile = self.num_tiles
         n = len(records)
         # small passes pad to a small power of two; large ones to a power-of-
         # two count of full chunks
@@ -480,10 +538,11 @@ class _Builder:
         if big_edge_lists and len(big_edge_lists) >= len(records) // 2:
             s_bucket = _bucket(max(e.shape[0] for e in big_edge_lists))
             big_edge_lists = []
-        c_bucket = _bucket(max(r[3].shape[0] for r in records))
+        max_clip = max(r[4].shape[0] for r in records)
+        c_bucket = _bucket(max_clip) if max_clip else 0
         # stop tables shrink to the scene's real maximum (paint evaluation
         # cost is linear in the table width)
-        k_bucket = _bucket(max(r[4]["_n_stops"] for r in records), minimum=4)
+        k_bucket = _bucket(max(r[6]["_n_stops"] for r in records), minimum=4)
         k_bucket = min(k_bucket, MAX_STOPS)
 
         if big_edge_lists:
@@ -495,11 +554,13 @@ class _Builder:
 
         items = {
             "lines": np.zeros((n_pad, s_bucket, 4), DEVICE_FLOAT),
+            "carry": np.zeros((n_pad, TILE), DEVICE_FLOAT),
             "big_idx": np.full(n_pad, -1, np.int32),
             "tex_idx": np.full(n_pad, -1, np.int32),
             "mask_idx": np.full(n_pad, -1, np.int32),
             "clip_lines": np.zeros((n_pad, c_bucket, 4), DEVICE_FLOAT),
-            "tile_id": np.full(n_pad, self.num_tiles, np.int32),
+            "clip_carry": np.zeros((n_pad, TILE), DEVICE_FLOAT),
+            "tile_id": np.full(n_pad, pad_tile, np.int32),
             "fill_rule": np.zeros(n_pad, np.int32),
             "opacity": np.zeros(n_pad, DEVICE_FLOAT),
             "tile_r": np.zeros(n_pad, DEVICE_FLOAT),
@@ -518,17 +579,19 @@ class _Builder:
             "stop_colors": np.zeros((n_pad, k_bucket, 4), DEVICE_FLOAT),
         }
         n_big = 0
-        for i, (tile_id, _z, edges, clip_edges, params, rule, opacity,
-                tr_origin, tc_origin, tex_idx, mask_idx) in enumerate(records):
+        for i, (tile_id, _z, edges, carry, clip_edges, clip_carry, params, rule,
+                opacity, tr_origin, tc_origin, tex_idx, mask_idx) in enumerate(records):
             if big_lines.shape[0] and edges.shape[0] > s_bucket:
                 big_lines[n_big, : edges.shape[0]] = edges
                 items["big_idx"][i] = n_big
                 n_big += 1
             else:
                 items["lines"][i, : edges.shape[0]] = edges
+            items["carry"][i] = carry
             items["tex_idx"][i] = tex_idx
             items["mask_idx"][i] = mask_idx
             items["clip_lines"][i, : clip_edges.shape[0]] = clip_edges
+            items["clip_carry"][i] = clip_carry
             items["tile_id"][i] = tile_id
             items["fill_rule"][i] = rule
             items["opacity"][i] = opacity
@@ -545,13 +608,71 @@ class _Builder:
         return items, big_lines
 
 
+def _plan_groups(builder: "_Builder") -> list:
+    """Merge independent isolation passes into per-level device programs.
+
+    A pass depends only on pool rows written by passes emitted before it, so
+    leveling by referenced owners gives a correct topological batching: every
+    level is one packed program over a *virtual row space* (the concatenation
+    of its passes' output/source tiles), followed by one pool scatter (plus
+    host-coordinated filter post-ops for filter passes).
+    """
+    passes = builder.passes
+    if not passes:
+        return []
+    owner = np.zeros(builder.pool_size, np.int32)
+    for i, p in enumerate(passes):
+        owner[p.pool_base : p.pool_base + len(p.out_tiles)] = i
+    level = [0] * len(passes)
+    for i, p in enumerate(passes):
+        if p.refs:
+            level[i] = 1 + max(level[int(owner[r])] for r in p.refs)
+
+    groups = []
+    for lev in range(max(level) + 1):
+        members = [p for i, p in enumerate(passes) if level[i] == lev]
+        row = 0
+        merged: list = []
+        parts: list = []
+        for p in members:
+            # filter passes render their source tiles; the post-op produces
+            # the (grown) out_tiles. Plain passes output what they render.
+            row_tiles = p.src_tiles if p.post is not None else p.out_tiles
+            rank = {t: k for k, t in enumerate(row_tiles)}
+            for r in p.records:
+                merged.append((row + rank[r[0]],) + r[1:])
+            parts.append(
+                {
+                    "row_start": row,
+                    "n_rows": len(row_tiles),
+                    "src_tiles": p.src_tiles,
+                    "out_tiles": p.out_tiles,
+                    "post": p.post,
+                    "pool_base": p.pool_base,
+                }
+            )
+            row += len(row_tiles)
+        merged.sort(key=lambda r: (r[0], r[1]))
+        items, big = builder._pack(merged, pad_tile=row)
+        groups.append(
+            {
+                "items": items,
+                "big": big,
+                "rows": row,
+                "parts": parts,
+                "needs_pool": any(p.refs for p in members),
+            }
+        )
+    return groups
+
+
 def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
     """Lower a scene to packed device arrays; None if unsupported.
 
     viewport: (origin0, origin1, extent0, extent1) in device pixels.
-    Returns (items, big_lines, (grid_h, grid_w), hull, passes); passes is the
-    ordered list of isolation passes ((items, big_lines, out_tile_ids)) whose
-    output tiles the main items reference by tex_idx.
+    Returns (items, big_lines, (grid_h, grid_w), hull, groups); groups is the
+    ordered list of merged isolation-pass programs (see _plan_groups) whose
+    pooled output tiles the main items reference by tex_idx/mask_idx.
     """
     builder = _Builder(viewport, linear_rgb)
     try:
@@ -566,37 +687,48 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
         hull = ConvexHull(np.concatenate(builder.all_points, axis=0))
     else:
         hull = ConvexHull(np.zeros((0, 2)))
-    return items, big_lines, (builder.grid_h, builder.grid_w), hull, builder.passes
+    groups = _plan_groups(builder)
+    return items, big_lines, (builder.grid_h, builder.grid_w), hull, groups
 
 
-def _tiles_to_image(canvas, grid_h: int, grid_w: int, t_size: int):
-    img = canvas.reshape(grid_h, grid_w, t_size, t_size, 4)
-    return img.transpose(0, 2, 1, 3, 4).reshape(grid_h * t_size, grid_w * t_size, 4)
-
-
-def _apply_pass_filter(canvas, post, out_tiles, grid, viewport, linear_rgb, t_size):
-    """Host-coordinated filter between passes: assemble the source region,
-    run the filter chain (device ops), re-tile the grown result."""
+def _apply_part_filter(canvas, part, grid_w, viewport, linear_rgb, t_size):
+    """Host-coordinated filter post-op for one merged-group part: assemble the
+    pass's rendered rows into an image, run the filter chain (device ops),
+    re-tile the grown result into out_tiles order."""
     import jax.numpy as jnp
 
     from .core.layer import Layer, merge_at
 
-    flt, transform, content_bbox = post
-    grid_h, grid_w = grid
+    flt, transform, content_bbox = part["post"]
     v0, v1 = int(viewport[0]), int(viewport[1])
+    src_tiles = part["src_tiles"]
+    rows = canvas[part["row_start"] : part["row_start"] + part["n_rows"]]
+
+    # assemble the span of source tiles into one image
+    s_rows = [t // grid_w for t in src_tiles]
+    s_cols = [t % grid_w for t in src_tiles]
+    si0, sj0 = min(s_rows), min(s_cols)
+    nsi = max(s_rows) - si0 + 1
+    nsj = max(s_cols) - sj0 + 1
+    span = jnp.zeros((nsi * nsj, t_size, t_size, 4), DEVICE_FLOAT)
+    local = [(r - si0) * nsj + (c - sj0) for r, c in zip(s_rows, s_cols)]
+    span = span.at[jnp.asarray(local, jnp.int32)].set(rows)
+    image = span.reshape(nsi, nsj, t_size, t_size, 4)
+    image = image.transpose(0, 2, 1, 3, 4).reshape(nsi * t_size, nsj * t_size, 4)
 
     # bbox-tight source crop: the filter sees the same layer origin the
     # reference's interpreter would, so truncation-sensitive placement
     # (blur offsets) matches bit-for-bit
-    r0 = max(content_bbox[0] - v0, 0)
-    c0 = max(content_bbox[1] - v1, 0)
-    r1 = min(content_bbox[2] - v0, grid_h * t_size)
-    c1 = min(content_bbox[3] - v1, grid_w * t_size)
-    image = _tiles_to_image(canvas, grid_h, grid_w, t_size)
+    or_, oc = si0 * t_size, sj0 * t_size  # span origin in canvas pixels
+    r0 = max(content_bbox[0] - v0 - or_, 0)
+    c0 = max(content_bbox[1] - v1 - oc, 0)
+    r1 = min(content_bbox[2] - v0 - or_, nsi * t_size)
+    c1 = min(content_bbox[3] - v1 - oc, nsj * t_size)
     crop = image[r0:r1, c0:c1]
-    layer = Layer(crop, (v0 + r0, v1 + c0), pre_alpha=True, linear_rgb=linear_rgb)
+    layer = Layer(crop, (v0 + or_ + r0, v1 + oc + c0), pre_alpha=True, linear_rgb=linear_rgb)
     filtered = flt(transform, layer).convert(pre_alpha=True, linear_rgb=linear_rgb)
 
+    out_tiles = part["out_tiles"]
     d_rows = [int(t) // grid_w for t in out_tiles]
     d_cols = [int(t) % grid_w for t in out_tiles]
     di0, dj0 = min(d_rows), min(d_cols)
@@ -614,53 +746,42 @@ def _apply_pass_filter(canvas, post, out_tiles, grid, viewport, linear_rgb, t_si
 
 
 def execute_lowered(lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: int = TILE):
-    """Execute a lowered plan: isolation passes (with any post-op filters) in
-    order, then the main stream referencing their pooled output tiles."""
+    """Execute a lowered plan: merged isolation-pass groups (with any post-op
+    filters) in level order, then the main stream referencing the pool."""
     import jax.numpy as jnp
 
-    items, big_lines, (grid_h, grid_w), _hull, passes = lowered
+    items, big_lines, (grid_h, grid_w), _hull, groups = lowered
     num_tiles = grid_h * grid_w
 
-    # the pool is kept at power-of-two capacity so its shape (part of every
-    # downstream program's signature) changes only logarithmically often
+    # the pool is preallocated at power-of-two capacity so its shape (part of
+    # every downstream program's signature) stays stable across scenes
     pool = None
-    pool_rows = 0
+    if groups:
+        total = max(p["pool_base"] + len(p["out_tiles"]) for g in groups for p in g["parts"])
+        cap = 16
+        while cap < total:
+            cap *= 2
+        pool = jnp.zeros((cap, t_size, t_size, 4), DEVICE_FLOAT)
 
-    def append_to_pool(part):
-        nonlocal pool, pool_rows
-        needed = pool_rows + part.shape[0]
-        capacity = 0 if pool is None else pool.shape[0]
-        if needed > capacity:
-            new_cap = max(16, capacity or 16)
-            while new_cap < needed:
-                new_cap *= 2
-            grown = jnp.zeros((new_cap, t_size, t_size, 4), DEVICE_FLOAT)
-            if pool is not None:
-                grown = grown.at[:pool_rows].set(pool[:pool_rows])
-            pool = grown
-        pool = jax.lax.dynamic_update_slice(pool, part, (pool_rows, 0, 0, 0))
-        pool_rows = needed
-
-    import jax
-
-    for p_items, p_big, out_tiles, post in passes:
-        # most passes reference no textures; omitting the pool keeps their
-        # compiled signature independent of pool capacity
-        needs_pool = bool((p_items["tex_idx"] >= 0).any() or (p_items["mask_idx"] >= 0).any())
+    for g in groups:
         canvas = batch_exec.execute_plan(
-            {k: jnp.asarray(v) for k, v in p_items.items()},
+            {k: jnp.asarray(v) for k, v in g["items"].items()},
             t_size,
-            num_tiles,
-            jnp.asarray(p_big),
-            pool if needs_pool else None,
+            g["rows"],
+            jnp.asarray(g["big"]),
+            pool if g["needs_pool"] else None,
         )
-        if post is None:
-            part = canvas[jnp.asarray(out_tiles)]
-        else:
-            part = _apply_pass_filter(
-                canvas, post, out_tiles, (grid_h, grid_w), viewport, linear_rgb, t_size
-            )
-        append_to_pool(part)
+        idx: list = []
+        parts: list = []
+        for p in g["parts"]:
+            if p["post"] is None:
+                idx.extend(range(p["pool_base"], p["pool_base"] + p["n_rows"]))
+                parts.append(canvas[p["row_start"] : p["row_start"] + p["n_rows"]])
+            else:
+                part = _apply_part_filter(canvas, p, grid_w, viewport, linear_rgb, t_size)
+                idx.extend(range(p["pool_base"], p["pool_base"] + len(p["out_tiles"])))
+                parts.append(part)
+        pool = pool.at[jnp.asarray(idx, jnp.int32)].set(jnp.concatenate(parts, axis=0))
     return batch_exec.execute_plan(
         {k: jnp.asarray(v) for k, v in items.items()},
         t_size,
