@@ -48,7 +48,7 @@ def bench_scene():
     w, h = int(size[0]), int(size[1])
     tr = Transform().matrix(0, 1, 0, 1, 0, 0)
     t_lower = time.perf_counter()
-    items, big_lines, (gh, gw), _hull, passes = lower_scene(scene, tr, (0, 0, h, w), False)
+    items, big_lines, (gh, gw), _hull, passes, _patterns = lower_scene(scene, tr, (0, 0, h, w), False)
     assert not passes, "headline scene should lower to a single pass"
     t_lower = time.perf_counter() - t_lower
     dev = {k: jnp.asarray(v) for k, v in items.items()}

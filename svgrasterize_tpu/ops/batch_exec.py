@@ -46,6 +46,7 @@ def _winding(lines, t_size: int):
 PAINT_SOLID = 0
 PAINT_LINEAR = 1
 PAINT_RADIAL = 2
+PAINT_PATTERN = 3
 
 MAX_STOPS = 16  # gradient stops padded to this many
 CHUNK_ITEMS = 128  # work items rasterized per scan step
@@ -79,16 +80,20 @@ def _spread(t, mode):
     return jnp.where(mode == 0, pad, jnp.where(mode == 1, repeat, reflect))
 
 
-def _paint_item(item, tile_r, tile_c, t_size: int):
+def _paint_item(item, tile_r, tile_c, t_size: int, pat_tex=None):
     """Evaluate one work item's paint over its tile -> (T, T, 4).
 
     item is a dict of per-item params; tile pixel centers are computed from
     the tile's canvas-space origin so gradients are evaluated in the same
-    coordinates the host used to precompose the affines.
+    coordinates the host used to precompose the affines.  pat_tex, when
+    given, is this item's pattern texture (TH, TW, 4) from the scene's
+    pattern atlas; the affine maps pixels into pattern user space and the
+    modular gather reproduces the reference's tiling (svgrasterize.py:
+    1074-1094) exactly, including the int truncation.
     """
     rows = jax.lax.broadcasted_iota(DEVICE_FLOAT, (t_size, t_size), 0) + tile_r + 0.5
     cols = jax.lax.broadcasted_iota(DEVICE_FLOAT, (t_size, t_size), 1) + tile_c + 0.5
-    # device pixel -> gradient space (2x3 affine rows [a, b, t])
+    # device pixel -> paint space (2x3 affine rows [a, b, t])
     m = item["affine"]
     gx = rows * m[0, 0] + cols * m[0, 1] + m[0, 2]
     gy = rows * m[1, 0] + cols * m[1, 1] + m[1, 2]
@@ -131,7 +136,21 @@ def _paint_item(item, tile_r, tile_c, t_size: int):
         (kind == PAINT_RADIAL) & ~rad_valid[..., None], 0.0, grad
     )
     solid = jnp.broadcast_to(item["color"], (t_size, t_size, 4))
-    return jnp.where(kind == PAINT_SOLID, solid, grad)
+    out = jnp.where(kind == PAINT_SOLID, solid, grad)
+
+    if pat_tex is not None:
+        # pattern user space -> modular cell -> texture pixels (trunc + clamp)
+        fwd = item["pat_fwd"]
+        q0 = jnp.remainder(gx - item["pat_xy"][0], item["pat_wh"][0])
+        q1 = jnp.remainder(gy - item["pat_xy"][1], item["pat_wh"][1])
+        s0 = q0 * fwd[0, 0] + q1 * fwd[0, 1] + fwd[0, 2]
+        s1 = q0 * fwd[1, 0] + q1 * fwd[1, 1] + fwd[1, 2]
+        i0 = jnp.clip(s0.astype(jnp.int32) - item["pat_lo"][0], 0, item["pat_max"][0])
+        i1 = jnp.clip(s1.astype(jnp.int32) - item["pat_lo"][1], 0, item["pat_max"][1])
+        tw = pat_tex.shape[1]
+        pat_val = pat_tex.reshape(-1, 4)[i0 * tw + i1]
+        out = jnp.where(kind == PAINT_PATTERN, pat_val, out)
+    return out
 
 
 # SVG mask value = luminance x alpha; on premultiplied pixels that is just
@@ -139,8 +158,13 @@ def _paint_item(item, tile_r, tile_c, t_size: int):
 _MASK_LUM = jnp.asarray([0.2125, 0.7154, 0.072], DEVICE_FLOAT)
 
 
-def _raster_item(item, wind, t_size: int, texture=None, mask_tex=None):
-    """Finish one work item from its winding field -> premultiplied RGBA tile.
+def _raster_item(item, t_size: int):
+    """Finish one work item -> premultiplied RGBA tile.
+
+    item is the per-item param dict plus private keys threaded in by the
+    executor: "_wind" (the item's winding field) and, when the scene uses
+    them, "_tex"/"_mask_tex" (gathered isolation-pass tiles) and
+    "_pat_tex" (the item's pattern texture from the atlas).
 
     item["carry"] / item["clip_carry"] are per-row winding offsets carried
     into the tile by edges entirely to its left (host-precomputed exact
@@ -149,30 +173,33 @@ def _raster_item(item, wind, t_size: int, texture=None, mask_tex=None):
     O(edges * T * T).  Unclipped items carry clip_carry == 1 (full cover).
     Texture items (tex_idx >= 0) paint a pre-rendered isolation-pass tile
     instead of a paint server; their fill carry is 1, so the mask reduces
-    to clip x opacity.  mask_tex (mask_idx >= 0) multiplies in an SVG mask
-    pass's luminance-alpha.
+    to clip x opacity.  "_mask_tex" (mask_idx >= 0) multiplies in an SVG
+    mask pass's luminance-alpha.
     """
-    wind = wind + item["carry"][:, None]
+    wind = item["_wind"] + item["carry"][:, None]
     nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
     evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
     mask = jnp.where(item["fill_rule"] == 0, nonzero, evenodd)
     clip_wind = _winding(item["clip_lines"], t_size) + item["clip_carry"][:, None]
     mask = mask * jnp.clip(jnp.abs(clip_wind), 0.0, 1.0)
     mask = jnp.where(mask < 1e-6, 0.0, mask) * item["opacity"]
-    if mask_tex is not None:
-        value = mask_tex[..., :3] @ _MASK_LUM
+    if "_mask_tex" in item:
+        value = item["_mask_tex"][..., :3] @ _MASK_LUM
         mask = mask * jnp.where(item["mask_idx"] >= 0, value, 1.0)
-    paint = _paint_item(item, item["tile_r"], item["tile_c"], t_size)
-    if texture is not None:
-        paint = jnp.where(item["tex_idx"] >= 0, texture, paint)
+    paint = _paint_item(item, item["tile_r"], item["tile_c"], t_size, item.get("_pat_tex"))
+    if "_tex" in item:
+        paint = jnp.where(item["tex_idx"] >= 0, item["_tex"], paint)
     return mask[..., None] * paint
 
 
-def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None, pool=None):
+def execute_items(
+    items: dict, t_size: int, num_tiles: int, big_lines=None, pool=None, patterns=None
+):
     """Traceable whole-scene execution; see execute_plan for the contract.
 
     pool: (P, T, T, 4) texture tiles from earlier isolation passes, gathered
-    by items["tex_idx"].
+    by items["tex_idx"].  patterns: (Q, TH, TW, 4) pattern-tile atlas,
+    gathered by items["pat_idx"].
     """
     n = items["tile_id"].shape[0]
     chunk_items = min(n, CHUNK_ITEMS)  # small passes stay small
@@ -199,6 +226,10 @@ def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None, pool
         pool_padded = jnp.concatenate(
             [pool, jnp.zeros((1, t_size, t_size, 4), DEVICE_FLOAT)], axis=0
         )
+    if patterns is not None:
+        pats_padded = jnp.concatenate(
+            [patterns, jnp.zeros((1, *patterns.shape[1:]), DEVICE_FLOAT)], axis=0
+        )
 
     canvas0 = jnp.zeros((num_tiles + 1, t_size, t_size, 4), DEVICE_FLOAT)
 
@@ -208,16 +239,19 @@ def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None, pool
             idx = chunk["big_idx"]
             gathered = big_wind[jnp.where(idx >= 0, idx, big_wind.shape[0] - 1)]
             wind = jnp.where((idx >= 0)[:, None, None], gathered, wind)
+        merged = dict(chunk)
+        merged["_wind"] = wind
         if pool is not None:
             tex_idx = chunk["tex_idx"]
             mask_idx = chunk["mask_idx"]
-            textures = pool_padded[jnp.where(tex_idx >= 0, tex_idx, pool.shape[0])]
-            mask_tex = pool_padded[jnp.where(mask_idx >= 0, mask_idx, pool.shape[0])]
-            rgba = jax.vmap(
-                lambda it, w, tex, mt: _raster_item(it, w, t_size, tex, mt)
-            )(chunk, wind, textures, mask_tex)
-        else:
-            rgba = jax.vmap(lambda it, w: _raster_item(it, w, t_size))(chunk, wind)
+            merged["_tex"] = pool_padded[jnp.where(tex_idx >= 0, tex_idx, pool.shape[0])]
+            merged["_mask_tex"] = pool_padded[jnp.where(mask_idx >= 0, mask_idx, pool.shape[0])]
+        if patterns is not None:
+            pat_idx = chunk["pat_idx"]
+            merged["_pat_tex"] = pats_padded[
+                jnp.where(pat_idx >= 0, pat_idx, patterns.shape[0])
+            ]
+        rgba = jax.vmap(lambda it: _raster_item(it, t_size))(merged)
 
         tile_id = chunk["tile_id"]  # (C,) int32, sorted
         starts = jnp.concatenate([jnp.array([True]), tile_id[1:] != tile_id[:-1]])
@@ -246,7 +280,9 @@ def execute_items(items: dict, t_size: int, num_tiles: int, big_lines=None, pool
 
 
 @partial(jax.jit, static_argnames=("t_size", "num_tiles"))
-def execute_plan(items: dict, t_size: int, num_tiles: int, big_lines=None, pool=None):
+def execute_plan(
+    items: dict, t_size: int, num_tiles: int, big_lines=None, pool=None, patterns=None
+):
     """Run a whole lowered scene; returns the canvas (num_tiles, T, T, 4).
 
     items: dict of per-item arrays, all with leading dim N (a multiple of
@@ -260,4 +296,4 @@ def execute_plan(items: dict, t_size: int, num_tiles: int, big_lines=None, pool=
     This keeps the per-item winding cost proportional to the common case
     instead of the scene's worst tile.
     """
-    return execute_items(items, t_size, num_tiles, big_lines, pool)
+    return execute_items(items, t_size, num_tiles, big_lines, pool, patterns)

@@ -91,10 +91,10 @@ def render_atlas(
         canvas = jnp.zeros((height, width, 4), DEVICE_FLOAT)
         canvas = merge_at(canvas, layer.image, layer.offset)
         return Layer(canvas, (0, 0), pre_alpha=True, linear_rgb=linear_rgb)
-    items, big, (gh, gw), _hull, passes = lowered
+    items, big, (gh, gw), _hull, passes, patterns = lowered
 
-    if mesh is not None and passes:
-        mesh = None  # isolation passes are not tile-partitionable yet
+    if mesh is not None and (passes or patterns is not None):
+        mesh = None  # isolation passes / pattern atlases are not tile-partitionable yet
     if mesh is None:
         from ..render_plan import execute_lowered
 

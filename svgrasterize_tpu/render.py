@@ -136,11 +136,13 @@ def path_fill(
     return None
 
 
-def _fill_pattern(paint: Pattern, mask, offset, hull, transform: Transform, linear_rgb: bool):
-    """Render the pattern sub-scene once, then tile it under the mask.
+def pattern_texture(paint: Pattern, hull, transform: Transform, linear_rgb: bool):
+    """Render the pattern sub-scene once and set up the tiling frame.
 
-    Parity: svgrasterize.py:1049-1097.  The modular tiling index grid is
-    computed on host (integer gather indices), the gather runs on device.
+    Parity: svgrasterize.py:1049-1094 (the per-draw part of pattern fill).
+    Returns (pat (th+1, tw+1, 4) device image, repeat_tr, lo (2,) int,
+    (tile_h, tile_w)) or None when the sub-scene renders empty.  `pat` keeps
+    the sub-scene layer's (pre_alpha, linear_rgb) flags — callers convert.
     """
     from .frontend.svg import viewbox_transform
 
@@ -166,6 +168,29 @@ def _fill_pattern(paint: Pattern, mask, offset, hull, transform: Transform, line
         repeat_tr = hull.bbox_transform(repeat_tr)
     repeat_tr = (repeat_tr @ paint.transform).no_translate()
 
+    corners = repeat_tr(
+        [[0, 0], [paint.width, 0], [0, paint.height], [paint.width, paint.height]]
+    )
+    hi = corners.max(axis=0).astype(int)
+    lo = corners.min(axis=0).astype(int)
+    tile_h, tile_w = hi[0] - lo[0], hi[1] - lo[1]
+
+    pat = jnp.zeros((tile_h + 1, tile_w + 1, 4), dtype=DEVICE_FLOAT)
+    pat = merge_at(pat, pat_layer.image, (pat_layer.x - lo[0], pat_layer.y - lo[1]))
+    return pat, repeat_tr, lo, (tile_h, tile_w), pat_layer
+
+
+def _fill_pattern(paint: Pattern, mask, offset, hull, transform: Transform, linear_rgb: bool):
+    """Render the pattern sub-scene once, then tile it under the mask.
+
+    Parity: svgrasterize.py:1049-1097.  The modular tiling index grid is
+    computed on host (integer gather indices), the gather runs on device.
+    """
+    setup = pattern_texture(paint, hull, transform, linear_rgb)
+    if setup is None:
+        return None
+    pat, repeat_tr, lo, (tile_h, tile_w), pat_layer = setup
+
     h, w = mask.shape[:2]
     r = np.arange(h, dtype=np.float64)[:, None] + offset[0] + 0.5
     c = np.arange(w, dtype=np.float64)[None, :] + offset[1] + 0.5
@@ -174,16 +199,7 @@ def _fill_pattern(paint: Pattern, mask, offset, hull, transform: Transform, line
     offsets = repeat_tr(
         np.remainder(offsets - [paint.x, paint.y], [paint.width, paint.height])
     ).astype(int)
-    corners = repeat_tr(
-        [[0, 0], [paint.width, 0], [0, paint.height], [paint.width, paint.height]]
-    )
-    hi = corners.max(axis=0).astype(int)
-    lo = corners.min(axis=0).astype(int)
-    tile_h, tile_w = hi[0] - lo[0], hi[1] - lo[1]
     offsets -= lo
-
-    pat = jnp.zeros((tile_h + 1, tile_w + 1, 4), dtype=DEVICE_FLOAT)
-    pat = merge_at(pat, pat_layer.image, (pat_layer.x - lo[0], pat_layer.y - lo[1]))
     idx0 = jnp.asarray(np.clip(offsets[:, 0], 0, tile_h).reshape(h, w))
     idx1 = jnp.asarray(np.clip(offsets[:, 1], 0, tile_w).reshape(h, w))
     tiled = pat[idx0, idx1]

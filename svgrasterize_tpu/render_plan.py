@@ -29,8 +29,15 @@ from .core.layer import Layer
 from .core.transform import Transform
 from .geom.hull import ConvexHull
 from .ops import batch_exec
-from .ops.batch_exec import CHUNK_ITEMS, MAX_STOPS, PAINT_LINEAR, PAINT_RADIAL, PAINT_SOLID
-from .paint import GradLinear, GradRadial, stops_to_arrays
+from .ops.batch_exec import (
+    CHUNK_ITEMS,
+    MAX_STOPS,
+    PAINT_LINEAR,
+    PAINT_PATTERN,
+    PAINT_RADIAL,
+    PAINT_SOLID,
+)
+from .paint import GradLinear, GradRadial, Pattern, stops_to_arrays
 from .scene import (
     RENDER_CLIP,
     RENDER_FILL,
@@ -157,6 +164,12 @@ def _paint_params(paint, hull: ConvexHull, transform: Transform, linear_rgb: boo
         "spread": np.int32(0),
         "stop_offsets": np.ones(MAX_STOPS, DEVICE_FLOAT),
         "stop_colors": np.zeros((MAX_STOPS, 4), DEVICE_FLOAT),
+        "pat_idx": np.int32(-1),
+        "pat_fwd": np.zeros((2, 3), DEVICE_FLOAT),
+        "pat_xy": np.zeros(2, DEVICE_FLOAT),
+        "pat_wh": np.ones(2, DEVICE_FLOAT),
+        "pat_lo": np.zeros(2, np.int32),
+        "pat_max": np.zeros(2, np.int32),
     }
 
     if isinstance(paint, np.ndarray) and paint.shape == (4,):
@@ -340,6 +353,8 @@ class _Builder:
         self.passes: list = []  # [_Pass] in emission order; merged by _plan_groups
         self.pool_size = 0
         self.all_points: list = []
+        self.patterns: list = []  # host copies of rendered pattern tiles
+        self.pattern_cache: dict = {}
         self._blank_params = _paint_params(
             np.zeros(4, dtype=np.float64), None, Transform(), linear_rgb
         )
@@ -368,6 +383,48 @@ class _Builder:
         if edges.shape[0] == 0 and not carry.any():
             return None
         return edges, carry
+
+    # -- pattern paints -------------------------------------------------------
+    def _pattern_params(self, paint: Pattern, hull: ConvexHull, transform: Transform):
+        """Resolve a Pattern paint: render its tile once, return item params.
+
+        The rendered tile is cached per (paint, transform[, target bbox]) and
+        appended to the scene's pattern atlas; the item carries the modular
+        gather frame (parity: svgrasterize.py:1049-1094).  Returns None when
+        the pattern draws nothing (reference skips the fill, :1053-1056).
+        """
+        if paint.width <= 0 or paint.height <= 0:
+            return None
+        key = (id(paint), transform.m.tobytes())
+        if paint.bbox_units or paint.scene_bbox_units:
+            key = (*key, tuple(np.round(hull.bbox(transform), 6)))
+        if key in self.pattern_cache:
+            return self.pattern_cache[key]
+
+        from .render import pattern_texture
+
+        setup = pattern_texture(paint, hull, transform, self.linear_rgb)
+        if setup is None:
+            self.pattern_cache[key] = None
+            return None
+        pat, repeat_tr, lo, (tile_h, tile_w), pat_layer = setup
+        layer = Layer(pat, (0, 0), pat_layer.pre_alpha, pat_layer.linear_rgb)
+        tex = np.asarray(
+            layer.convert(pre_alpha=True, linear_rgb=self.linear_rgb).image,
+            dtype=DEVICE_FLOAT,
+        )
+        params = dict(self._blank_params)
+        params["kind"] = np.int32(PAINT_PATTERN)
+        params["affine"] = repeat_tr.invert.m[:2, :].astype(DEVICE_FLOAT)
+        params["pat_fwd"] = repeat_tr.m[:2, :].astype(DEVICE_FLOAT)
+        params["pat_xy"] = np.array([paint.x, paint.y], DEVICE_FLOAT)
+        params["pat_wh"] = np.array([paint.width, paint.height], DEVICE_FLOAT)
+        params["pat_lo"] = np.asarray(lo, np.int32)
+        params["pat_max"] = np.array([tile_h, tile_w], np.int32)
+        params["pat_idx"] = np.int32(len(self.patterns))
+        self.patterns.append(tex)
+        self.pattern_cache[key] = params
+        return params
 
     # -- pass emission --------------------------------------------------------
     def _finish_pass(self, sub_records: list, out_tiles=None, post=None):
@@ -494,7 +551,12 @@ class _Builder:
                 continue
             self.all_points.append(lines[:, 0])
             flat = lines.reshape(-1, 4) - self.shift
-            params = _paint_params(paint, ConvexHull(lines), tr, self.linear_rgb)
+            if isinstance(paint, Pattern):
+                params = self._pattern_params(paint, ConvexHull(lines), tr)
+                if params is None:
+                    continue  # empty pattern scene draws nothing
+            else:
+                params = _paint_params(paint, ConvexHull(lines), tr, self.linear_rgb)
             rule = _FILL_RULE_ID.get(fill_rule)
             if rule is None:
                 raise _Unsupported(f"fill rule {fill_rule}")
@@ -577,6 +639,12 @@ class _Builder:
             "spread": np.zeros(n_pad, np.int32),
             "stop_offsets": np.ones((n_pad, k_bucket), DEVICE_FLOAT),
             "stop_colors": np.zeros((n_pad, k_bucket, 4), DEVICE_FLOAT),
+            "pat_idx": np.full(n_pad, -1, np.int32),
+            "pat_fwd": np.zeros((n_pad, 2, 3), DEVICE_FLOAT),
+            "pat_xy": np.zeros((n_pad, 2), DEVICE_FLOAT),
+            "pat_wh": np.ones((n_pad, 2), DEVICE_FLOAT),
+            "pat_lo": np.zeros((n_pad, 2), np.int32),
+            "pat_max": np.zeros((n_pad, 2), np.int32),
         }
         n_big = 0
         for i, (tile_id, _z, edges, carry, clip_edges, clip_carry, params, rule,
@@ -601,6 +669,7 @@ class _Builder:
             for key in (
                 "kind", "color", "affine", "p0", "p1", "center", "fcenter",
                 "radius", "fradius", "spread",
+                "pat_idx", "pat_fwd", "pat_xy", "pat_wh", "pat_lo", "pat_max",
             ):
                 items[key][i] = params[key]
             items["stop_offsets"][i] = params["stop_offsets"][:k_bucket]
@@ -670,9 +739,11 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
     """Lower a scene to packed device arrays; None if unsupported.
 
     viewport: (origin0, origin1, extent0, extent1) in device pixels.
-    Returns (items, big_lines, (grid_h, grid_w), hull, groups); groups is the
-    ordered list of merged isolation-pass programs (see _plan_groups) whose
-    pooled output tiles the main items reference by tex_idx/mask_idx.
+    Returns (items, big_lines, (grid_h, grid_w), hull, groups, patterns);
+    groups is the ordered list of merged isolation-pass programs (see
+    _plan_groups) whose pooled output tiles the main items reference by
+    tex_idx/mask_idx; patterns is the scene's pattern-tile atlas
+    (Q, TH, TW, 4) gathered by pat_idx, or None.
     """
     builder = _Builder(viewport, linear_rgb)
     try:
@@ -688,7 +759,15 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
     else:
         hull = ConvexHull(np.zeros((0, 2)))
     groups = _plan_groups(builder)
-    return items, big_lines, (builder.grid_h, builder.grid_w), hull, groups
+    if builder.patterns:
+        p_h = _bucket(max(t.shape[0] for t in builder.patterns), minimum=8)
+        p_w = _bucket(max(t.shape[1] for t in builder.patterns), minimum=8)
+        patterns = np.zeros((len(builder.patterns), p_h, p_w, 4), DEVICE_FLOAT)
+        for i, t in enumerate(builder.patterns):
+            patterns[i, : t.shape[0], : t.shape[1]] = t
+    else:
+        patterns = None
+    return items, big_lines, (builder.grid_h, builder.grid_w), hull, groups, patterns
 
 
 def _apply_part_filter(canvas, part, grid_w, viewport, linear_rgb, t_size):
@@ -750,8 +829,9 @@ def execute_lowered(lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: 
     filters) in level order, then the main stream referencing the pool."""
     import jax.numpy as jnp
 
-    items, big_lines, (grid_h, grid_w), _hull, groups = lowered
+    items, big_lines, (grid_h, grid_w), _hull, groups, patterns = lowered
     num_tiles = grid_h * grid_w
+    atlas = jnp.asarray(patterns) if patterns is not None else None
 
     # the pool is preallocated at power-of-two capacity so its shape (part of
     # every downstream program's signature) stays stable across scenes
@@ -770,6 +850,7 @@ def execute_lowered(lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: 
             g["rows"],
             jnp.asarray(g["big"]),
             pool if g["needs_pool"] else None,
+            atlas if bool((g["items"]["pat_idx"] >= 0).any()) else None,
         )
         idx: list = []
         parts: list = []
@@ -788,6 +869,7 @@ def execute_lowered(lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: 
         num_tiles,
         jnp.asarray(big_lines),
         pool,
+        atlas if bool((items["pat_idx"] >= 0).any()) else None,
     )
 
 
@@ -796,7 +878,8 @@ def render_fast(scene, transform: Transform, viewport, linear_rgb: bool = False)
     lowered = lower_scene(scene, transform, viewport, linear_rgb)
     if lowered is None:
         return None
-    _items, _big, (grid_h, grid_w), hull, _passes = lowered
+    grid_h, grid_w = lowered[2]
+    hull = lowered[3]
     tiles = execute_lowered(lowered, viewport[:2], linear_rgb)
     canvas = tiles.reshape(grid_h, grid_w, TILE, TILE, 4)
     canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(grid_h * TILE, grid_w * TILE, 4)
@@ -825,6 +908,10 @@ def can_lower(scene, linear_rgb: bool, in_clip: bool = False) -> bool:
             if paint.linear_rgb is not None and paint.linear_rgb != linear_rgb:
                 return False
             return len(paint.stops) <= MAX_STOPS
+        if isinstance(paint, Pattern):
+            # the tile is rendered through the interpreter at lowering time,
+            # so any pattern content batches
+            return True
         return False
     if kind == RENDER_GROUP:
         return all(can_lower(c, linear_rgb, in_clip) for c in args)

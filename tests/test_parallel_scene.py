@@ -30,7 +30,7 @@ DOC = """
 def plan():
     scene, _ids, _size = scene_from_str(DOC)
     tr = Transform().matrix(0, 1, 0, 1, 0, 0)
-    items, big, (gh, gw), _hull, _passes = lower_scene(scene, tr, (0, 0, 300, 400), False)
+    items, big, (gh, gw), _hull, _passes, _patterns = lower_scene(scene, tr, (0, 0, 300, 400), False)
     ref = np.asarray(
         batch_exec.execute_plan(
             {k: jnp.asarray(v) for k, v in items.items()}, TILE, gh * gw, jnp.asarray(big)

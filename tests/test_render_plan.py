@@ -114,19 +114,41 @@ def test_evenodd_fill_rule():
 
 
 def test_unsupported_scene_returns_none():
+    # evenodd clip paths cannot be expressed as a combined nonzero winding
     doc = """
     <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
       <defs>
-        <pattern id="p" width="8" height="8">
-          <rect width="4" height="4" fill="red"/>
-        </pattern>
+        <clipPath id="c" clip-rule="evenodd">
+          <path d="M0 0 H64 V64 H0 Z M16 16 H48 V48 H16 Z"/>
+        </clipPath>
       </defs>
-      <rect x="8" y="8" width="48" height="48" fill="url(#p)"/>
+      <rect x="8" y="8" width="48" height="48" fill="red" clip-path="url(#c)"/>
     </svg>
     """
     scene, _ids, size = scene_from_str(doc)
     assert lower_scene(scene, TR, (0, 0, 64, 64), False) is None
     assert render_fast(scene, TR, (0, 0, 64, 64)) is None
+
+
+def test_pattern_fill_batches():
+    # patterns batch via the atlas + modular device gather
+    _compare(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="160" height="96">
+          <defs>
+            <pattern id="p" width="12" height="12" patternUnits="userSpaceOnUse">
+              <rect width="6" height="6" fill="red"/>
+              <rect x="6" y="6" width="6" height="6" fill="blue"/>
+            </pattern>
+            <pattern id="q" width="0.25" height="0.25">
+              <circle cx="8" cy="8" r="6" fill="#00aa55"/>
+            </pattern>
+          </defs>
+          <rect x="4" y="4" width="70" height="88" fill="url(#p)"/>
+          <circle cx="120" cy="48" r="40" fill="url(#q)"/>
+        </svg>
+        """
+    )
 
 
 def test_z_order_across_tiles():
