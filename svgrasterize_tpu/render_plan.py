@@ -63,6 +63,45 @@ class _Unsupported(Exception):
     """Scene contains a node the batched path cannot lower."""
 
 
+def _subtree_hull(scene, transform: Transform) -> ConvexHull:
+    """Hull of a subtree's draw geometry (device coords).
+
+    Matches the hull Scene.render returns for the subtree — clips, masks,
+    filters, and opacity do not shrink it (parity: svgrasterize.py:649-752)
+    — so objectBoundingBox clip/mask transforms can be resolved at lowering
+    time without rendering the target first.
+    """
+    hulls: list = []
+
+    def walk(scene, tr):
+        kind, args = scene
+        if kind == RENDER_FILL:
+            if args[1] is None:
+                return  # paintless fill renders (and bounds) nothing
+            lines = args[0].flatten(tr, FLATNESS)
+            if lines.size:
+                hulls.append(ConvexHull(lines))
+        elif kind == RENDER_STROKE:
+            path, paint, width, linecap, linejoin = args
+            if paint is None:
+                return
+            lines = path.stroke(width, linecap, linejoin).flatten(tr, FLATNESS)
+            if lines.size:
+                hulls.append(ConvexHull(lines))
+        elif kind == RENDER_GROUP:
+            for child in args:
+                walk(child, tr)
+        elif kind == RENDER_TRANSFORM:
+            walk(args[0], tr @ args[1])
+        elif kind in (RENDER_OPACITY, RENDER_FILTER, RENDER_CLIP, RENDER_MASK):
+            walk(args[0], tr)
+        else:
+            raise _Unsupported(f"scene kind {kind}")
+
+    walk(scene, transform)
+    return ConvexHull.merge(hulls)
+
+
 def _collect_draws(scene, transform: Transform, opacity: float, clip, out: list) -> None:
     """clip: None or (clip_scene, clip_transform) active for this subtree."""
     kind, args = scene
@@ -90,19 +129,27 @@ def _collect_draws(scene, transform: Transform, opacity: float, clip, out: list)
             out.append(("pass", target, transform, opacity * value, clip))
     elif kind == RENDER_CLIP:
         target, clip_scene, bbox_units = args
-        if bbox_units:
-            raise _Unsupported("bbox-units clip")
         if clip is not None:
             # nested clip: isolate the inner clip chain as a pass; the outer
             # clip multiplies its texture items (alpha products commute)
             out.append(("pass", scene, transform, opacity, clip))
-        else:
-            _collect_draws(target, transform, opacity, (clip_scene, transform), out)
+            return
+        clip_tr = transform
+        if bbox_units:
+            hull = _subtree_hull(target, transform)
+            if len(hull.raw_points) == 0:
+                return  # target renders nothing (interpreter returns None)
+            clip_tr = hull.bbox_transform(transform)
+        _collect_draws(target, transform, opacity, (clip_scene, clip_tr), out)
     elif kind == RENDER_MASK:
         target, mask_scene, bbox_units = args
+        mask_tr = transform
         if bbox_units:
-            raise _Unsupported("bbox-units mask")
-        out.append(("mask", target, mask_scene, transform, opacity, clip))
+            hull = _subtree_hull(target, transform)
+            if len(hull.raw_points) == 0:
+                return
+            mask_tr = hull.bbox_transform(transform)
+        out.append(("mask", target, mask_scene, transform, mask_tr, opacity, clip))
     elif kind == RENDER_FILTER:
         target, flt = args
         out.append(("filter", target, flt, transform, opacity, clip))
@@ -517,11 +564,11 @@ class _Builder:
                 continue
 
             if entry[0] == "mask":
-                _tag, target, mask_scene, tr, opacity, clip = entry
+                _tag, target, mask_scene, tr, mask_tr, opacity, clip = entry
                 target_tiles = self._emit_pass(target, tr)
                 if target_tiles is None:
                     continue
-                mask_tiles = self._emit_pass(mask_scene, tr)
+                mask_tiles = self._emit_pass(mask_scene, mask_tr)
                 if mask_tiles is None:
                     continue  # empty mask hides the target entirely
                 for tile in sorted(set(target_tiles) & set(mask_tiles)):
@@ -921,15 +968,12 @@ def can_lower(scene, linear_rgb: bool, in_clip: bool = False) -> bool:
         # single draws fold; groups become isolation passes — both lower
         return can_lower(args[0], linear_rgb, in_clip)
     if kind == RENDER_CLIP:
-        target, clip_scene, bbox_units = args
-        if bbox_units:
-            return False
-        # nested clips isolate as passes, so in_clip does not block
+        target, clip_scene, _bbox_units = args
+        # nested clips isolate as passes, so in_clip does not block;
+        # bbox-units resolve from the target hull at lowering time
         return _clip_scene_ok(clip_scene) and can_lower(target, linear_rgb, True)
     if kind == RENDER_MASK:
-        target, mask_scene, bbox_units = args
-        if bbox_units:
-            return False
+        target, mask_scene, _bbox_units = args
         return can_lower(target, linear_rgb, in_clip) and can_lower(
             mask_scene, linear_rgb, in_clip
         )

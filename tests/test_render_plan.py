@@ -130,6 +130,27 @@ def test_unsupported_scene_returns_none():
     assert render_fast(scene, TR, (0, 0, 64, 64)) is None
 
 
+def test_bbox_units_clip_and_mask():
+    # objectBoundingBox clip/mask transforms resolve from the target hull
+    _compare(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="160" height="96">
+          <defs>
+            <clipPath id="c" clipPathUnits="objectBoundingBox">
+              <circle cx="0.5" cy="0.5" r="0.5"/>
+            </clipPath>
+            <mask id="m" maskContentUnits="objectBoundingBox">
+              <rect x="0.1" y="0.1" width="0.8" height="0.8" fill="white"/>
+            </mask>
+          </defs>
+          <rect x="8" y="8" width="64" height="80" fill="#cc3311" clip-path="url(#c)"/>
+          <rect x="88" y="8" width="64" height="80" fill="#1133cc" mask="url(#m)"/>
+        </svg>
+        """,
+        atol=0.02,  # per-draw vs group clipping differs on AA edges
+    )
+
+
 def test_pattern_fill_batches():
     # patterns batch via the atlas + modular device gather
     _compare(
