@@ -91,20 +91,20 @@ def render_atlas(
         canvas = jnp.zeros((height, width, 4), DEVICE_FLOAT)
         canvas = merge_at(canvas, layer.image, layer.offset)
         return Layer(canvas, (0, 0), pre_alpha=True, linear_rgb=linear_rgb)
-    items, big, (gh, gw), _hull, passes, patterns = lowered
+    _items, _big, (gh, gw), _hull, _passes, _patterns = lowered
 
-    if mesh is not None and (passes or patterns is not None):
-        mesh = None  # isolation passes / pattern atlases are not tile-partitionable yet
+    from ..render_plan import execute_lowered
+
     if mesh is None:
-        from ..render_plan import execute_lowered
-
         tiles = execute_lowered(lowered, viewport[:2], linear_rgb)
     else:
-        from .scene import partition_plan, sharded_render_plan
+        # every program in the plan (isolation-pass groups and the main
+        # stream) shards its tiles over the mesh's "data" axis
+        from .scene import sharded_exec_fn
 
-        n_devices = mesh.devices.size
-        st_items, st_big, _tpd = partition_plan(items, big, gh * gw, n_devices)
-        tiles = sharded_render_plan(mesh, st_items, st_big, TILE, gh * gw)[: gh * gw]
+        tiles = execute_lowered(
+            lowered, viewport[:2], linear_rgb, exec_fn=sharded_exec_fn(mesh)
+        )[: gh * gw]
 
     canvas = tiles.reshape(gh, gw, TILE, TILE, 4)
     canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(gh * TILE, gw * TILE, 4)

@@ -92,44 +92,71 @@ def partition_plan(items: dict, big_lines: np.ndarray, num_tiles: int, n_devices
     return stacked, stacked_big, tiles_per_dev
 
 
-def sharded_render_plan(mesh: Mesh, items: dict, big_lines, t_size: int, num_tiles: int):
+def sharded_render_plan(
+    mesh: Mesh, items: dict, big_lines, t_size: int, num_tiles: int,
+    pool=None, patterns=None,
+):
     """Execute a partitioned plan over the mesh's "data" axis.
 
     items/big_lines must already carry the leading device axis from
-    partition_plan.  Returns the assembled canvas
-    (n_devices * tiles_per_device, T, T, 4); callers slice to num_tiles.
+    partition_plan.  pool (isolation-pass tiles) and patterns (pattern
+    atlas) are replicated: any device may gather any row.  Returns the
+    assembled canvas (n_devices * tiles_per_device, T, T, 4); callers slice
+    to num_tiles.
     """
     import jax.numpy as jnp
 
     n_devices = items["tile_id"].shape[0]
     tiles_per_dev = -(-num_tiles // n_devices)
     has_big = big_lines.shape[1] > 0
+    has_pool = pool is not None
+    has_patterns = patterns is not None
 
-    def local(items_l, big_l):
+    def local(items_l, big_l, *rest):
         local_items = {k: v[0] for k, v in items_l.items()}
         big = big_l[0] if has_big else None
-        canvas = batch_exec.execute_items(local_items, t_size, tiles_per_dev, big)
+        rest = list(rest)
+        pool_l = rest.pop(0) if has_pool else None
+        patterns_l = rest.pop(0) if has_patterns else None
+        canvas = batch_exec.execute_items(
+            local_items, t_size, tiles_per_dev, big, pool_l, patterns_l
+        )
         return canvas[None]
 
     spec_items = {k: P("data") for k in items}
+    operands = [
+        {k: jnp.asarray(v) for k, v in items.items()},
+        jnp.asarray(big_lines),
+    ]
+    in_specs = [spec_items, P("data")]
+    for replicated in (pool, patterns):
+        if replicated is not None:
+            operands.append(replicated)
+            in_specs.append(P())
     # check_vma off: scan carries inside execute_items start from shard-local
     # constants, which the varying-axes checker cannot type
     try:
         mapped = shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(spec_items, P("data")),
-            out_specs=P("data"),
-            check_vma=False,
+            local, mesh=mesh, in_specs=tuple(in_specs), out_specs=P("data"), check_vma=False
         )
     except TypeError:
         mapped = shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(spec_items, P("data")),
-            out_specs=P("data"),
-            check_rep=False,
+            local, mesh=mesh, in_specs=tuple(in_specs), out_specs=P("data"), check_rep=False
         )
-    device_items = {k: jnp.asarray(v) for k, v in items.items()}
-    canvas = mapped(device_items, jnp.asarray(big_lines))
+    canvas = mapped(*operands)
     return canvas.reshape(n_devices * tiles_per_dev, t_size, t_size, 4)
+
+
+def sharded_exec_fn(mesh: Mesh):
+    """Plan executor for render_plan.execute_lowered that shards every
+    program (isolation-pass groups and the main stream) over the mesh."""
+    n_devices = int(mesh.devices.size)
+
+    def run(items, big_lines, num_tiles, pool, patterns, t_size):
+        st_items, st_big, _tpd = partition_plan(items, big_lines, num_tiles, n_devices)
+        canvas = sharded_render_plan(
+            mesh, st_items, st_big, t_size, num_tiles, pool, patterns
+        )
+        return canvas[:num_tiles]
+
+    return run

@@ -871,14 +871,36 @@ def _apply_part_filter(canvas, part, grid_w, viewport, linear_rgb, t_size):
     return tiles[jnp.asarray(local, jnp.int32)]
 
 
-def execute_lowered(lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: int = TILE):
+def _default_exec(items, big_lines, num_tiles, pool, patterns, t_size):
+    """Single-device plan executor (one jitted program)."""
+    import jax.numpy as jnp
+
+    return batch_exec.execute_plan(
+        {k: jnp.asarray(v) for k, v in items.items()},
+        t_size,
+        num_tiles,
+        jnp.asarray(big_lines),
+        pool,
+        patterns,
+    )
+
+
+def execute_lowered(
+    lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: int = TILE, exec_fn=None
+):
     """Execute a lowered plan: merged isolation-pass groups (with any post-op
-    filters) in level order, then the main stream referencing the pool."""
+    filters) in level order, then the main stream referencing the pool.
+
+    exec_fn(items, big_lines, num_tiles, pool, patterns, t_size) -> canvas
+    overrides the plan executor — parallel/scene.py supplies a mesh-sharded
+    one; the default runs one device program per group.
+    """
     import jax.numpy as jnp
 
     items, big_lines, (grid_h, grid_w), _hull, groups, patterns = lowered
     num_tiles = grid_h * grid_w
     atlas = jnp.asarray(patterns) if patterns is not None else None
+    run = exec_fn or _default_exec
 
     # the pool is preallocated at power-of-two capacity so its shape (part of
     # every downstream program's signature) stays stable across scenes
@@ -891,13 +913,13 @@ def execute_lowered(lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: 
         pool = jnp.zeros((cap, t_size, t_size, 4), DEVICE_FLOAT)
 
     for g in groups:
-        canvas = batch_exec.execute_plan(
-            {k: jnp.asarray(v) for k, v in g["items"].items()},
-            t_size,
+        canvas = run(
+            g["items"],
+            g["big"],
             g["rows"],
-            jnp.asarray(g["big"]),
             pool if g["needs_pool"] else None,
             atlas if bool((g["items"]["pat_idx"] >= 0).any()) else None,
+            t_size,
         )
         idx: list = []
         parts: list = []
@@ -910,13 +932,13 @@ def execute_lowered(lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: 
                 idx.extend(range(p["pool_base"], p["pool_base"] + len(p["out_tiles"])))
                 parts.append(part)
         pool = pool.at[jnp.asarray(idx, jnp.int32)].set(jnp.concatenate(parts, axis=0))
-    return batch_exec.execute_plan(
-        {k: jnp.asarray(v) for k, v in items.items()},
-        t_size,
+    return run(
+        items,
+        big_lines,
         num_tiles,
-        jnp.asarray(big_lines),
         pool,
         atlas if bool((items["pat_idx"] >= 0).any()) else None,
+        t_size,
     )
 
 

@@ -48,6 +48,44 @@ def test_sharded_plan_matches_single_device(plan, n_devices):
     np.testing.assert_allclose(out[:num_tiles], ref, atol=1e-5)
 
 
+MULTIPASS_DOC = """
+<svg xmlns="http://www.w3.org/2000/svg" width="400" height="300">
+  <defs>
+    <mask id="m"><rect x="40" y="40" width="320" height="220" fill="white"/>
+      <circle cx="200" cy="150" r="60" fill="black"/></mask>
+    <pattern id="p" width="16" height="16" patternUnits="userSpaceOnUse">
+      <rect width="8" height="8" fill="#aa2200"/></pattern>
+    <filter id="b"><feGaussianBlur stdDeviation="2"/></filter>
+  </defs>
+  <rect x="10" y="10" width="380" height="280" fill="url(#p)"/>
+  <g opacity="0.5"><rect x="60" y="60" width="200" height="120" fill="blue"/>
+    <circle cx="260" cy="180" r="70" fill="red"/></g>
+  <rect x="100" y="40" width="240" height="200" fill="#00aa88" mask="url(#m)"/>
+  <circle cx="90" cy="220" r="40" fill="purple" filter="url(#b)"/>
+</svg>
+"""
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_multipass_plan(n_devices):
+    """Isolation passes (opacity/mask/filter) + patterns, sharded."""
+    from svgrasterize_tpu.parallel.scene import sharded_exec_fn
+    from svgrasterize_tpu.render_plan import execute_lowered
+
+    scene, _ids, _size = scene_from_str(MULTIPASS_DOC)
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    lowered = lower_scene(scene, tr, (0, 0, 300, 400), False)
+    assert lowered is not None
+    assert lowered[4], "scene should need isolation passes"
+    assert lowered[5] is not None, "scene should carry a pattern atlas"
+    ref = np.asarray(execute_lowered(lowered, (0, 0), False))
+    mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("data",))
+    out = np.asarray(
+        execute_lowered(lowered, (0, 0), False, exec_fn=sharded_exec_fn(mesh))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_partition_balances_and_remaps(plan):
     items, big, num_tiles, _ref = plan
     st_items, _st_big, tiles_per_dev = partition_plan(items, big, num_tiles, 4)
