@@ -3,8 +3,11 @@
 The Filter holds named results plus a list of (kind, attrs, input-indices);
 execution seeds a stack with [SourceAlpha, SourceGraphic] and pushes each
 primitive's result (parity: svgrasterize.py:1718-1957).  Implemented
-primitives: feOffset, feMerge, feBlend (degraded to OVER), feComposite (all
-Porter-Duff + arithmetic), feGaussianBlur, feColorMatrix, feMorphology.
+primitives: feOffset, feMerge, feBlend (all 16 modes), feComposite (all
+Porter-Duff + arithmetic), feGaussianBlur, feColorMatrix, feMorphology —
+the reference's executed set — plus feFlood, feTile, feComponentTransfer,
+feTurbulence (spec-exact Perlin), and feDropShadow, which the reference
+declares but cannot execute (svgrasterize.py:1718-1732 vs :1834-1900).
 All pixel math runs on device; filters operate in straight-alpha linear RGB.
 """
 
@@ -36,6 +39,7 @@ FE_OFFSET = 11
 FE_SPECULAR_LIGHTING = 12
 FE_TILE = 13
 FE_TURBULENCE = 14
+FE_DROP_SHADOW = 15  # SVG2 convenience primitive
 
 FE_SOURCE_ALPHA = "SourceAlpha"
 FE_SOURCE_GRAPHIC = "SourceGraphic"
@@ -116,6 +120,38 @@ class Filter(NamedTuple):
     def morphology(self, rx, ry, method, input, result=None):
         return self.add_filter(FE_MORPHOLOGY, (rx, ry, method), [input], result)
 
+    # primitives beyond the reference's executed set (it declares these
+    # kinds but has no interpreter cases: svgrasterize.py:1718-1732 vs
+    # :1834-1900).  Flood/tile/turbulence have no real input; they take the
+    # SourceGraphic so its extent defines the output region (this engine,
+    # like the reference, does not track per-primitive filter subregions).
+    def flood(self, color, region=None, result=None):
+        """color: straight-alpha linear-RGB (4,); region: user-space
+        (x, y, w, h) or None for the source extent."""
+        return self.add_filter(FE_FLOOD, (np.asarray(color, np.float64), region),
+                               [FE_SOURCE_GRAPHIC], result)
+
+    def tile(self, input=None, result=None):
+        return self.add_filter(FE_TILE, (), [input, FE_SOURCE_GRAPHIC], result)
+
+    def component_transfer(self, funcs, input=None, result=None):
+        """funcs: {channel 0..3: (kind, *params)} with kind table/discrete/
+        linear/gamma; missing channels pass through."""
+        return self.add_filter(FE_COMPONENT_TRANSFER, (funcs,), [input], result)
+
+    def turbulence(self, base_fx, base_fy, octaves=1, seed=0, fractal=False,
+                   region=None, result=None):
+        return self.add_filter(
+            FE_TURBULENCE, (base_fx, base_fy, int(octaves), int(seed), fractal, region),
+            [FE_SOURCE_GRAPHIC], result,
+        )
+
+    def drop_shadow(self, dx, dy, std, color, input=None, result=None):
+        """color: straight-alpha linear-RGB (4,) shadow paint."""
+        return self.add_filter(
+            FE_DROP_SHADOW, (dx, dy, std, np.asarray(color, np.float64)), [input], result
+        )
+
     # interpreter ------------------------------------------------------------
     def __call__(self, transform: Transform, source: Layer) -> Layer:
         alpha = Layer(
@@ -187,4 +223,125 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
             return layer
         return layer.morphology(size0, size1, method)
 
+    if kind == FE_FLOOD:
+        color, region = attrs
+        (source,) = inputs
+        offset, (h, w) = _output_region(region, source, transform)
+        image = jnp.broadcast_to(jnp.asarray(color, source.image.dtype), (h, w, 4))
+        return Layer(image, offset, pre_alpha=False, linear_rgb=True)
+
+    if kind == FE_TILE:
+        tile, source = inputs
+        # the input layer's extent is the tile; it repeats across the
+        # source's extent (subregion tracking approximated by extents)
+        rows = (jnp.arange(source.height) + source.x - tile.x) % tile.height
+        cols = (jnp.arange(source.width) + source.y - tile.y) % tile.width
+        image = tile.image[rows[:, None], cols[None, :]]
+        return Layer(image, source.offset, tile.pre_alpha, tile.linear_rgb)
+
+    if kind == FE_COMPONENT_TRANSFER:
+        (funcs,) = attrs
+        (layer,) = inputs
+        layer = layer.convert(pre_alpha=False, linear_rgb=True)
+        chans = [
+            _transfer_channel(layer.image[..., c], funcs.get(c)) for c in range(4)
+        ]
+        return Layer(
+            jnp.clip(jnp.stack(chans, axis=-1), 0.0, 1.0),
+            layer.offset, pre_alpha=False, linear_rgb=True,
+        )
+
+    if kind == FE_TURBULENCE:
+        from .ops.turbulence import lattice_tables, turbulence_impl
+
+        base_fx, base_fy, octaves, seed, fractal, region = attrs
+        (source,) = inputs
+        offset, (h, w) = _output_region(region, source, transform)
+        selector, gradient = lattice_tables(seed)
+        # device pixel centers -> user space (the spec evaluates noise in
+        # user coordinates; baseFrequency is per user unit)
+        inv = transform.invert.m
+        pr = jnp.arange(h, dtype=jnp.float32)[:, None] + offset[0] + 0.5
+        pc = jnp.arange(w, dtype=jnp.float32)[None, :] + offset[1] + 0.5
+        ux = inv[0, 0] * pr + inv[0, 1] * pc + inv[0, 2]
+        uy = inv[1, 0] * pr + inv[1, 1] * pc + inv[1, 2]
+        ux, uy = jnp.broadcast_arrays(ux, uy)
+        image = turbulence_impl(
+            jnp.asarray(selector), jnp.asarray(gradient), ux, uy,
+            base_fx, base_fy, max(octaves, 1), bool(fractal),
+        )
+        return Layer(image, offset, pre_alpha=False, linear_rgb=True)
+
+    if kind == FE_DROP_SHADOW:
+        dx, dy, std, color = attrs
+        (layer,) = inputs
+        alpha = layer.convert(pre_alpha=False, linear_rgb=True).image[..., -1:]
+        zeros_rgb = jnp.zeros((*alpha.shape[:2], 3), alpha.dtype)
+        shadow = Layer(
+            jnp.concatenate([zeros_rgb, alpha], axis=-1),
+            layer.offset, pre_alpha=False, linear_rgb=True,
+        )
+        kernel = blur_ops.gaussian_kernel(transform, (std, std))
+        if kernel is not None:
+            shadow = shadow.convolve(kernel)
+        shadow = _apply(FE_OFFSET, (dx, dy), [shadow], transform)
+        rgb = jnp.broadcast_to(
+            jnp.asarray(color[:3], shadow.image.dtype), (*shadow.image.shape[:2], 3)
+        )
+        tinted = Layer(
+            jnp.concatenate([rgb, shadow.image[..., -1:] * color[3]], axis=-1),
+            shadow.offset, pre_alpha=False, linear_rgb=True,
+        )
+        return Layer.compose([tinted, layer], linear_rgb=True)
+
     raise ValueError(f"unsupported filter kind: {kind}")
+
+
+def _output_region(region, source: Layer, transform: Transform):
+    """Device-space (offset, (h, w)) for a no-input primitive: the explicit
+    user-space subregion when given, else the source graphic's extent."""
+    if region is None:
+        return source.offset, (source.height, source.width)
+    x, y, w, h = region
+    corners = transform(
+        np.array([[x, y], [x + w, y], [x, y + h], [x + w, y + h]], dtype=np.float64)
+    )
+    lo = np.floor(corners.min(axis=0)).astype(int)
+    hi = np.ceil(corners.max(axis=0)).astype(int)
+    return (int(lo[0]), int(lo[1])), (int(hi[0] - lo[0]), int(hi[1] - lo[1]))
+
+
+def _transfer_channel(values, fn):
+    """One feComponentTransfer transfer function (SVG 1.1 15.11.2)."""
+    if fn is None or fn[0] == "identity":
+        return values
+    kind = fn[0]
+    if kind == "table":
+        table = np.asarray(fn[1], dtype=np.float64)
+        n = len(table)
+        if n == 0:
+            return values
+        if n == 1:
+            return jnp.full_like(values, float(table[0]))
+        t = values * (n - 1)
+        out = jnp.full_like(values, float(table[0]))
+        for k in range(1, n):
+            out = out + jnp.clip(t - (k - 1), 0.0, 1.0) * float(table[k] - table[k - 1])
+        return out
+    if kind == "discrete":
+        table = np.asarray(fn[1], dtype=np.float64)
+        n = len(table)
+        if n == 0:
+            return values
+        out = jnp.full_like(values, float(table[0]))
+        for k in range(1, n):
+            out = out + (values >= k / n) * float(table[k] - table[k - 1])
+        return out
+    if kind == "linear":
+        _kind, slope, intercept = fn
+        return values * slope + intercept
+    if kind == "gamma":
+        _kind, amplitude, exponent, offset = fn
+        return amplitude * jnp.power(jnp.maximum(values, 0.0), exponent) + offset
+    warnings.warn(f"unknown transfer function type: {kind}")
+    return values

@@ -354,9 +354,94 @@ def build_filter(element) -> Filter:
             ry = radius[1] if len(radius) > 1 else rx
             if rx > 0 and ry > 0:
                 flt = flt.morphology(rx, ry, method, input_, result)
+        elif tag == "feFlood":
+            flt = flt.flood(_flood_color(attrs), _fe_region(attrs), result)
+        elif tag == "feTile":
+            flt = flt.tile(input_, result)
+        elif tag == "feComponentTransfer":
+            funcs = {}
+            for node in child:
+                chan = {"feFuncR": 0, "feFuncG": 1, "feFuncB": 2, "feFuncA": 3}.get(
+                    _local_tag(node)
+                )
+                if chan is None:
+                    continue
+                fn = _transfer_func(node.attrib)
+                if fn is not None:
+                    funcs[chan] = fn
+            flt = flt.component_transfer(funcs, input_, result)
+        elif tag == "feTurbulence":
+            freq = parse_float_list(attrs.get("baseFrequency", "0"), 1, 2)
+            fx = freq[0]
+            fy = freq[1] if len(freq) > 1 else fx
+            flt = flt.turbulence(
+                fx, fy,
+                octaves=int(parse_float(attrs.get("numOctaves", "1"))),
+                seed=int(parse_float(attrs.get("seed", "0"))),
+                fractal=attrs.get("type") == "fractalNoise",
+                region=_fe_region(attrs),
+                result=result,
+            )
+        elif tag == "feDropShadow":
+            stds = parse_float_list(attrs.get("stdDeviation", "2"), 1, 2)
+            flt = flt.drop_shadow(
+                parse_float(attrs.get("dx", "2")),
+                parse_float(attrs.get("dy", "2")),
+                stds[0],
+                _flood_color(attrs),
+                input_,
+                result,
+            )
         else:
             warnings.warn(f"unsupported filter primitive: {tag}")
     return flt
+
+
+def _flood_color(attrs) -> np.ndarray:
+    """flood-color/flood-opacity -> straight-alpha linear-RGB (4,)."""
+    color = parse_color(attrs.get("flood-color", "black"))
+    if color is None:
+        color = np.array([0.0, 0.0, 0.0, 1.0])
+    color = color.copy()
+    if color[3] > 0:
+        color[:3] /= color[3]  # parse_color returns premultiplied
+    color[3] *= parse_float(attrs.get("flood-opacity", "1"))
+    return color
+
+
+def _fe_region(attrs):
+    """Explicit primitive subregion (x, y, width, height) in user units."""
+    if not all(k in attrs for k in ("x", "y", "width", "height")):
+        return None
+    vals = [parse_float(attrs[k]) for k in ("x", "y", "width", "height")]
+    if any(v is None for v in vals) or vals[2] <= 0 or vals[3] <= 0:
+        return None
+    return tuple(vals)
+
+
+def _transfer_func(attrs):
+    """One feFunc[RGBA] element -> (kind, *params) or None for identity."""
+    kind = attrs.get("type", "identity")
+    if kind == "identity":
+        return None
+    if kind in ("table", "discrete"):
+        values = parse_float_list(attrs.get("tableValues", ""))
+        return (kind, values) if values else None
+    if kind == "linear":
+        return (
+            "linear",
+            parse_float(attrs.get("slope", "1")),
+            parse_float(attrs.get("intercept", "0")),
+        )
+    if kind == "gamma":
+        return (
+            "gamma",
+            parse_float(attrs.get("amplitude", "1")),
+            parse_float(attrs.get("exponent", "1")),
+            parse_float(attrs.get("offset", "0")),
+        )
+    warnings.warn(f"unknown transfer function type: {kind}")
+    return None
 
 
 def build_font(element) -> Font | None:

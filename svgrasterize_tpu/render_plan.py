@@ -333,7 +333,7 @@ def _bin_draw(lines: np.ndarray, grid_h: int, grid_w: int):
 
 def _filter_margin(flt, transform: Transform) -> tuple[int, int]:
     """Conservative device-pixel growth of a filter chain in (rows, cols)."""
-    from .filter import FE_GAUSSIAN_BLUR, FE_MORPHOLOGY, FE_OFFSET
+    from .filter import FE_DROP_SHADOW, FE_GAUSSIAN_BLUR, FE_MORPHOLOGY, FE_OFFSET
     from .ops import blur as blur_ops
 
     mr = mc = 0.0
@@ -354,6 +354,15 @@ def _filter_margin(flt, transform: Transform) -> tuple[int, int]:
             unit = transform.apply_vectors(np.array([[rx, 0.0], [0.0, ry]]))
             mr += 2 * float(np.linalg.norm(unit[0]))
             mc += 2 * float(np.linalg.norm(unit[1]))
+        elif kind == FE_DROP_SHADOW:
+            dx, dy, std, _color = attrs
+            kernel = blur_ops.gaussian_kernel(transform, (std, std))
+            if kernel is not None:
+                mr += kernel.shape[0]
+                mc += kernel.shape[1]
+            moved = transform.apply_vectors(np.array([[dx, dy]]))[0]
+            mr += abs(moved[0])
+            mc += abs(moved[1])
     return int(np.ceil(mr)), int(np.ceil(mc))
 
 

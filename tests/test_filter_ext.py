@@ -1,0 +1,142 @@
+"""Filter primitives beyond the reference's executed set.
+
+The reference declares FE_FLOOD/FE_TILE/FE_COMPONENT_TRANSFER/FE_TURBULENCE
+but has no interpreter cases for them (svgrasterize.py:1718-1732 vs
+:1834-1900), so these are semantic tests rather than golden comparisons.
+"""
+
+import numpy as np
+import pytest
+
+from svgrasterize_tpu.core.transform import Transform
+from svgrasterize_tpu.frontend.svg import scene_from_str
+
+TR = Transform().matrix(0, 1, 0, 1, 0, 0)
+
+
+def _render(doc: str):
+    scene, _ids, size = scene_from_str(doc)
+    w, h = int(size[0]), int(size[1])
+    layer, _hull = scene.render(TR, viewport=(0, 0, h, w))
+    out = layer.convert(pre_alpha=False, linear_rgb=False)
+    img = np.zeros((h, w, 4), np.float32)
+    r0, c0 = out.offset
+    img[r0 : r0 + out.height, c0 : c0 + out.width] = np.asarray(out.image)
+    return img
+
+
+def test_fe_flood_fills_region():
+    img = _render(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+          <defs><filter id="f"><feFlood flood-color="lime" flood-opacity="0.5"/></filter></defs>
+          <rect x="8" y="8" width="48" height="48" fill="red" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    # the flood replaces the source over its extent: green at half opacity
+    center = img[32, 32]
+    assert center[1] > 0.9 and center[0] < 0.1
+    assert abs(center[3] - 0.5) < 0.02
+
+
+def test_fe_component_transfer_linear_and_table():
+    img = _render(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+          <defs><filter id="f"><feComponentTransfer>
+            <feFuncR type="linear" slope="0.5" intercept="0.25"/>
+            <feFuncG type="table" tableValues="1 0"/>
+            <feFuncB type="gamma" amplitude="1" exponent="2" offset="0"/>
+          </feComponentTransfer></filter></defs>
+          <rect width="64" height="64" fill="rgb(255,255,128)" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    center = img[32, 32]
+    # linear: 1 * 0.5 + 0.25 = 0.75 (in linear RGB, read back through sRGB)
+    import svgrasterize_tpu.core.color as color_ops
+
+    lin = color_ops.srgb_to_linear(np.asarray(center[:3], np.float64))
+    assert abs(lin[0] - 0.75) < 0.02
+    # table [1, 0] inverts: green 1 -> 0
+    assert lin[1] < 0.02
+    # gamma with exponent 2 squares the channel
+    in_b = color_ops.srgb_to_linear(np.array([128 / 255]))[0]
+    assert abs(lin[2] - in_b**2) < 0.02
+
+
+def test_fe_component_transfer_discrete():
+    img = _render(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+          <defs><filter id="f"><feComponentTransfer>
+            <feFuncA type="discrete" tableValues="0.2 0.9"/>
+          </feComponentTransfer></filter></defs>
+          <rect width="64" height="64" fill="black" fill-opacity="0.9" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    assert abs(img[32, 32, 3] - 0.9) < 0.02
+
+
+def test_fe_tile_repeats_input():
+    img = _render(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+          <defs><filter id="f" filterUnits="userSpaceOnUse" x="0" y="0" width="64" height="64">
+            <feTile/></filter></defs>
+          <rect x="0" y="0" width="8" height="8" fill="blue" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    # the 8x8 source tiles across its own extent: trivially identity here,
+    # but must not crash and must preserve the source where defined
+    assert img[4, 4, 2] > 0.9
+
+
+def test_fe_turbulence_deterministic_and_bounded():
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+      <defs><filter id="f"><feTurbulence baseFrequency="0.1" numOctaves="2" seed="{seed}" type="{kind}"/></filter></defs>
+      <rect width="64" height="64" fill="white" filter="url(#f)"/>
+    </svg>
+    """
+    a = _render(doc.format(seed=5, kind="turbulence"))
+    b = _render(doc.format(seed=5, kind="turbulence"))
+    c = _render(doc.format(seed=7, kind="turbulence"))
+    d = _render(doc.format(seed=5, kind="fractalNoise"))
+    np.testing.assert_allclose(a, b)  # deterministic
+    assert np.abs(a - c).max() > 0.01  # seed changes the field
+    assert np.abs(a - d).max() > 0.01  # mode changes the field
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    assert a.std() > 0.01  # non-constant noise
+
+
+def test_fe_turbulence_matches_spec_lattice():
+    # the spec PRNG: first values from seed 1 are deterministic
+    from svgrasterize_tpu.ops.turbulence import _random, lattice_tables
+
+    assert _random(1) == 16807
+    assert _random(16807) == 282475249
+    selector, gradient = lattice_tables(1)
+    assert sorted(selector[:256].tolist()) == list(range(256))
+    assert np.allclose(np.linalg.norm(gradient[:, :256], axis=-1), 1.0, atol=1e-6)
+    np.testing.assert_array_equal(selector[256:258], selector[:2])
+
+
+def test_fe_drop_shadow():
+    img = _render(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="96" height="96">
+          <defs><filter id="f"><feDropShadow dx="12" dy="12" stdDeviation="1"
+            flood-color="blue" flood-opacity="0.8"/></filter></defs>
+          <rect x="16" y="16" width="40" height="40" fill="red" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    assert img[32, 32, 0] > 0.9  # original on top
+    # shadow visible offset by (12, 12) beyond the rect's lower-right corner
+    shadow = img[62, 62]
+    assert shadow[2] > 0.5 and shadow[0] < 0.4
+    assert shadow[3] > 0.5
