@@ -48,11 +48,14 @@ def bench_scene():
     w, h = int(size[0]), int(size[1])
     tr = Transform().matrix(0, 1, 0, 1, 0, 0)
     t_lower = time.perf_counter()
-    items, big_lines, (gh, gw), _hull, passes, _patterns = lower_scene(scene, tr, (0, 0, h, w), False)
-    assert not passes, "headline scene should lower to a single pass"
+    lowered = lower_scene(scene, tr, (0, 0, h, w), False)
+    assert not lowered.groups, "headline scene should lower to a single pass"
     t_lower = time.perf_counter() - t_lower
+    gh, gw = lowered.grid
+    items = lowered.items
     dev = {k: jnp.asarray(v) for k, v in items.items()}
-    big = jnp.asarray(big_lines)
+    bigs = tuple(jnp.asarray(b) for b in lowered.bigs)
+    clips = jnp.asarray(lowered.clips) if lowered.clips.shape[0] else None
 
     def run_chain(k: int) -> float:
         start = time.perf_counter()
@@ -60,7 +63,7 @@ def bench_scene():
         for _ in range(k):
             d = dict(dev)
             d["opacity"] = dev["opacity"] + carry  # data dependency between iters
-            tiles = batch_exec.execute_plan(d, TILE, gh * gw, big)
+            tiles = batch_exec.execute_plan(d, TILE, gh * gw, bigs, None, None, clips)
             carry = tiles[0, 0, 0, 0] * 0.0
         float(carry)  # scalar readback forces completion
         return time.perf_counter() - start
@@ -73,7 +76,11 @@ def bench_scene():
         "value": round(mpx / per_render, 2),
         "unit": "Mpx/s",
         "vs_baseline": round(mpx / per_render / REFERENCE_SCENE_MPX_S, 1),
-    }, f"items={items["tile_id"].shape[0]} segs={items["lines"].shape[1]} big={big_lines.shape} lower={t_lower:.2f}s per_render={per_render * 1e3:.1f}ms"
+    }, (
+        f"items={items['tile_id'].shape[0]} segs={items['lines'].shape[1]} "
+        f"bigs={[b.shape for b in lowered.bigs]} clips={lowered.clips.shape} "
+        f"lower={t_lower:.2f}s per_render={per_render * 1e3:.1f}ms"
+    )
 
 
 def bench_kernel():

@@ -180,7 +180,7 @@ def _raster_item(item, t_size: int):
     nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
     evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
     mask = jnp.where(item["fill_rule"] == 0, nonzero, evenodd)
-    clip_wind = _winding(item["clip_lines"], t_size) + item["clip_carry"][:, None]
+    clip_wind = item["_clip_wind"] + item["clip_carry"][:, None]
     mask = mask * jnp.clip(jnp.abs(clip_wind), 0.0, 1.0)
     mask = jnp.where(mask < 1e-6, 0.0, mask) * item["opacity"]
     if "_mask_tex" in item:
@@ -192,14 +192,41 @@ def _raster_item(item, t_size: int):
     return mask[..., None] * paint
 
 
+def _prepass_winding(arrays, t_size: int):
+    """Winding fields for a tuple of padded edge-list arrays (M_c, S_c, 4).
+
+    Each class is rasterized in CHUNK_BIG-row scan steps at its own padded
+    segment width; results concatenate into one (M_total + 1, T, T) stack
+    (scratch row last, for idx == -1 gathers).  Returns None when empty.
+    """
+    winds = []
+    for arr in arrays:
+        if arr is None or arr.shape[0] == 0:
+            continue
+        m = arr.shape[0]
+        step = min(m, CHUNK_BIG)
+        chunks = arr.reshape(m // step, step, *arr.shape[1:])
+        winds.append(
+            jax.lax.map(
+                lambda chunk: jax.vmap(lambda l: _winding(l, t_size))(chunk), chunks
+            ).reshape(m, t_size, t_size)
+        )
+    if not winds:
+        return None
+    winds.append(jnp.zeros((1, t_size, t_size), DEVICE_FLOAT))
+    return jnp.concatenate(winds, axis=0)
+
+
 def execute_items(
-    items: dict, t_size: int, num_tiles: int, big_lines=None, pool=None, patterns=None
+    items: dict, t_size: int, num_tiles: int, big_lines=(), pool=None,
+    patterns=None, clip_lines=None,
 ):
     """Traceable whole-scene execution; see execute_plan for the contract.
 
     pool: (P, T, T, 4) texture tiles from earlier isolation passes, gathered
     by items["tex_idx"].  patterns: (Q, TH, TW, 4) pattern-tile atlas,
-    gathered by items["pat_idx"].
+    gathered by items["pat_idx"].  clip_lines: (U, S_u, 4) deduplicated
+    per-(clip, tile) edge lists, gathered by items["clip_idx"].
     """
     n = items["tile_id"].shape[0]
     chunk_items = min(n, CHUNK_ITEMS)  # small passes stay small
@@ -208,18 +235,10 @@ def execute_items(
         lambda a: a.reshape(num_chunks, chunk_items, *a.shape[1:]), items
     )
 
-    if big_lines is not None and big_lines.shape[0] > 0:
-        m = big_lines.shape[0]
-        big_chunks = big_lines.reshape(m // CHUNK_BIG, CHUNK_BIG, *big_lines.shape[1:])
-        big_wind = jax.lax.map(
-            lambda chunk: jax.vmap(lambda l: _winding(l, t_size))(chunk), big_chunks
-        ).reshape(m, t_size, t_size)
-        # one scratch row so gathers with idx -1 -> m stay in bounds
-        big_wind = jnp.concatenate(
-            [big_wind, jnp.zeros((1, t_size, t_size), DEVICE_FLOAT)], axis=0
-        )
-    else:
-        big_wind = None
+    if big_lines is not None and not isinstance(big_lines, (tuple, list)):
+        big_lines = (big_lines,)
+    big_wind = _prepass_winding(tuple(big_lines or ()), t_size)
+    clip_wind = _prepass_winding((clip_lines,), t_size)
 
     if pool is not None:
         # scratch row so tex_idx == -1 gathers stay in bounds
@@ -241,6 +260,15 @@ def execute_items(
             wind = jnp.where((idx >= 0)[:, None, None], gathered, wind)
         merged = dict(chunk)
         merged["_wind"] = wind
+        if clip_wind is not None:
+            cidx = chunk["clip_idx"]
+            merged["_clip_wind"] = clip_wind[
+                jnp.where(cidx >= 0, cidx, clip_wind.shape[0] - 1)
+            ]
+        else:
+            merged["_clip_wind"] = jnp.zeros(
+                (chunk["tile_id"].shape[0], t_size, t_size), DEVICE_FLOAT
+            )
         if pool is not None:
             tex_idx = chunk["tex_idx"]
             mask_idx = chunk["mask_idx"]
@@ -281,7 +309,8 @@ def execute_items(
 
 @partial(jax.jit, static_argnames=("t_size", "num_tiles"))
 def execute_plan(
-    items: dict, t_size: int, num_tiles: int, big_lines=None, pool=None, patterns=None
+    items: dict, t_size: int, num_tiles: int, big_lines=(), pool=None,
+    patterns=None, clip_lines=None,
 ):
     """Run a whole lowered scene; returns the canvas (num_tiles, T, T, 4).
 
@@ -289,11 +318,17 @@ def execute_plan(
     CHUNK_ITEMS), z-sorted by (tile_id, z).  Padding items carry
     tile_id == num_tiles and are dropped by the scatter.
 
-    Two-class segment scheduling: every item's "lines" is capped at
-    SMALL_SEGS edges; the few heavy items carry their full edge list in
-    `big_lines` (M, S_big, 4), rasterized once in a pre-pass, and the main
-    pass gathers their winding by items["big_idx"] (-1 for small items).
-    This keeps the per-item winding cost proportional to the common case
+    Segment-class scheduling: every item's "lines" is capped at SMALL_SEGS
+    edges; heavier items carry their full edge list in one of the
+    `big_lines` class arrays ((M_c, S_c, 4), widths chosen per scene),
+    rasterized once in a pre-pass and gathered by items["big_idx"] (a row
+    into the concatenated class stack; -1 for small items).  This keeps
+    per-item winding cost proportional to each item's real segment count
     instead of the scene's worst tile.
+
+    Clip deduplication: per-(clip, tile) edge lists are stored once in
+    `clip_lines`, rasterized in the same pre-pass fashion, and gathered by
+    items["clip_idx"] — scenes where hundreds of draws share a clip pay
+    for its winding once.
     """
-    return execute_items(items, t_size, num_tiles, big_lines, pool, patterns)
+    return execute_items(items, t_size, num_tiles, big_lines, pool, patterns, clip_lines)

@@ -91,7 +91,7 @@ def render_atlas(
         canvas = jnp.zeros((height, width, 4), DEVICE_FLOAT)
         canvas = merge_at(canvas, layer.image, layer.offset)
         return Layer(canvas, (0, 0), pre_alpha=True, linear_rgb=linear_rgb)
-    _items, _big, (gh, gw), _hull, _passes, _patterns = lowered
+    gh, gw = lowered.grid
 
     from ..render_plan import execute_lowered
 

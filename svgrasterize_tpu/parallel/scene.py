@@ -32,13 +32,36 @@ def _pow2_pad(n: int, chunk: int) -> int:
     return out
 
 
-def partition_plan(items: dict, big_lines: np.ndarray, num_tiles: int, n_devices: int):
+def _flatten_big_classes(bigs) -> np.ndarray:
+    """Concatenate per-width big classes into one max-width array, keeping
+    every class's padded row count so global big_idx rows stay valid."""
+    arrays = list(bigs)
+    if not arrays:
+        return np.zeros((0, 0, 4), DEVICE_FLOAT)
+    width = max(a.shape[1] for a in arrays)
+    total = sum(a.shape[0] for a in arrays)
+    out = np.zeros((total, width, 4), DEVICE_FLOAT)
+    row = 0
+    for a in arrays:
+        out[row : row + a.shape[0], : a.shape[1]] = a
+        row += a.shape[0]
+    return out
+
+
+def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
     """Split a lowered plan into per-device shards.
 
     Returns (stacked_items, stacked_big, tiles_per_device) where every array
     gains a leading device axis; tile ids are remapped device-local and
     padding items carry the device-local scratch id.
+
+    big_lines may be a tuple of per-width class arrays (see
+    render_plan._pack); classes are flattened into one max-width array here
+    — per-device big row counts vary anyway, so the class split would not
+    change the padded shard shape.
     """
+    if isinstance(big_lines, (tuple, list)):
+        big_lines = _flatten_big_classes(big_lines)
     tiles_per_dev = -(-num_tiles // n_devices)
     tile_id = items["tile_id"]
     valid = tile_id < num_tiles
@@ -94,15 +117,15 @@ def partition_plan(items: dict, big_lines: np.ndarray, num_tiles: int, n_devices
 
 def sharded_render_plan(
     mesh: Mesh, items: dict, big_lines, t_size: int, num_tiles: int,
-    pool=None, patterns=None,
+    pool=None, patterns=None, clips=None,
 ):
     """Execute a partitioned plan over the mesh's "data" axis.
 
     items/big_lines must already carry the leading device axis from
-    partition_plan.  pool (isolation-pass tiles) and patterns (pattern
-    atlas) are replicated: any device may gather any row.  Returns the
-    assembled canvas (n_devices * tiles_per_device, T, T, 4); callers slice
-    to num_tiles.
+    partition_plan.  pool (isolation-pass tiles), patterns (pattern atlas),
+    and clips (deduplicated clip edge lists) are replicated: any device may
+    gather any row.  Returns the assembled canvas
+    (n_devices * tiles_per_device, T, T, 4); callers slice to num_tiles.
     """
     import jax.numpy as jnp
 
@@ -111,6 +134,7 @@ def sharded_render_plan(
     has_big = big_lines.shape[1] > 0
     has_pool = pool is not None
     has_patterns = patterns is not None
+    has_clips = clips is not None
 
     def local(items_l, big_l, *rest):
         local_items = {k: v[0] for k, v in items_l.items()}
@@ -118,8 +142,9 @@ def sharded_render_plan(
         rest = list(rest)
         pool_l = rest.pop(0) if has_pool else None
         patterns_l = rest.pop(0) if has_patterns else None
+        clips_l = rest.pop(0) if has_clips else None
         canvas = batch_exec.execute_items(
-            local_items, t_size, tiles_per_dev, big, pool_l, patterns_l
+            local_items, t_size, tiles_per_dev, big, pool_l, patterns_l, clips_l
         )
         return canvas[None]
 
@@ -129,7 +154,7 @@ def sharded_render_plan(
         jnp.asarray(big_lines),
     ]
     in_specs = [spec_items, P("data")]
-    for replicated in (pool, patterns):
+    for replicated in (pool, patterns, clips):
         if replicated is not None:
             operands.append(replicated)
             in_specs.append(P())
@@ -150,12 +175,15 @@ def sharded_render_plan(
 def sharded_exec_fn(mesh: Mesh):
     """Plan executor for render_plan.execute_lowered that shards every
     program (isolation-pass groups and the main stream) over the mesh."""
+    import jax.numpy as jnp
+
     n_devices = int(mesh.devices.size)
 
-    def run(items, big_lines, num_tiles, pool, patterns, t_size):
-        st_items, st_big, _tpd = partition_plan(items, big_lines, num_tiles, n_devices)
+    def run(items, bigs, clips, num_tiles, pool, patterns, t_size):
+        st_items, st_big, _tpd = partition_plan(items, bigs, num_tiles, n_devices)
         canvas = sharded_render_plan(
-            mesh, st_items, st_big, t_size, num_tiles, pool, patterns
+            mesh, st_items, st_big, t_size, num_tiles, pool, patterns,
+            jnp.asarray(clips) if clips.shape[0] else None,
         )
         return canvas[:num_tiles]
 

@@ -21,6 +21,7 @@ paints or multi-child OPACITY return None and fall back to the interpreter.
 from __future__ import annotations
 
 import math
+from typing import Any, NamedTuple
 
 import numpy as np
 
@@ -50,7 +51,28 @@ from .scene import (
 )
 from .utils.constants import DEVICE_FLOAT, FLATNESS
 
-TILE = 128
+def _default_tile() -> int:
+    """Canvas tile size: 32 on TPU, 128 elsewhere.
+
+    Measured on v5e (material-design.svg): 32 -> 9.7ms, 64 -> 13.2ms,
+    128 -> 26.4ms, 16 -> 41ms per render — small tiles slash the per-item
+    pixel area (every item rasterizes and paints a full tile) until item
+    scheduling overhead takes over.  On CPU the per-item overhead dominates
+    much earlier, so big tiles win there.  Override with SVGR_TILE.
+    """
+    import os
+
+    if os.environ.get("SVGR_TILE"):
+        return int(os.environ["SVGR_TILE"])
+    try:
+        import jax
+
+        return 32 if jax.default_backend() == "tpu" else 128
+    except Exception:  # pragma: no cover - jax always importable here
+        return 64
+
+
+TILE = _default_tile()
 
 # interpreter group-run batching switch (tests disable it to get a pure
 # per-path oracle)
@@ -373,6 +395,22 @@ def _bucket(count: int, minimum: int = 32) -> int:
     return size
 
 
+def _round_count(count: int, step: int) -> int:
+    """Round a row count up to step * {1..6, 8, 10, .., 16, 20, .., 32, 40 ..}.
+
+    Pow2 rounding wastes up to 50% of the winding work on padding rows; this
+    set keeps waste under ~17% while bounding the number of distinct
+    compiled shapes (remote TPU compiles cost minutes each).
+    """
+    need = -(-count // step)
+    if need > 6:
+        granule = 2
+        while need > 8 * granule:
+            granule *= 2
+        need = -(-need // granule) * granule
+    return need * step
+
+
 class _Pass:
     """One isolation pass: raw records + where its output lands in the pool."""
 
@@ -630,45 +668,75 @@ class _Builder:
 
     # -- packing ------------------------------------------------------------
     def _pack(self, records: list, pad_tile: int | None = None):
-        """Sorted records -> (items dict, big_lines) with padded static shapes.
+        """Sorted records -> (items dict, big-class tuple, clip array).
 
         pad_tile: tile id written into padding items (the executor's scratch
         row) — the canvas tile count for the main stream, the virtual row
         count for merged pass groups.
+
+        Items over SMALL_SEGS edges go to per-width class arrays (the big
+        pre-pass); each class pads to its own power-of-two width, so one
+        1000-segment path does not inflate every heavy item to its width.
+        Clip edge lists are deduplicated by identity (the tile cache returns
+        one array per (clip, tile)), packed once, and referenced by index.
         """
         from .ops.batch_exec import CHUNK_BIG, SMALL_SEGS
 
         if pad_tile is None:
             pad_tile = self.num_tiles
         n = len(records)
-        # small passes pad to a small power of two; large ones to a power-of-
-        # two count of full chunks
+        # small passes pad to a small power of two; large ones to an
+        # economically-rounded count of full chunks
         if n <= CHUNK_ITEMS:
             n_pad = _bucket(n, minimum=16)
         else:
-            n_pad = CHUNK_ITEMS * _bucket(-(-n // CHUNK_ITEMS), minimum=1)
+            n_pad = _round_count(n, CHUNK_ITEMS)
 
-        # two-class segment scheduling: the common case gets a fixed
-        # SMALL_SEGS budget; heavy tiles go to a pre-pass array so one
-        # complex path does not inflate every item's padded width
-        big_edge_lists = [r[2] for r in records if r[2].shape[0] > SMALL_SEGS]
-        s_bucket = SMALL_SEGS
-        if big_edge_lists and len(big_edge_lists) >= len(records) // 2:
-            s_bucket = _bucket(max(e.shape[0] for e in big_edge_lists))
-            big_edge_lists = []
-        max_clip = max(r[4].shape[0] for r in records)
-        c_bucket = _bucket(max_clip) if max_clip else 0
+        # segment-class scheduling: the inline budget adapts to the scene's
+        # MEDIAN edge count (winding cost is linear in the padded width, so
+        # a handful of complex tiles must not tax the typical item); heavier
+        # edge lists group into per-width class arrays for the pre-pass
+        seg_counts = np.array([r[2].shape[0] for r in records])
+        median = int(np.median(seg_counts[seg_counts > 0])) if (seg_counts > 0).any() else 0
+        s_bucket = min(_bucket(max(median, 1), 8), SMALL_SEGS)
+        widths = sorted(
+            {_bucket(r[2].shape[0], 2 * s_bucket) for r in records
+             if r[2].shape[0] > s_bucket}
+        )
+        class_of_width = {w: c for c, w in enumerate(widths)}
+        class_rows: list[list] = [[] for _ in widths]
+
+        # clip dedup by CONTENT: scenes commonly define hundreds of clipPath
+        # elements with identical geometry (material-design: 935 clip scenes,
+        # ~100 unique tile-local edge lists), so bit-exact bytes are the key
+        clip_index: dict[bytes, int] = {}
+        clip_key_of: dict[int, bytes] = {}
+        clip_arrays: list[np.ndarray] = []
+        for r in records:
+            clip_edges = r[4]
+            if clip_edges.shape[0] == 0:
+                continue
+            key = clip_key_of.get(id(clip_edges))
+            if key is None:
+                key = clip_edges.tobytes()
+                clip_key_of[id(clip_edges)] = key
+            if key not in clip_index:
+                clip_index[key] = len(clip_arrays)
+                clip_arrays.append(clip_edges)
+        if clip_arrays:
+            c_bucket = _bucket(max(a.shape[0] for a in clip_arrays))
+            u = len(clip_arrays)
+            u_pad = _bucket(u, 8) if u <= CHUNK_BIG else _round_count(u, CHUNK_BIG)
+            clips = np.zeros((u_pad, c_bucket, 4), DEVICE_FLOAT)
+            for i, a in enumerate(clip_arrays):
+                clips[i, : a.shape[0]] = a
+        else:
+            clips = np.zeros((0, 0, 4), DEVICE_FLOAT)
+
         # stop tables shrink to the scene's real maximum (paint evaluation
         # cost is linear in the table width)
         k_bucket = _bucket(max(r[6]["_n_stops"] for r in records), minimum=4)
         k_bucket = min(k_bucket, MAX_STOPS)
-
-        if big_edge_lists:
-            m_pad = CHUNK_BIG * _bucket(-(-len(big_edge_lists) // CHUNK_BIG), minimum=1)
-            s_big = _bucket(max(e.shape[0] for e in big_edge_lists), minimum=2 * SMALL_SEGS)
-            big_lines = np.zeros((m_pad, s_big, 4), DEVICE_FLOAT)
-        else:
-            big_lines = np.zeros((0, 0, 4), DEVICE_FLOAT)
 
         items = {
             "lines": np.zeros((n_pad, s_bucket, 4), DEVICE_FLOAT),
@@ -676,7 +744,7 @@ class _Builder:
             "big_idx": np.full(n_pad, -1, np.int32),
             "tex_idx": np.full(n_pad, -1, np.int32),
             "mask_idx": np.full(n_pad, -1, np.int32),
-            "clip_lines": np.zeros((n_pad, c_bucket, 4), DEVICE_FLOAT),
+            "clip_idx": np.full(n_pad, -1, np.int32),
             "clip_carry": np.zeros((n_pad, TILE), DEVICE_FLOAT),
             "tile_id": np.full(n_pad, pad_tile, np.int32),
             "fill_rule": np.zeros(n_pad, np.int32),
@@ -702,19 +770,18 @@ class _Builder:
             "pat_lo": np.zeros((n_pad, 2), np.int32),
             "pat_max": np.zeros((n_pad, 2), np.int32),
         }
-        n_big = 0
         for i, (tile_id, _z, edges, carry, clip_edges, clip_carry, params, rule,
                 opacity, tr_origin, tc_origin, tex_idx, mask_idx) in enumerate(records):
-            if big_lines.shape[0] and edges.shape[0] > s_bucket:
-                big_lines[n_big, : edges.shape[0]] = edges
-                items["big_idx"][i] = n_big
-                n_big += 1
+            if edges.shape[0] > s_bucket:
+                cls = class_of_width[_bucket(edges.shape[0], 2 * s_bucket)]
+                class_rows[cls].append((i, edges))
             else:
                 items["lines"][i, : edges.shape[0]] = edges
             items["carry"][i] = carry
             items["tex_idx"][i] = tex_idx
             items["mask_idx"][i] = mask_idx
-            items["clip_lines"][i, : clip_edges.shape[0]] = clip_edges
+            if clip_edges.shape[0]:
+                items["clip_idx"][i] = clip_index[clip_key_of[id(clip_edges)]]
             items["clip_carry"][i] = clip_carry
             items["tile_id"][i] = tile_id
             items["fill_rule"][i] = rule
@@ -730,7 +797,20 @@ class _Builder:
                 items[key][i] = params[key]
             items["stop_offsets"][i] = params["stop_offsets"][:k_bucket]
             items["stop_colors"][i] = params["stop_colors"][:k_bucket]
-        return items, big_lines
+
+        # pack big classes; big_idx is a row into the concatenated stack
+        bigs: list[np.ndarray] = []
+        offset = 0
+        for width, rows in zip(widths, class_rows):
+            m = len(rows)
+            m_pad = _bucket(m, 8) if m <= CHUNK_BIG else _round_count(m, CHUNK_BIG)
+            arr = np.zeros((m_pad, width, 4), DEVICE_FLOAT)
+            for row, (i, edges) in enumerate(rows):
+                arr[row, : edges.shape[0]] = edges
+                items["big_idx"][i] = offset + row
+            bigs.append(arr)
+            offset += m_pad
+        return items, tuple(bigs), clips
 
 
 def _plan_groups(builder: "_Builder") -> list:
@@ -778,11 +858,12 @@ def _plan_groups(builder: "_Builder") -> list:
             )
             row += len(row_tiles)
         merged.sort(key=lambda r: (r[0], r[1]))
-        items, big = builder._pack(merged, pad_tile=row)
+        items, bigs, clips = builder._pack(merged, pad_tile=row)
         groups.append(
             {
                 "items": items,
-                "big": big,
+                "bigs": bigs,
+                "clips": clips,
                 "rows": row,
                 "parts": parts,
                 "needs_pool": any(p.refs for p in members),
@@ -791,15 +872,25 @@ def _plan_groups(builder: "_Builder") -> list:
     return groups
 
 
+class Lowered(NamedTuple):
+    """A fully lowered scene: packed device arrays + the pass schedule."""
+
+    items: dict  # main-stream per-item arrays (leading dim N)
+    bigs: tuple  # heavy edge lists, one (M_c, S_c, 4) array per width class
+    clips: Any  # deduplicated (U, S_u, 4) clip edge lists
+    grid: tuple  # (grid_h, grid_w) canvas tiles
+    hull: Any  # ConvexHull of all draw geometry
+    groups: list  # merged isolation-pass programs (see _plan_groups)
+    patterns: Any  # (Q, TH, TW, 4) pattern-tile atlas or None
+
+
 def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
     """Lower a scene to packed device arrays; None if unsupported.
 
     viewport: (origin0, origin1, extent0, extent1) in device pixels.
-    Returns (items, big_lines, (grid_h, grid_w), hull, groups, patterns);
-    groups is the ordered list of merged isolation-pass programs (see
-    _plan_groups) whose pooled output tiles the main items reference by
-    tex_idx/mask_idx; patterns is the scene's pattern-tile atlas
-    (Q, TH, TW, 4) gathered by pat_idx, or None.
+    Returns a Lowered plan: the main item stream, its segment-class and
+    clip arrays, the merged isolation-pass groups whose pooled output tiles
+    the main items reference by tex_idx/mask_idx, and the pattern atlas.
     """
     builder = _Builder(viewport, linear_rgb)
     try:
@@ -809,7 +900,7 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
     if not records:
         return None
     records.sort(key=lambda r: (r[0], r[1]))
-    items, big_lines = builder._pack(records)
+    items, bigs, clips = builder._pack(records)
     if builder.all_points:
         hull = ConvexHull(np.concatenate(builder.all_points, axis=0))
     else:
@@ -823,7 +914,9 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
             patterns[i, : t.shape[0], : t.shape[1]] = t
     else:
         patterns = None
-    return items, big_lines, (builder.grid_h, builder.grid_w), hull, groups, patterns
+    return Lowered(
+        items, bigs, clips, (builder.grid_h, builder.grid_w), hull, groups, patterns
+    )
 
 
 def _apply_part_filter(canvas, part, grid_w, viewport, linear_rgb, t_size):
@@ -880,7 +973,7 @@ def _apply_part_filter(canvas, part, grid_w, viewport, linear_rgb, t_size):
     return tiles[jnp.asarray(local, jnp.int32)]
 
 
-def _default_exec(items, big_lines, num_tiles, pool, patterns, t_size):
+def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
     """Single-device plan executor (one jitted program)."""
     import jax.numpy as jnp
 
@@ -888,9 +981,10 @@ def _default_exec(items, big_lines, num_tiles, pool, patterns, t_size):
         {k: jnp.asarray(v) for k, v in items.items()},
         t_size,
         num_tiles,
-        jnp.asarray(big_lines),
+        tuple(jnp.asarray(b) for b in bigs),
         pool,
         patterns,
+        jnp.asarray(clips) if clips.shape[0] else None,
     )
 
 
@@ -900,15 +994,16 @@ def execute_lowered(
     """Execute a lowered plan: merged isolation-pass groups (with any post-op
     filters) in level order, then the main stream referencing the pool.
 
-    exec_fn(items, big_lines, num_tiles, pool, patterns, t_size) -> canvas
+    exec_fn(items, bigs, clips, num_tiles, pool, patterns, t_size) -> canvas
     overrides the plan executor — parallel/scene.py supplies a mesh-sharded
     one; the default runs one device program per group.
     """
     import jax.numpy as jnp
 
-    items, big_lines, (grid_h, grid_w), _hull, groups, patterns = lowered
+    grid_h, grid_w = lowered.grid
+    groups = lowered.groups
     num_tiles = grid_h * grid_w
-    atlas = jnp.asarray(patterns) if patterns is not None else None
+    atlas = jnp.asarray(lowered.patterns) if lowered.patterns is not None else None
     run = exec_fn or _default_exec
 
     # the pool is preallocated at power-of-two capacity so its shape (part of
@@ -924,7 +1019,8 @@ def execute_lowered(
     for g in groups:
         canvas = run(
             g["items"],
-            g["big"],
+            g["bigs"],
+            g["clips"],
             g["rows"],
             pool if g["needs_pool"] else None,
             atlas if bool((g["items"]["pat_idx"] >= 0).any()) else None,
@@ -942,11 +1038,12 @@ def execute_lowered(
                 parts.append(part)
         pool = pool.at[jnp.asarray(idx, jnp.int32)].set(jnp.concatenate(parts, axis=0))
     return run(
-        items,
-        big_lines,
+        lowered.items,
+        lowered.bigs,
+        lowered.clips,
         num_tiles,
         pool,
-        atlas if bool((items["pat_idx"] >= 0).any()) else None,
+        atlas if bool((lowered.items["pat_idx"] >= 0).any()) else None,
         t_size,
     )
 
@@ -956,8 +1053,8 @@ def render_fast(scene, transform: Transform, viewport, linear_rgb: bool = False)
     lowered = lower_scene(scene, transform, viewport, linear_rgb)
     if lowered is None:
         return None
-    grid_h, grid_w = lowered[2]
-    hull = lowered[3]
+    grid_h, grid_w = lowered.grid
+    hull = lowered.hull
     tiles = execute_lowered(lowered, viewport[:2], linear_rgb)
     canvas = tiles.reshape(grid_h, grid_w, TILE, TILE, 4)
     canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(grid_h * TILE, grid_w * TILE, 4)

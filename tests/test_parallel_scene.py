@@ -30,21 +30,34 @@ DOC = """
 def plan():
     scene, _ids, _size = scene_from_str(DOC)
     tr = Transform().matrix(0, 1, 0, 1, 0, 0)
-    items, big, (gh, gw), _hull, _passes, _patterns = lower_scene(scene, tr, (0, 0, 300, 400), False)
+    lowered = lower_scene(scene, tr, (0, 0, 300, 400), False)
+    items, bigs, clips = lowered.items, lowered.bigs, lowered.clips
+    gh, gw = lowered.grid
     ref = np.asarray(
         batch_exec.execute_plan(
-            {k: jnp.asarray(v) for k, v in items.items()}, TILE, gh * gw, jnp.asarray(big)
+            {k: jnp.asarray(v) for k, v in items.items()},
+            TILE,
+            gh * gw,
+            tuple(jnp.asarray(b) for b in bigs),
+            None,
+            None,
+            jnp.asarray(clips) if clips.shape[0] else None,
         )
     )
-    return items, big, gh * gw, ref
+    return items, bigs, clips, gh * gw, ref
 
 
 @pytest.mark.parametrize("n_devices", [2, 4, 8])
 def test_sharded_plan_matches_single_device(plan, n_devices):
-    items, big, num_tiles, ref = plan
+    items, bigs, clips, num_tiles, ref = plan
     mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("data",))
-    st_items, st_big, _tpd = partition_plan(items, big, num_tiles, n_devices)
-    out = np.asarray(sharded_render_plan(mesh, st_items, st_big, TILE, num_tiles))
+    st_items, st_big, _tpd = partition_plan(items, bigs, num_tiles, n_devices)
+    out = np.asarray(
+        sharded_render_plan(
+            mesh, st_items, st_big, TILE, num_tiles,
+            clips=jnp.asarray(clips) if clips.shape[0] else None,
+        )
+    )
     np.testing.assert_allclose(out[:num_tiles], ref, atol=1e-5)
 
 
@@ -76,8 +89,8 @@ def test_sharded_multipass_plan(n_devices):
     tr = Transform().matrix(0, 1, 0, 1, 0, 0)
     lowered = lower_scene(scene, tr, (0, 0, 300, 400), False)
     assert lowered is not None
-    assert lowered[4], "scene should need isolation passes"
-    assert lowered[5] is not None, "scene should carry a pattern atlas"
+    assert lowered.groups, "scene should need isolation passes"
+    assert lowered.patterns is not None, "scene should carry a pattern atlas"
     ref = np.asarray(execute_lowered(lowered, (0, 0), False))
     mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("data",))
     out = np.asarray(
@@ -87,8 +100,8 @@ def test_sharded_multipass_plan(n_devices):
 
 
 def test_partition_balances_and_remaps(plan):
-    items, big, num_tiles, _ref = plan
-    st_items, _st_big, tiles_per_dev = partition_plan(items, big, num_tiles, 4)
+    items, bigs, _clips, num_tiles, _ref = plan
+    st_items, _st_big, tiles_per_dev = partition_plan(items, bigs, num_tiles, 4)
     assert st_items["tile_id"].shape[0] == 4
     # every shard's tile ids are device-local (within [0, tiles_per_dev])
     assert (st_items["tile_id"] <= tiles_per_dev).all()
