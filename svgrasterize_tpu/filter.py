@@ -6,8 +6,9 @@ primitive's result (parity: svgrasterize.py:1718-1957).  Implemented
 primitives: feOffset, feMerge, feBlend (all 16 modes), feComposite (all
 Porter-Duff + arithmetic), feGaussianBlur, feColorMatrix, feMorphology —
 the reference's executed set — plus feFlood, feTile, feComponentTransfer,
-feTurbulence (spec-exact Perlin), and feDropShadow, which the reference
-declares but cannot execute (svgrasterize.py:1718-1732 vs :1834-1900).
+feTurbulence (spec-exact Perlin), feConvolveMatrix, feDisplacementMap, and
+feDropShadow, which the reference declares but cannot execute
+(svgrasterize.py:1718-1732 vs :1834-1900).
 All pixel math runs on device; filters operate in straight-alpha linear RGB.
 """
 
@@ -152,6 +153,25 @@ class Filter(NamedTuple):
             FE_DROP_SHADOW, (dx, dy, std, np.asarray(color, np.float64)), [input], result
         )
 
+    def convolve_matrix(self, kernel, divisor=None, bias=0.0, preserve_alpha=False,
+                        input=None, result=None):
+        """kernel: (orderY, orderX) row-major as authored in kernelMatrix."""
+        kernel = np.asarray(kernel, np.float64)
+        if divisor is None:
+            s = kernel.sum()
+            divisor = s if abs(s) > 1e-12 else 1.0
+        return self.add_filter(
+            FE_CONVOLVE_MATRIX, (kernel, float(divisor), float(bias), bool(preserve_alpha)),
+            [input], result,
+        )
+
+    def displacement_map(self, scale, x_channel=0, y_channel=0, in1=None, in2=None,
+                         result=None):
+        return self.add_filter(
+            FE_DISPLACEMENT_MAP, (float(scale), int(x_channel), int(y_channel)),
+            [in1, in2], result,
+        )
+
     # interpreter ------------------------------------------------------------
     def __call__(self, transform: Transform, source: Layer) -> Layer:
         alpha = Layer(
@@ -294,7 +314,68 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
         )
         return Layer.compose([tinted, layer], linear_rgb=True)
 
+    if kind == FE_CONVOLVE_MATRIX:
+        kernel, divisor, bias, preserve_alpha = attrs
+        (layer,) = inputs
+        # the spec convolves premultiplied pixels (unless preserveAlpha);
+        # kernelMatrix is applied rotated 180deg, i.e. a true convolution.
+        # Edge mode: zero fill ('none'); 'duplicate'/'wrap' degrade to it.
+        pre = layer.convert(pre_alpha=not preserve_alpha, linear_rgb=True)
+        image = _convolve_same(pre.image, np.asarray(kernel, np.float64) / divisor)
+        image = image + bias
+        if preserve_alpha:
+            image = jnp.concatenate([image[..., :3], pre.image[..., -1:]], axis=-1)
+        return Layer(image, pre.offset, pre_alpha=not preserve_alpha, linear_rgb=True)
+
+    if kind == FE_DISPLACEMENT_MAP:
+        scale, x_chan, y_chan = attrs
+        in1, in2 = inputs
+        src = in1.convert(pre_alpha=False, linear_rgb=True)
+        dmap = in2.convert(pre_alpha=False, linear_rgb=True)
+        h, w = src.height, src.width
+        rows = jnp.arange(h)[:, None] + jnp.zeros((1, w), jnp.int32)
+        cols = jnp.arange(w)[None, :] + jnp.zeros((h, 1), jnp.int32)
+        # sample the displacement channels over in1's extent (transparent
+        # black where in2 is undefined)
+        mr = jnp.clip(rows + (src.x - dmap.x), 0, dmap.height - 1)
+        mc = jnp.clip(cols + (src.y - dmap.y), 0, dmap.width - 1)
+        inside = (
+            (rows + (src.x - dmap.x) >= 0) & (rows + (src.x - dmap.x) < dmap.height)
+            & (cols + (src.y - dmap.y) >= 0) & (cols + (src.y - dmap.y) < dmap.width)
+        )
+        dvals = jnp.where(inside[..., None], dmap.image[mr, mc], 0.0)
+        # displacement is in user units along user x/y; map into device px
+        dx_u = scale * (dvals[..., x_chan] - 0.5)
+        dy_u = scale * (dvals[..., y_chan] - 0.5)
+        m = transform.m
+        d0 = m[0, 0] * dx_u + m[0, 1] * dy_u
+        d1 = m[1, 0] * dx_u + m[1, 1] * dy_u
+        sr = jnp.clip(jnp.round(rows + d0).astype(jnp.int32), 0, h - 1)
+        sc = jnp.clip(jnp.round(cols + d1).astype(jnp.int32), 0, w - 1)
+        valid = (
+            (jnp.round(rows + d0) >= 0) & (jnp.round(rows + d0) < h)
+            & (jnp.round(cols + d1) >= 0) & (jnp.round(cols + d1) < w)
+        )
+        image = jnp.where(valid[..., None], src.image[sr, sc], 0.0)
+        return Layer(image, src.offset, pre_alpha=False, linear_rgb=True)
+
     raise ValueError(f"unsupported filter kind: {kind}")
+
+
+def _convolve_same(image, kernel: np.ndarray):
+    """SAME-extent true convolution of every channel with a 2D kernel."""
+    import jax
+
+    kh, kw = kernel.shape
+    ch = image.shape[-1]
+    x = jnp.moveaxis(image, -1, 0)[None]
+    k = jnp.asarray(kernel[::-1, ::-1], image.dtype)
+    k = jnp.broadcast_to(k[None, None], (ch, 1, kh, kw))
+    out = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="SAME",
+        feature_group_count=ch, dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return jnp.moveaxis(out[0], 0, -1)
 
 
 def _output_region(region, source: Layer, transform: Transform):

@@ -382,6 +382,35 @@ def build_filter(element) -> Filter:
                 region=_fe_region(attrs),
                 result=result,
             )
+        elif tag == "feConvolveMatrix":
+            order = parse_float_list(attrs.get("order", "3"), 1, 2)
+            ox = int(order[0])
+            oy = int(order[1]) if len(order) > 1 else ox
+            values = parse_float_list(attrs.get("kernelMatrix"))
+            if not values or len(values) != ox * oy:
+                warnings.warn("feConvolveMatrix needs kernelMatrix of order X*Y")
+                continue
+            if attrs.get("edgeMode", "duplicate") != "none":
+                warnings.warn("feConvolveMatrix edgeMode degrades to 'none'")
+            divisor = attrs.get("divisor")
+            flt = flt.convolve_matrix(
+                np.array(values).reshape(oy, ox),
+                divisor=None if divisor is None else parse_float(divisor),
+                bias=parse_float(attrs.get("bias", "0")),
+                preserve_alpha=attrs.get("preserveAlpha") == "true",
+                input=input_,
+                result=result,
+            )
+        elif tag == "feDisplacementMap":
+            chan = {"R": 0, "G": 1, "B": 2, "A": 3}
+            flt = flt.displacement_map(
+                parse_float(attrs.get("scale", "0")),
+                chan.get(attrs.get("xChannelSelector", "A"), 3),
+                chan.get(attrs.get("yChannelSelector", "A"), 3),
+                input_,
+                attrs.get("in2"),
+                result,
+            )
         elif tag == "feDropShadow":
             stds = parse_float_list(attrs.get("stdDeviation", "2"), 1, 2)
             flt = flt.drop_shadow(

@@ -125,6 +125,46 @@ def test_fe_turbulence_matches_spec_lattice():
     np.testing.assert_array_equal(selector[256:258], selector[:2])
 
 
+def test_fe_convolve_matrix_identity_and_shift():
+    base = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="48" height="48">
+      <defs><filter id="f"><feConvolveMatrix order="3" kernelMatrix="{k}" edgeMode="none"/></filter></defs>
+      <rect x="8" y="8" width="32" height="32" fill="rgb(64,128,192)" filter="url(#f)"/>
+    </svg>
+    """
+    ident = _render(base.format(k="0 0 0 0 1 0 0 0 0"))
+    plain = _render(base.format(k="0 0 0 0 1 0 0 0 0").replace(' filter="url(#f)"', ""))
+    np.testing.assert_allclose(ident[12:36, 12:36], plain[12:36, 12:36], atol=0.02)
+    # kernel with 1 in a corner shifts the image by one pixel
+    shifted = _render(base.format(k="0 0 0 0 0 0 0 0 1"))
+    np.testing.assert_allclose(
+        shifted[13:35, 13:35], plain[12:34, 12:34], atol=0.02
+    )
+
+
+def test_fe_displacement_map():
+    img = _render(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+          <defs><filter id="f">
+            <feFlood flood-color="rgb(255,128,128)" result="map"/>
+            <feDisplacementMap in="SourceGraphic" in2="map" scale="20"
+              xChannelSelector="R" yChannelSelector="G"/>
+          </filter></defs>
+          <rect x="16" y="16" width="32" height="32" fill="blue" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    # channel values live in the filter's linear-RGB space: R(sRGB 255) -> 1.0
+    # displaces user x by +10 (sampling col+10: content shifts LEFT, clipped
+    # to the source layer extent); G(sRGB 128) -> ~0.216 displaces user y by
+    # ~-5.7 (content shifts DOWN ~6 rows)
+    assert img[32, 20, 2] > 0.9  # inside displaced content
+    assert img[32, 42, 3] < 0.1  # old right edge now empty
+    assert img[46, 32, 2] > 0.9  # shifted down
+    assert img[18, 32, 3] < 0.1  # old top rows now empty
+
+
 def test_fe_drop_shadow():
     img = _render(
         """
