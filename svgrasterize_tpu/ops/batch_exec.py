@@ -176,12 +176,14 @@ def _raster_item(item, t_size: int):
     to clip x opacity.  "_mask_tex" (mask_idx >= 0) multiplies in an SVG
     mask pass's luminance-alpha.
     """
-    wind = item["_wind"] + item["carry"][:, None]
-    nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
-    evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
-    mask = jnp.where(item["fill_rule"] == 0, nonzero, evenodd)
+    def _coverage(wind, rule):
+        nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
+        evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
+        return jnp.where(rule == 0, nonzero, evenodd)
+
+    mask = _coverage(item["_wind"] + item["carry"][:, None], item["fill_rule"])
     clip_wind = item["_clip_wind"] + item["clip_carry"][:, None]
-    mask = mask * jnp.clip(jnp.abs(clip_wind), 0.0, 1.0)
+    mask = mask * _coverage(clip_wind, item["clip_rule"])
     mask = jnp.where(mask < 1e-6, 0.0, mask) * item["opacity"]
     if "_mask_tex" in item:
         value = item["_mask_tex"][..., :3] @ _MASK_LUM

@@ -179,11 +179,13 @@ def _collect_draws(scene, transform: Transform, opacity: float, clip, out: list)
         raise _Unsupported(f"scene kind {kind}")
 
 
-def _clip_edges(clip_scene, transform: Transform, cache: dict) -> np.ndarray:
-    """Flatten a clip scene to one nonzero edge list in device coords.
+def _clip_edges(clip_scene, transform: Transform, cache: dict):
+    """Flatten a clip scene to (edge list, fill rule id) in device coords.
 
-    Multiple clip fills are approximated by their combined nonzero winding
-    (exact except on AA boundaries of self-overlapping clip shapes).
+    A single evenodd clip fill keeps its rule; multiple clip fills are
+    approximated by their combined nonzero winding (exact except on AA
+    boundaries of self-overlapping clip shapes) — mixing evenodd into a
+    multi-fill clip is unsupported (falls back to the interpreter).
     """
     key = (id(clip_scene), id(transform))
     cached = cache.get(key)
@@ -191,14 +193,13 @@ def _clip_edges(clip_scene, transform: Transform, cache: dict) -> np.ndarray:
         return cached
 
     paths: list = []
+    rules: list = []
 
     def walk(scene, tr):
         kind, args = scene
         if kind == RENDER_FILL:
-            rule = args[2]
-            if rule not in (None, "nonzero"):
-                raise _Unsupported("evenodd clip")
             paths.append(args[0].flatten(tr, FLATNESS))
+            rules.append(_FILL_RULE_ID.get(args[2], 0))
         elif kind == RENDER_GROUP:
             for child in args:
                 walk(child, tr)
@@ -211,9 +212,15 @@ def _clip_edges(clip_scene, transform: Transform, cache: dict) -> np.ndarray:
     parts = [p.reshape(-1, 4) for p in paths if p.size]
     if not parts:
         raise _Unsupported("empty clip")
+    if len(parts) == 1:
+        rule = rules[0]
+    elif any(rules):
+        raise _Unsupported("evenodd fill in a multi-path clip")
+    else:
+        rule = 0
     edges = np.concatenate(parts, axis=0)
-    cache[key] = edges
-    return edges
+    cache[key] = (edges, rule)
+    return edges, rule
 
 
 def _paint_params(paint, hull: ConvexHull, transform: Transform, linear_rgb: bool):
@@ -455,28 +462,29 @@ class _Builder:
 
     # -- clip helpers -------------------------------------------------------
     def _clip_tile(self, clip, ti: int, tj: int):
-        """Tile-local clip (edges, carry) for tile (ti, tj).
+        """Tile-local clip (edges, carry, rule) for tile (ti, tj).
 
-        Returns (_NO_EDGES, _ONES_CARRY) when unclipped, None when the tile
-        lies entirely outside the clip region.
+        Returns (_NO_EDGES, _ONES_CARRY, 0) when unclipped, None when the
+        tile lies entirely outside the clip region.
         """
         if clip is None:
-            return _NO_EDGES, _ONES_CARRY
+            return _NO_EDGES, _ONES_CARRY, 0
         clip_scene, clip_tr = clip
         clip_key = (id(clip_scene), id(clip_tr))
         if clip_key not in self.clip_flat_cache:
-            clip_lines = _clip_edges(clip_scene, clip_tr, {}) - self.shift
-            self.clip_flat_cache[clip_key] = (clip_lines, _edge_extents(clip_lines))
+            clip_lines, rule = _clip_edges(clip_scene, clip_tr, {})
+            clip_lines = clip_lines - self.shift
+            self.clip_flat_cache[clip_key] = (clip_lines, _edge_extents(clip_lines), rule)
         tile_key = (clip_key, ti, tj)
         cached = self.clip_tile_cache.get(tile_key)
         if cached is None:
-            clip_lines, extents = self.clip_flat_cache[clip_key]
-            cached = _tile_local_edges(clip_lines, *extents, ti, tj)
+            clip_lines, extents, rule = self.clip_flat_cache[clip_key]
+            cached = (*_tile_local_edges(clip_lines, *extents, ti, tj), rule)
             self.clip_tile_cache[tile_key] = cached
-        edges, carry = cached
+        edges, carry, rule = cached
         if edges.shape[0] == 0 and not carry.any():
             return None
-        return edges, carry
+        return edges, carry, rule
 
     # -- pattern paints -------------------------------------------------------
     def _pattern_params(self, paint: Pattern, hull: ConvexHull, transform: Transform):
@@ -535,8 +543,8 @@ class _Builder:
         base = self.pool_size
         self.pool_size += len(out_tiles)
         refs = sorted(
-            {r[11] for r in sub_records if r[11] >= 0}
-            | {r[12] for r in sub_records if r[12] >= 0}
+            {r[12] for r in sub_records if r[12] >= 0}
+            | {r[13] for r in sub_records if r[13] >= 0}
         )
         self.passes.append(_Pass(sub_records, src_tiles, list(out_tiles), post, base, refs))
         return {tile: base + rank for rank, tile in enumerate(out_tiles)}
@@ -585,9 +593,9 @@ class _Builder:
         clip_tile = self._clip_tile(clip, ti, tj)
         if clip_tile is None:
             return None
-        clip_edges, clip_carry = clip_tile
+        clip_edges, clip_carry, clip_rule = clip_tile
         return (
-            tile, z, _NO_EDGES, _ONES_CARRY, clip_edges, clip_carry,
+            tile, z, _NO_EDGES, _ONES_CARRY, clip_edges, clip_carry, clip_rule,
             self._blank_params, 0, opacity, ti * TILE, tj * TILE, tex_idx, mask_idx,
         )
 
@@ -659,10 +667,10 @@ class _Builder:
                 clip_tile = self._clip_tile(clip, ti, tj)
                 if clip_tile is None:
                     continue  # tile entirely outside the clip region
-                clip_edges, clip_carry = clip_tile
+                clip_edges, clip_carry, clip_rule = clip_tile
                 records.append(
                     (ti * self.grid_w + tj, z, edges, carry, clip_edges, clip_carry,
-                     params, rule, opacity, ti * TILE, tj * TILE, -1, -1)
+                     clip_rule, params, rule, opacity, ti * TILE, tj * TILE, -1, -1)
                 )
         return records
 
@@ -735,7 +743,7 @@ class _Builder:
 
         # stop tables shrink to the scene's real maximum (paint evaluation
         # cost is linear in the table width)
-        k_bucket = _bucket(max(r[6]["_n_stops"] for r in records), minimum=4)
+        k_bucket = _bucket(max(r[7]["_n_stops"] for r in records), minimum=4)
         k_bucket = min(k_bucket, MAX_STOPS)
 
         items = {
@@ -746,6 +754,7 @@ class _Builder:
             "mask_idx": np.full(n_pad, -1, np.int32),
             "clip_idx": np.full(n_pad, -1, np.int32),
             "clip_carry": np.zeros((n_pad, TILE), DEVICE_FLOAT),
+            "clip_rule": np.zeros(n_pad, np.int32),
             "tile_id": np.full(n_pad, pad_tile, np.int32),
             "fill_rule": np.zeros(n_pad, np.int32),
             "opacity": np.zeros(n_pad, DEVICE_FLOAT),
@@ -770,8 +779,8 @@ class _Builder:
             "pat_lo": np.zeros((n_pad, 2), np.int32),
             "pat_max": np.zeros((n_pad, 2), np.int32),
         }
-        for i, (tile_id, _z, edges, carry, clip_edges, clip_carry, params, rule,
-                opacity, tr_origin, tc_origin, tex_idx, mask_idx) in enumerate(records):
+        for i, (tile_id, _z, edges, carry, clip_edges, clip_carry, clip_rule, params,
+                rule, opacity, tr_origin, tc_origin, tex_idx, mask_idx) in enumerate(records):
             if edges.shape[0] > s_bucket:
                 cls = class_of_width[_bucket(edges.shape[0], 2 * s_bucket)]
                 class_rows[cls].append((i, edges))
@@ -783,6 +792,7 @@ class _Builder:
             if clip_edges.shape[0]:
                 items["clip_idx"][i] = clip_index[clip_key_of[id(clip_edges)]]
             items["clip_carry"][i] = clip_carry
+            items["clip_rule"][i] = clip_rule
             items["tile_id"][i] = tile_id
             items["fill_rule"][i] = rule
             items["opacity"][i] = opacity
@@ -1135,14 +1145,23 @@ def can_lower(scene, linear_rgb: bool, in_clip: bool = False) -> bool:
 
 
 def _clip_scene_ok(scene) -> bool:
-    kind, args = scene
-    if kind == RENDER_FILL:
-        return args[2] in (None, "nonzero")
-    if kind == RENDER_GROUP:
-        return all(_clip_scene_ok(c) for c in args)
-    if kind == RENDER_TRANSFORM:
-        return _clip_scene_ok(args[0])
-    return False
+    fills: list = []
+
+    def walk(scene) -> bool:
+        kind, args = scene
+        if kind == RENDER_FILL:
+            fills.append(args[2])
+            return True
+        if kind == RENDER_GROUP:
+            return all(walk(c) for c in args)
+        if kind == RENDER_TRANSFORM:
+            return walk(args[0])
+        return False
+
+    if not walk(scene):
+        return False
+    # a single fill keeps its rule; multi-fill clips combine as nonzero
+    return len(fills) <= 1 or all(f in (None, "nonzero") for f in fills)
 
 
 def crop_layer_to_hull(layer: Layer, hull: ConvexHull, viewport) -> Layer:

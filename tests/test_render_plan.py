@@ -114,12 +114,13 @@ def test_evenodd_fill_rule():
 
 
 def test_unsupported_scene_returns_none():
-    # evenodd clip paths cannot be expressed as a combined nonzero winding
+    # evenodd fills in a MULTI-path clip cannot combine as one winding
     doc = """
     <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
       <defs>
         <clipPath id="c" clip-rule="evenodd">
           <path d="M0 0 H64 V64 H0 Z M16 16 H48 V48 H16 Z"/>
+          <rect x="20" y="20" width="10" height="10"/>
         </clipPath>
       </defs>
       <rect x="8" y="8" width="48" height="48" fill="red" clip-path="url(#c)"/>
@@ -128,6 +129,22 @@ def test_unsupported_scene_returns_none():
     scene, _ids, size = scene_from_str(doc)
     assert lower_scene(scene, TR, (0, 0, 64, 64), False) is None
     assert render_fast(scene, TR, (0, 0, 64, 64)) is None
+
+
+def test_evenodd_clip_single_path_batches():
+    _compare(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+          <defs>
+            <clipPath id="c" clip-rule="evenodd">
+              <path d="M0 0 H64 V64 H0 Z M16 16 H48 V48 H16 Z"/>
+            </clipPath>
+          </defs>
+          <rect x="8" y="8" width="48" height="48" fill="red" clip-path="url(#c)"/>
+        </svg>
+        """,
+        atol=0.02,  # per-draw vs group clipping differs on AA edges
+    )
 
 
 def test_bbox_units_clip_and_mask():
