@@ -411,6 +411,29 @@ def build_filter(element) -> Filter:
                 attrs.get("in2"),
                 result,
             )
+        elif tag in ("feDiffuseLighting", "feSpecularLighting"):
+            light = _light_source(child)
+            if light is None:
+                warnings.warn(f"{tag} needs a light source child")
+                continue
+            color = parse_color(attrs.get("lighting-color", "white"))
+            if color is None:
+                color = np.array([1.0, 1.0, 1.0, 1.0])
+            color = color.copy()
+            if color[3] > 0:
+                color[:3] /= color[3]
+            ss = parse_float(attrs.get("surfaceScale", "1"))
+            if tag == "feDiffuseLighting":
+                flt = flt.diffuse_lighting(
+                    ss, parse_float(attrs.get("diffuseConstant", "1")),
+                    color[:3], light, input_, result,
+                )
+            else:
+                flt = flt.specular_lighting(
+                    ss, parse_float(attrs.get("specularConstant", "1")),
+                    parse_float(attrs.get("specularExponent", "1")),
+                    color[:3], light, input_, result,
+                )
         elif tag == "feDropShadow":
             stds = parse_float_list(attrs.get("stdDeviation", "2"), 1, 2)
             flt = flt.drop_shadow(
@@ -446,6 +469,42 @@ def _fe_region(attrs):
     if any(v is None for v in vals) or vals[2] <= 0 or vals[3] <= 0:
         return None
     return tuple(vals)
+
+
+def _light_source(element):
+    """First light-source child of a lighting primitive -> light tuple."""
+    import math
+
+    for node in element:
+        tag = _local_tag(node)
+        attrs = node.attrib
+        if tag == "feDistantLight":
+            return (
+                "distant",
+                math.radians(parse_float(attrs.get("azimuth", "0"))),
+                math.radians(parse_float(attrs.get("elevation", "0"))),
+            )
+        if tag == "fePointLight":
+            return (
+                "point",
+                parse_float(attrs.get("x", "0")),
+                parse_float(attrs.get("y", "0")),
+                parse_float(attrs.get("z", "0")),
+            )
+        if tag == "feSpotLight":
+            cone = attrs.get("limitingConeAngle")
+            return (
+                "spot",
+                parse_float(attrs.get("x", "0")),
+                parse_float(attrs.get("y", "0")),
+                parse_float(attrs.get("z", "0")),
+                parse_float(attrs.get("pointsAtX", "0")),
+                parse_float(attrs.get("pointsAtY", "0")),
+                parse_float(attrs.get("pointsAtZ", "0")),
+                parse_float(attrs.get("specularExponent", "1")),
+                None if cone is None else math.radians(parse_float(cone)),
+            )
+    return None
 
 
 def _transfer_func(attrs):

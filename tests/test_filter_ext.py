@@ -57,12 +57,12 @@ def test_fe_component_transfer_linear_and_table():
     # linear: 1 * 0.5 + 0.25 = 0.75 (in linear RGB, read back through sRGB)
     import svgrasterize_tpu.core.color as color_ops
 
-    lin = color_ops.srgb_to_linear(np.asarray(center[:3], np.float64))
+    lin = color_ops.srgb_to_linear(np.asarray(center, np.float64))[:3]
     assert abs(lin[0] - 0.75) < 0.02
     # table [1, 0] inverts: green 1 -> 0
     assert lin[1] < 0.02
     # gamma with exponent 2 squares the channel
-    in_b = color_ops.srgb_to_linear(np.array([128 / 255]))[0]
+    in_b = color_ops.srgb_to_linear(np.array([128 / 255, 1.0]))[0]
     assert abs(lin[2] - in_b**2) < 0.02
 
 
@@ -163,6 +163,44 @@ def test_fe_displacement_map():
     assert img[32, 42, 3] < 0.1  # old right edge now empty
     assert img[46, 32, 2] > 0.9  # shifted down
     assert img[18, 32, 3] < 0.1  # old top rows now empty
+
+
+def test_fe_diffuse_lighting_distant():
+    img = _render(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="48" height="48">
+          <defs><filter id="f">
+            <feDiffuseLighting surfaceScale="1" diffuseConstant="1" lighting-color="white">
+              <feDistantLight azimuth="0" elevation="30"/>
+            </feDiffuseLighting></filter></defs>
+          <rect x="4" y="4" width="40" height="40" fill="black" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    import svgrasterize_tpu.core.color as color_ops
+
+    # flat interior: N = (0,0,1), N.L = sin(30deg) = 0.5 in linear RGB
+    lin = color_ops.srgb_to_linear(np.asarray(img[24, 24], np.float64))[:3]
+    np.testing.assert_allclose(lin, 0.5, atol=0.02)
+    assert img[24, 24, 3] > 0.99  # diffuse lighting alpha = 1
+
+
+def test_fe_specular_lighting_point():
+    img = _render(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="48" height="48">
+          <defs><filter id="f">
+            <feSpecularLighting surfaceScale="4" specularConstant="1"
+                specularExponent="8" lighting-color="white">
+              <fePointLight x="24" y="24" z="20"/>
+            </feSpecularLighting></filter></defs>
+          <circle cx="24" cy="24" r="18" fill="black" fill-opacity="0.9" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    # highlight under the light is brighter than the rim
+    assert img[24, 24, 3] > img[24, 38, 3]
+    assert img[24, 24, 0] > 0.5
 
 
 def test_fe_drop_shadow():
