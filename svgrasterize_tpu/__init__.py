@@ -6,6 +6,27 @@ stroke geometry) and device-side pixel work (coverage, paint, composition,
 filters), designed to scale across TPU meshes via jax.sharding.
 """
 
+def _setup_compile_cache() -> None:
+    """Persistent XLA compilation cache (the framework's analogue of
+    checkpoint/resume: compiled scene-shape programs survive restarts).
+    Disable with SVGR_COMPILE_CACHE=0."""
+    import os
+
+    cache = os.environ.get("SVGR_COMPILE_CACHE", "/tmp/jax_cache")
+    if not cache or cache == "0":
+        return
+    try:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_setup_compile_cache()
+
 from .core.transform import Transform
 from .core.layer import Layer, canvas_create
 from .core import color, png
