@@ -42,7 +42,7 @@ def bench_scene():
     from svgrasterize_tpu import scene_from_filepath
     from svgrasterize_tpu.core.transform import Transform
     from svgrasterize_tpu.ops import batch_exec
-    from svgrasterize_tpu.render_plan import TILE, lower_scene
+    from svgrasterize_tpu.render_plan import lower_scene
 
     scene, _ids, size = scene_from_filepath(DEMO)
     w, h = int(size[0]), int(size[1])
@@ -63,7 +63,7 @@ def bench_scene():
         for _ in range(k):
             d = dict(dev)
             d["opacity"] = dev["opacity"] + carry  # data dependency between iters
-            tiles = batch_exec.execute_plan(d, TILE, gh * gw, bigs, None, None, clips)
+            tiles = batch_exec.execute_plan(d, lowered.tile, gh * gw, bigs, None, None, clips)
             carry = tiles[0, 0, 0, 0] * 0.0
         float(carry)  # scalar readback forces completion
         return time.perf_counter() - start

@@ -36,6 +36,7 @@ from .paint import GradLinear, GradRadial, Pattern
 from .scene import Scene
 from .filter import Filter
 from .frontend.svg import scene_from_filepath, scene_from_str, scene_from_xml
+from .render_plan import CompiledScene, compile_scene
 from .frontend.parsers import parse_color, parse_transform
 from .text.fonts import DEFAULT_FONTS, Font, FontsDB, Glyph
 

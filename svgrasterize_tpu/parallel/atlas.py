@@ -17,7 +17,7 @@ import numpy as np
 from ..core.layer import Layer
 from ..core.transform import Transform
 from ..ops import batch_exec
-from ..render_plan import TILE, lower_scene
+from ..render_plan import lower_scene
 from ..scene import Scene
 from ..utils.constants import DEVICE_FLOAT
 
@@ -106,6 +106,7 @@ def render_atlas(
             lowered, viewport[:2], linear_rgb, exec_fn=sharded_exec_fn(mesh)
         )[: gh * gw]
 
-    canvas = tiles.reshape(gh, gw, TILE, TILE, 4)
-    canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(gh * TILE, gw * TILE, 4)
+    t = lowered.tile
+    canvas = tiles.reshape(gh, gw, t, t, 4)
+    canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(gh * t, gw * t, 4)
     return Layer(canvas[:height, :width], (0, 0), pre_alpha=True, linear_rgb=linear_rgb)

@@ -74,6 +74,24 @@ def _default_tile() -> int:
 
 TILE = _default_tile()
 
+
+def _pick_tile(viewport) -> int:
+    """Viewport-adaptive tile size.
+
+    On TPU small tiles win until the grid gets huge (3840x3840 measured:
+    32 -> 0.30s, 64 -> 0.18s per render): the per-item pixel saving is
+    eventually beaten by item-scheduling and canvas-scatter overhead, so
+    grow the tile to keep the grid under ~4k tiles.  A forced SVGR_TILE or
+    a non-TPU backend uses the static default.
+    """
+    if TILE != 32:
+        return TILE
+    _v0, _v1, h, w = viewport
+    tile = 32
+    while tile < 128 and math.ceil(h / tile) * math.ceil(w / tile) > 4096:
+        tile *= 2
+    return tile
+
 # interpreter group-run batching switch (tests disable it to get a pure
 # per-path oracle)
 HYBRID_ENABLED = True
@@ -292,48 +310,60 @@ def _paint_params(paint, hull: ConvexHull, transform: Transform, linear_rgb: boo
     raise _Unsupported(f"paint {type(paint).__name__}")
 
 
-_ROWS = np.arange(TILE, dtype=np.float64)
 _NO_EDGES = np.zeros((0, 4), dtype=DEVICE_FLOAT)
-_ZERO_CARRY = np.zeros(TILE, dtype=DEVICE_FLOAT)
-_ONES_CARRY = np.ones(TILE, dtype=DEVICE_FLOAT)
+_CARRY_CONSTS: dict = {}  # tile -> (row indices f64, zero carry, ones carry)
 
 
-def _row_carry(sel: np.ndarray, ti: int) -> np.ndarray:
+def _carry_consts(tile: int):
+    consts = _CARRY_CONSTS.get(tile)
+    if consts is None:
+        consts = (
+            np.arange(tile, dtype=np.float64),
+            np.zeros(tile, dtype=DEVICE_FLOAT),
+            np.ones(tile, dtype=DEVICE_FLOAT),
+        )
+        _CARRY_CONSTS[tile] = consts
+    return consts
+
+
+def _row_carry(sel: np.ndarray, ti: int, tile: int) -> np.ndarray:
     """Per-row winding carried into a tile by edges entirely to its left.
 
     For an edge left of every pixel of the tile, the coverage kernel's
     closed form reduces to sign(dy) * row-overlap — the clamped mean is 1 —
-    so the whole contribution is this exact (TILE,) vector, added to the
+    so the whole contribution is this exact (tile,) vector, added to the
     winding field after rasterization instead of rasterizing clamped edges.
     """
-    a0 = sel[:, 0] - ti * TILE
-    b0 = sel[:, 2] - ti * TILE
+    rows = _carry_consts(tile)[0]
+    a0 = sel[:, 0] - ti * tile
+    b0 = sel[:, 2] - ti * tile
     lo = np.minimum(a0, b0)[:, None]
     hi = np.maximum(a0, b0)[:, None]
     sign = np.sign(b0 - a0)[:, None]
-    dy = np.clip(np.minimum(hi, _ROWS + 1.0) - np.maximum(lo, _ROWS), 0.0, None)
+    dy = np.clip(np.minimum(hi, rows + 1.0) - np.maximum(lo, rows), 0.0, None)
     return (sign * dy).sum(axis=0).astype(DEVICE_FLOAT)
 
 
-def _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti: int, tj: int):
+def _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti: int, tj: int, tile: int):
     """Edges of `lines` relevant to tile (ti, tj), in tile-local coords.
 
     Edges entirely left of the tile become a per-row winding carry vector
     (exact row-clipped contribution, see _row_carry); edges with no row
     overlap or entirely right of the tile are dropped.  Returns
-    (edges (K, 4), carry (TILE,)), both possibly all-empty/zero.
+    (edges (K, 4), carry (tile,)), both possibly all-empty/zero.
     """
-    row_sel = (r_hi > ti * TILE) & (r_lo < (ti + 1) * TILE) & (c_lo < (tj + 1) * TILE)
+    _rows, zero_carry, _ones = _carry_consts(tile)
+    row_sel = (r_hi > ti * tile) & (r_lo < (ti + 1) * tile) & (c_lo < (tj + 1) * tile)
     if not row_sel.any():
-        return _NO_EDGES, _ZERO_CARRY
-    fully_left = row_sel & (c_hi <= tj * TILE)
+        return _NO_EDGES, zero_carry
+    fully_left = row_sel & (c_hi <= tj * tile)
     keep = row_sel & ~fully_left
     edges = lines[keep].copy()
-    edges[:, 0] -= ti * TILE
-    edges[:, 2] -= ti * TILE
-    edges[:, 1] -= tj * TILE
-    edges[:, 3] -= tj * TILE
-    carry = _row_carry(lines[fully_left], ti) if fully_left.any() else _ZERO_CARRY
+    edges[:, 0] -= ti * tile
+    edges[:, 2] -= ti * tile
+    edges[:, 1] -= tj * tile
+    edges[:, 3] -= tj * tile
+    carry = _row_carry(lines[fully_left], ti, tile) if fully_left.any() else zero_carry
     return edges, carry
 
 
@@ -345,17 +375,17 @@ def _edge_extents(lines):
     return r_lo, r_hi, c_lo, c_hi
 
 
-def _bin_draw(lines: np.ndarray, grid_h: int, grid_w: int):
+def _bin_draw(lines: np.ndarray, grid_h: int, grid_w: int, tile: int):
     """Bin a draw's edges (K, 4) into tiles; yields (ti, tj, edges, carry)."""
     r_lo, r_hi, c_lo, c_hi = _edge_extents(lines)
-    tr0 = max(int(np.floor(r_lo.min() / TILE)), 0)
-    tr1 = min(int(np.floor((r_hi.max() - 1e-9) / TILE)) + 1, grid_h)
-    tc0 = max(int(np.floor(c_lo.min() / TILE)), 0)
-    tc1 = min(int(np.floor((c_hi.max() - 1e-9) / TILE)) + 1, grid_w)
+    tr0 = max(int(np.floor(r_lo.min() / tile)), 0)
+    tr1 = min(int(np.floor((r_hi.max() - 1e-9) / tile)) + 1, grid_h)
+    tc0 = max(int(np.floor(c_lo.min() / tile)), 0)
+    tc1 = min(int(np.floor((c_hi.max() - 1e-9) / tile)) + 1, grid_w)
 
     for ti in range(tr0, tr1):
         for tj in range(tc0, tc1):
-            edges, carry = _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti, tj)
+            edges, carry = _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti, tj, tile)
             if edges.shape[0] or carry.any():
                 yield ti, tj, edges, carry
 
@@ -441,11 +471,12 @@ class _Builder:
     gathered from the pass pool.
     """
 
-    def __init__(self, viewport, linear_rgb: bool):
+    def __init__(self, viewport, linear_rgb: bool, tile: int = None):
         v0, v1, h, w = viewport
+        self.tile = tile or _pick_tile(viewport)
         self.v0, self.v1 = v0, v1
-        self.grid_h = math.ceil(h / TILE)
-        self.grid_w = math.ceil(w / TILE)
+        self.grid_h = math.ceil(h / self.tile)
+        self.grid_w = math.ceil(w / self.tile)
         self.num_tiles = self.grid_h * self.grid_w
         self.shift = np.array([v0, v1, v0, v1], dtype=np.float64)
         self.linear_rgb = linear_rgb
@@ -468,7 +499,7 @@ class _Builder:
         tile lies entirely outside the clip region.
         """
         if clip is None:
-            return _NO_EDGES, _ONES_CARRY, 0
+            return _NO_EDGES, _carry_consts(self.tile)[2], 0
         clip_scene, clip_tr = clip
         clip_key = (id(clip_scene), id(clip_tr))
         if clip_key not in self.clip_flat_cache:
@@ -479,7 +510,7 @@ class _Builder:
         cached = self.clip_tile_cache.get(tile_key)
         if cached is None:
             clip_lines, extents, rule = self.clip_flat_cache[clip_key]
-            cached = (*_tile_local_edges(clip_lines, *extents, ti, tj), rule)
+            cached = (*_tile_local_edges(clip_lines, *extents, ti, tj, self.tile), rule)
             self.clip_tile_cache[tile_key] = cached
         edges, carry, rule = cached
         if edges.shape[0] == 0 and not carry.any():
@@ -576,10 +607,10 @@ class _Builder:
         mr, mc = _filter_margin(flt, transform)
         rows = [t // self.grid_w for t in src_tiles]
         cols = [t % self.grid_w for t in src_tiles]
-        ti0 = max(min(rows) - -(-mr // TILE), 0)
-        ti1 = min(max(rows) + -(-mr // TILE), self.grid_h - 1)
-        tj0 = max(min(cols) - -(-mc // TILE), 0)
-        tj1 = min(max(cols) + -(-mc // TILE), self.grid_w - 1)
+        ti0 = max(min(rows) - -(-mr // self.tile), 0)
+        ti1 = min(max(rows) + -(-mr // self.tile), self.grid_h - 1)
+        tj0 = max(min(cols) - -(-mc // self.tile), 0)
+        tj1 = min(max(cols) + -(-mc // self.tile), self.grid_w - 1)
         dst_tiles = [
             ti * self.grid_w + tj
             for ti in range(ti0, ti1 + 1)
@@ -595,8 +626,9 @@ class _Builder:
             return None
         clip_edges, clip_carry, clip_rule = clip_tile
         return (
-            tile, z, _NO_EDGES, _ONES_CARRY, clip_edges, clip_carry, clip_rule,
-            self._blank_params, 0, opacity, ti * TILE, tj * TILE, tex_idx, mask_idx,
+            tile, z, _NO_EDGES, _carry_consts(self.tile)[2], clip_edges, clip_carry,
+            clip_rule, self._blank_params, 0, opacity, ti * self.tile, tj * self.tile,
+            tex_idx, mask_idx,
         )
 
     # -- lowering -----------------------------------------------------------
@@ -663,14 +695,15 @@ class _Builder:
             if rule is None:
                 raise _Unsupported(f"fill rule {fill_rule}")
 
-            for ti, tj, edges, carry in _bin_draw(flat, self.grid_h, self.grid_w):
+            for ti, tj, edges, carry in _bin_draw(flat, self.grid_h, self.grid_w, self.tile):
                 clip_tile = self._clip_tile(clip, ti, tj)
                 if clip_tile is None:
                     continue  # tile entirely outside the clip region
                 clip_edges, clip_carry, clip_rule = clip_tile
                 records.append(
                     (ti * self.grid_w + tj, z, edges, carry, clip_edges, clip_carry,
-                     clip_rule, params, rule, opacity, ti * TILE, tj * TILE, -1, -1)
+                     clip_rule, params, rule, opacity, ti * self.tile, tj * self.tile,
+                     -1, -1)
                 )
         return records
 
@@ -748,12 +781,12 @@ class _Builder:
 
         items = {
             "lines": np.zeros((n_pad, s_bucket, 4), DEVICE_FLOAT),
-            "carry": np.zeros((n_pad, TILE), DEVICE_FLOAT),
+            "carry": np.zeros((n_pad, self.tile), DEVICE_FLOAT),
             "big_idx": np.full(n_pad, -1, np.int32),
             "tex_idx": np.full(n_pad, -1, np.int32),
             "mask_idx": np.full(n_pad, -1, np.int32),
             "clip_idx": np.full(n_pad, -1, np.int32),
-            "clip_carry": np.zeros((n_pad, TILE), DEVICE_FLOAT),
+            "clip_carry": np.zeros((n_pad, self.tile), DEVICE_FLOAT),
             "clip_rule": np.zeros(n_pad, np.int32),
             "tile_id": np.full(n_pad, pad_tile, np.int32),
             "fill_rule": np.zeros(n_pad, np.int32),
@@ -892,17 +925,19 @@ class Lowered(NamedTuple):
     hull: Any  # ConvexHull of all draw geometry
     groups: list  # merged isolation-pass programs (see _plan_groups)
     patterns: Any  # (Q, TH, TW, 4) pattern-tile atlas or None
+    tile: int  # canvas tile size this plan was lowered for
 
 
-def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
+def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool, tile: int = None):
     """Lower a scene to packed device arrays; None if unsupported.
 
     viewport: (origin0, origin1, extent0, extent1) in device pixels.
     Returns a Lowered plan: the main item stream, its segment-class and
     clip arrays, the merged isolation-pass groups whose pooled output tiles
     the main items reference by tex_idx/mask_idx, and the pattern atlas.
+    tile overrides the viewport-adaptive tile size (_pick_tile).
     """
-    builder = _Builder(viewport, linear_rgb)
+    builder = _Builder(viewport, linear_rgb, tile)
     try:
         records = builder.build(scene, transform)
     except _Unsupported:
@@ -925,7 +960,8 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool):
     else:
         patterns = None
     return Lowered(
-        items, bigs, clips, (builder.grid_h, builder.grid_w), hull, groups, patterns
+        items, bigs, clips, (builder.grid_h, builder.grid_w), hull, groups, patterns,
+        builder.tile,
     )
 
 
@@ -1023,7 +1059,7 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
 
 
 def execute_lowered(
-    lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: int = TILE, exec_fn=None
+    lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: int = None, exec_fn=None
 ):
     """Execute a lowered plan: merged isolation-pass groups (with any post-op
     filters) in level order, then the main stream referencing the pool.
@@ -1034,6 +1070,7 @@ def execute_lowered(
     """
     import jax.numpy as jnp
 
+    t_size = t_size or lowered.tile
     grid_h, grid_w = lowered.grid
     groups = lowered.groups
     num_tiles = grid_h * grid_w
@@ -1089,14 +1126,72 @@ def render_fast(scene, transform: Transform, viewport, linear_rgb: bool = False)
         return None
     grid_h, grid_w = lowered.grid
     hull = lowered.hull
+    t = lowered.tile
     tiles = execute_lowered(lowered, viewport[:2], linear_rgb)
-    canvas = tiles.reshape(grid_h, grid_w, TILE, TILE, 4)
-    canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(grid_h * TILE, grid_w * TILE, 4)
+    canvas = tiles.reshape(grid_h, grid_w, t, t, 4)
+    canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(grid_h * t, grid_w * t, 4)
     v0, v1, h, w = viewport
     layer = Layer(
         canvas[: int(h), : int(w)], (int(v0), int(v1)), pre_alpha=True, linear_rgb=linear_rgb
     )
     return layer, hull
+
+
+class CompiledScene:
+    """A scene lowered once and rendered many times (the serving path).
+
+    Wraps a Lowered plan; repeated .render() calls reuse the packed host
+    arrays, every compiled device program (including per-part filter
+    programs), and — with a mesh — the sharded executor.  Use for
+    animation/serving loops where per-frame lowering would dominate.
+    """
+
+    def __init__(self, lowered, viewport, linear_rgb: bool, mesh=None):
+        self._lowered = lowered
+        self._viewport = viewport
+        self._linear_rgb = linear_rgb
+        if mesh is not None:
+            from .parallel.scene import sharded_exec_fn
+
+            self._exec_fn = sharded_exec_fn(mesh)
+        else:
+            self._exec_fn = None
+
+    @property
+    def tile(self) -> int:
+        return self._lowered.tile
+
+    @property
+    def hull(self):
+        return self._lowered.hull
+
+    def render_tiles(self):
+        """Raw canvas tiles (num_tiles, T, T, 4), premultiplied."""
+        return execute_lowered(
+            self._lowered, self._viewport[:2], self._linear_rgb, exec_fn=self._exec_fn
+        )
+
+    def render(self) -> Layer:
+        """Viewport-sized premultiplied Layer."""
+        grid_h, grid_w = self._lowered.grid
+        t = self._lowered.tile
+        tiles = self.render_tiles()
+        canvas = tiles.reshape(grid_h, grid_w, t, t, 4)
+        canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(grid_h * t, grid_w * t, 4)
+        v0, v1, h, w = self._viewport
+        return Layer(
+            canvas[: int(h), : int(w)], (int(v0), int(v1)),
+            pre_alpha=True, linear_rgb=self._linear_rgb,
+        )
+
+
+def compile_scene(scene, transform: Transform, viewport, linear_rgb: bool = False,
+                  mesh=None, tile: int = None):
+    """Lower a scene once for repeated rendering; None if unsupported."""
+    lowered = lower_scene(scene, transform, viewport, linear_rgb, tile)
+    if lowered is None:
+        return None
+    return CompiledScene(lowered, viewport, linear_rgb, mesh)
 
 
 def can_lower(scene, linear_rgb: bool, in_clip: bool = False) -> bool:

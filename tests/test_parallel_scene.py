@@ -10,7 +10,7 @@ from svgrasterize_tpu.core.transform import Transform
 from svgrasterize_tpu.frontend.svg import scene_from_str
 from svgrasterize_tpu.ops import batch_exec
 from svgrasterize_tpu.parallel.scene import partition_plan, sharded_render_plan
-from svgrasterize_tpu.render_plan import TILE, lower_scene
+from svgrasterize_tpu.render_plan import lower_scene
 
 DOC = """
 <svg xmlns="http://www.w3.org/2000/svg" width="400" height="300">
@@ -36,7 +36,7 @@ def plan():
     ref = np.asarray(
         batch_exec.execute_plan(
             {k: jnp.asarray(v) for k, v in items.items()},
-            TILE,
+            lowered.tile,
             gh * gw,
             tuple(jnp.asarray(b) for b in bigs),
             None,
@@ -44,17 +44,17 @@ def plan():
             jnp.asarray(clips) if clips.shape[0] else None,
         )
     )
-    return items, bigs, clips, gh * gw, ref
+    return items, bigs, clips, gh * gw, lowered.tile, ref
 
 
 @pytest.mark.parametrize("n_devices", [2, 4, 8])
 def test_sharded_plan_matches_single_device(plan, n_devices):
-    items, bigs, clips, num_tiles, ref = plan
+    items, bigs, clips, num_tiles, tile, ref = plan
     mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("data",))
     st_items, st_big, _tpd = partition_plan(items, bigs, num_tiles, n_devices)
     out = np.asarray(
         sharded_render_plan(
-            mesh, st_items, st_big, TILE, num_tiles,
+            mesh, st_items, st_big, tile, num_tiles,
             clips=jnp.asarray(clips) if clips.shape[0] else None,
         )
     )
@@ -100,7 +100,7 @@ def test_sharded_multipass_plan(n_devices):
 
 
 def test_partition_balances_and_remaps(plan):
-    items, bigs, _clips, num_tiles, _ref = plan
+    items, bigs, _clips, num_tiles, _tile, _ref = plan
     st_items, _st_big, tiles_per_dev = partition_plan(items, bigs, num_tiles, 4)
     assert st_items["tile_id"].shape[0] == 4
     # every shard's tile ids are device-local (within [0, tiles_per_dev])

@@ -189,6 +189,26 @@ def test_pattern_fill_batches():
     )
 
 
+def test_compile_scene_repeated_renders():
+    from svgrasterize_tpu import compile_scene
+
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="96" height="96">
+      <defs><mask id="m"><rect x="8" y="8" width="80" height="80" fill="white"/></mask></defs>
+      <rect x="4" y="4" width="88" height="88" fill="#336699" mask="url(#m)"/>
+      <circle cx="48" cy="48" r="30" fill="orange"/>
+    </svg>
+    """
+    scene, _ids, _size = scene_from_str(doc)
+    compiled = compile_scene(scene, TR, (0, 0, 96, 96))
+    assert compiled is not None
+    a = np.asarray(compiled.render().image)
+    b = np.asarray(compiled.render().image)
+    np.testing.assert_array_equal(a, b)
+    fast, _ = render_fast(scene, TR, (0, 0, 96, 96))
+    np.testing.assert_allclose(a, np.asarray(fast.image), atol=1e-6)
+
+
 def test_z_order_across_tiles():
     # overlapping shapes across tile boundaries must compose in paint order
     img = _compare(
