@@ -632,10 +632,51 @@ class _Builder:
         )
 
     # -- lowering -----------------------------------------------------------
+    def _flatten_draws(self, draws: list) -> dict:
+        """Flatten all draw geometry in one batched pass: {draw index: lines}.
+
+        Per-draw flattening spends most of its time in numpy dispatch on
+        small curve arrays; concatenating every draw's (transformed) cubics
+        into one flatten_cubics call amortizes it (material-design lowering:
+        the flatten share drops ~3x).
+        """
+        from .geom import bezier
+
+        line_parts: dict = {}
+        cubic_parts: list = []
+        cubic_owner: list = []
+        for z, entry in enumerate(draws):
+            if entry[0] != "draw" or entry[3] is None:
+                continue
+            path, tr = entry[1], entry[2]
+            lines, cubics = path.segments_as_curves()
+            line_parts[z] = tr(lines) if lines.size else lines
+            if cubics.size:
+                cubic_parts.append(tr(cubics))
+                cubic_owner.append(z)
+        out: dict = {}
+        if cubic_parts:
+            counts = np.array([c.shape[0] for c in cubic_parts])
+            stacked = np.concatenate(cubic_parts, axis=0)
+            per_curve = bezier.wang_segments(stacked, FLATNESS)
+            flat = bezier.flatten_cubics(stacked, FLATNESS)
+            # split the flattened stream back into per-draw chunks
+            per_draw = np.add.reduceat(per_curve, np.concatenate([[0], np.cumsum(counts)[:-1]]))
+            splits = np.cumsum(per_draw)[:-1]
+            pieces = np.split(flat, splits)
+            for z, piece in zip(cubic_owner, pieces):
+                lines = line_parts[z]
+                out[z] = np.concatenate([lines, piece]) if lines.size else piece
+        for z, lines in line_parts.items():
+            if z not in out:
+                out[z] = lines
+        return out
+
     def build(self, scene, transform: Transform) -> list:
         """Subtree -> record list (z-sorted later); may append nested passes."""
         draws: list = []
         _collect_draws(scene, transform, 1.0, None, draws)
+        flattened = self._flatten_draws(draws)
 
         records: list = []
         for z, entry in enumerate(draws):
@@ -680,8 +721,8 @@ class _Builder:
             _tag, path, tr, paint, fill_rule, opacity, clip = entry
             if paint is None:
                 continue
-            lines = path.flatten(tr, FLATNESS)
-            if lines.size == 0:
+            lines = flattened.get(z)
+            if lines is None or lines.size == 0:
                 continue
             self.all_points.append(lines[:, 0])
             flat = lines.reshape(-1, 4) - self.shift
