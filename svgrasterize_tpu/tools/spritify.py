@@ -46,6 +46,12 @@ def main(argv=None) -> int:
     parser.add_argument("-s", "--size", type=int, default=DEFAULT_SIZE, help="tile size")
     parser.add_argument("-m", "--margin", type=int, default=DEFAULT_MARGIN, help="tile margin")
     parser.add_argument("-c", "--columns", type=int, help="grid columns")
+    parser.add_argument(
+        "--render",
+        metavar="PNG",
+        help="also rasterize the sheet via the batched atlas renderer",
+    )
+    parser.add_argument("--platform", help="force a JAX platform for --render")
     args = parser.parse_args(argv)
 
     if not os.path.isdir(args.input):
@@ -63,6 +69,29 @@ def main(argv=None) -> int:
     root = build_sprite(inputs, args.size, args.margin, args.columns)
     etree.ElementTree(root).write(args.output)
     sys.stderr.write(f"[info] packed {len(inputs)} icons\n")
+
+    if args.render:
+        if args.platform:
+            import jax
+
+            jax.config.update("jax_platforms", args.platform)
+        from ..frontend.svg import scene_from_str
+        from ..parallel.atlas import render_atlas
+
+        docs = []
+        for name in sorted(inputs):
+            element = inputs[name]
+            # the packed tile carries sheet placement; render the raw doc
+            placement = {k: element.attrib.pop(k, None) for k in ("x", "y")}
+            scene, _ids, size = scene_from_str(etree.tostring(element, encoding="unicode"))
+            for k, v in placement.items():
+                if v is not None:
+                    element.attrib[k] = v
+            docs.append((scene, size))
+        layer = render_atlas(docs, cell=args.size, cols=args.columns, margin=args.margin)
+        with open(args.render, "wb") as out:
+            layer.write_png(out)
+        sys.stderr.write(f"[info] rendered {args.render} ({layer.width}x{layer.height})\n")
     return 0
 
 
