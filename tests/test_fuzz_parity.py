@@ -1,0 +1,129 @@
+"""Randomized cross-implementation parity: generated SVGs, ours vs reference.
+
+Each case builds a random document from the shared feature surface (shapes,
+paths, gradients, opacity, groups, transforms, clips), renders it through
+BOTH the reference numpy implementation and this framework's batched
+executor, and compares at AA tolerance.  Complements the fixed golden-image
+suite with coverage of feature combinations nobody hand-picked.
+"""
+
+import numpy as np
+import pytest
+
+from svgrasterize_tpu.core.transform import Transform
+from svgrasterize_tpu.frontend.svg import scene_from_str
+
+TR = Transform().matrix(0, 1, 0, 1, 0, 0)
+SIZE = 160
+
+
+def _random_doc(rng: np.random.Generator) -> str:
+    defs = []
+    body = []
+    n_grads = rng.integers(1, 3)
+    for g in range(n_grads):
+        stops = "".join(
+            f'<stop offset="{o:.2f}" stop-color="rgb({rng.integers(0,256)},'
+            f'{rng.integers(0,256)},{rng.integers(0,256)})" '
+            f'stop-opacity="{rng.uniform(0.4, 1):.2f}"/>'
+            for o in sorted(rng.uniform(0, 1, size=rng.integers(2, 5)))
+        )
+        if rng.random() < 0.5:
+            defs.append(
+                f'<linearGradient id="g{g}" x1="{rng.uniform(0,1):.2f}" '
+                f'y1="{rng.uniform(0,1):.2f}" x2="{rng.uniform(0,1):.2f}" '
+                f'y2="{rng.uniform(0,1):.2f}">{stops}</linearGradient>'
+            )
+        else:
+            defs.append(
+                f'<radialGradient id="g{g}" cx="{rng.uniform(0.3,0.7):.2f}" '
+                f'cy="{rng.uniform(0.3,0.7):.2f}" r="{rng.uniform(0.3,0.8):.2f}">'
+                f"{stops}</radialGradient>"
+            )
+    defs.append(
+        f'<clipPath id="c0"><circle cx="{rng.integers(40, 120)}" '
+        f'cy="{rng.integers(40, 120)}" r="{rng.integers(30, 70)}"/></clipPath>'
+    )
+
+    def paint():
+        r = rng.random()
+        if r < 0.5:
+            return f"rgb({rng.integers(0,256)},{rng.integers(0,256)},{rng.integers(0,256)})"
+        return f"url(#g{rng.integers(0, n_grads)})"
+
+    for _ in range(int(rng.integers(4, 10))):
+        kind = rng.random()
+        attrs = f'fill="{paint()}" fill-opacity="{rng.uniform(0.5, 1):.2f}"'
+        if rng.random() < 0.25:
+            attrs += ' clip-path="url(#c0)"'
+        if rng.random() < 0.3:
+            attrs += f' transform="rotate({rng.uniform(-40, 40):.1f} 80 80)"'
+        if kind < 0.3:
+            body.append(
+                f'<rect x="{rng.integers(0, 100)}" y="{rng.integers(0, 100)}" '
+                f'width="{rng.integers(20, 60)}" height="{rng.integers(20, 60)}" {attrs}/>'
+            )
+        elif kind < 0.55:
+            body.append(
+                f'<circle cx="{rng.integers(20, 140)}" cy="{rng.integers(20, 140)}" '
+                f'r="{rng.integers(10, 40)}" {attrs}/>'
+            )
+        elif kind < 0.8:
+            pts = rng.integers(10, 150, size=(3, 2))
+            d = f"M{pts[0][0]} {pts[0][1]} "
+            d += f"Q{pts[1][0]} {pts[1][1]} {pts[2][0]} {pts[2][1]} "
+            d += f"C{rng.integers(10,150)} {rng.integers(10,150)} "
+            d += f"{rng.integers(10,150)} {rng.integers(10,150)} {pts[0][0]} {pts[0][1]} Z"
+            rule = "evenodd" if rng.random() < 0.3 else "nonzero"
+            body.append(f'<path d="{d}" fill-rule="{rule}" {attrs}/>')
+        else:
+            inner = (
+                f'<rect x="{rng.integers(0, 100)}" y="{rng.integers(0, 100)}" '
+                f'width="{rng.integers(20, 60)}" height="{rng.integers(20, 60)}" '
+                f'fill="{paint()}"/>'
+                f'<circle cx="{rng.integers(20, 140)}" cy="{rng.integers(20, 140)}" '
+                f'r="{rng.integers(10, 40)}" fill="{paint()}"/>'
+            )
+            body.append(f'<g opacity="{rng.uniform(0.3, 0.9):.2f}">{inner}</g>')
+
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{SIZE}" height="{SIZE}">'
+        f"<defs>{''.join(defs)}</defs>{''.join(body)}</svg>"
+    )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_scene_matches_reference(reference, seed):
+    rng = np.random.default_rng(seed)
+    doc = _random_doc(rng)
+
+    ref_scene, _ids, _size = reference.svg_scene_from_str(doc)
+    ref_layer = ref_scene.render(
+        reference.Transform().matrix(0, 1, 0, 1, 0, 0),
+        viewport=(0, 0, SIZE, SIZE),
+    )
+    ref_img = np.zeros((SIZE, SIZE, 4))
+    if ref_layer is not None:
+        layer, _hull = ref_layer
+        layer = layer.convert(pre_alpha=False, linear_rgb=False)
+        x, y = layer.offset
+        ref_img[x : x + layer.height, y : y + layer.width] = layer.image
+
+    scene, _ids, _size = scene_from_str(doc)
+    result = scene.render(TR, viewport=(0, 0, SIZE, SIZE))
+    img = np.zeros((SIZE, SIZE, 4), np.float32)
+    if result is not None:
+        out, _hull = result
+        out = out.convert(pre_alpha=False, linear_rgb=False)
+        img[out.x : out.x + out.height, out.y : out.y + out.width] = np.asarray(out.image)
+
+    # straight-alpha comparison is unstable where alpha ~ 0; compare
+    # premultiplied values and alpha separately
+    ours = img[..., :3] * img[..., 3:]
+    refp = ref_img[..., :3] * ref_img[..., 3:]
+    bad = (np.abs(ours - refp).max(-1) > 16 / 255) | (
+        np.abs(img[..., 3] - ref_img[..., 3]) > 16 / 255
+    )
+    # allow a small AA-edge budget (documented per-draw vs group clipping
+    # and stroke-join differences)
+    assert bad.mean() < 0.004, f"{bad.sum()} px differ (seed {seed})"
