@@ -882,6 +882,22 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None):
         elif tag == "text":
             group.extend(build_text(element, attrs, fonts, ids, fg))
 
+        elif tag == "symbol":
+            # beyond the reference (it lists symbol as NOT SUPPORTED):
+            # the content renders only through <use>, scaled by its viewBox
+            elem_id = attrs.get("id")
+            if elem_id is not None:
+                sym_children: list = []
+                for child in element:
+                    sym_children.extend(walk(child, inherit_down))
+                if sym_children:
+                    ids[elem_id] = (
+                        "symbol",
+                        Scene.group(sym_children),
+                        parse_float_list(attrs.get("viewBox"), 4, 4),
+                    )
+            return []
+
         elif tag == "use":
             x, y = attrs.get("x"), attrs.get("y")
             if x is not None or y is not None:
@@ -893,6 +909,15 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None):
                 target = ids.get(href[1:])
                 if isinstance(target, Scene):
                     group.append(target)
+                elif isinstance(target, tuple) and len(target) == 3 and target[0] == "symbol":
+                    _kind, sym_scene, view_box = target
+                    if view_box:
+                        w = parse_size(attrs.get("width")) or view_box[2]
+                        h = parse_size(attrs.get("height")) or view_box[3]
+                        sym_scene = sym_scene.transform(
+                            viewbox_transform((0, 0, w, h), view_box)
+                        )
+                    group.append(sym_scene)
 
         else:
             warnings.warn(f"unsupported element: {tag}")

@@ -200,3 +200,35 @@ def test_render_solid_doc_matches_reference(reference):
 
     # interiors pixel-equal, AA edges within tolerance
     assert np.abs(ours - theirs).max() < 0.02
+
+
+def test_symbol_via_use():
+    # <symbol> renders only through <use>, scaled by its viewBox
+    # (the reference lists symbol as NOT SUPPORTED)
+    import numpy as np
+
+    from svgrasterize_tpu.core.transform import Transform
+
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+      <defs>
+        <symbol id="s" viewBox="0 0 10 10">
+          <rect x="1" y="1" width="8" height="8" fill="lime"/>
+        </symbol>
+      </defs>
+      <use href="#s" x="8" y="8" width="40" height="40"/>
+    </svg>
+    """
+    scene, _ids, _size = scene_from_str(doc)
+    layer, _ = scene.render(
+        Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 64, 64)
+    )
+    img = np.zeros((64, 64, 4), np.float32)
+    img[layer.x : layer.x + layer.height, layer.y : layer.y + layer.width] = np.asarray(
+        layer.convert(pre_alpha=False, linear_rgb=False).image
+    )
+    # 10-unit viewBox scaled into a 40px box at (8, 8): rect spans ~12..40
+    assert img[24, 24, 1] > 0.9  # green interior
+    assert img[24, 24, 3] > 0.9
+    assert img[4, 4, 3] < 0.01  # outside the use box
+    assert img[10, 10, 3] < 0.01  # inside use box, outside scaled rect
