@@ -201,7 +201,67 @@ def build_shape_scenes(attrs: dict, ids: dict, fg, path: Path | None = None) -> 
             scene = scene.opacity(stroke_opacity)
         group.append(scene)
 
+    group.extend(_marker_scenes(attrs, ids, path))
     return group
+
+
+def _marker_scenes(attrs: dict, ids: dict, path: Path) -> list:
+    """Instantiate marker-start/-mid/-end at the path's vertex frames.
+
+    Beyond the reference's feature set (it lists markers as NOT SUPPORTED).
+    Marker content is placed vertex-by-vertex: translate to the vertex,
+    rotate by the orient rule (auto = tangent / bisector), scale by the
+    stroke width for markerUnits=strokeWidth, fit the viewBox into the
+    marker box, and anchor refX/refY at the vertex (SVG 1.1 11.6.2).
+    overflow clipping of marker viewports is not applied.
+    """
+    import math
+
+    refs = {}
+    for pos in ("start", "mid", "end"):
+        value = attrs.get(f"marker-{pos}", attrs.get("marker"))
+        if value is None:
+            continue
+        target = parse_url(value, ids)
+        if isinstance(target, tuple) and len(target) == 7 and target[0] == "marker":
+            refs[pos] = target
+    if not refs:
+        return []
+
+    sw = parse_float(attrs.get("stroke-width", "1")) or 1.0
+    out: list = []
+    subpaths = path.vertex_frames()
+    for frames in subpaths:
+        for i, (point, d_in, d_out) in enumerate(frames):
+            pos = "start" if i == 0 else ("end" if i == len(frames) - 1 else "mid")
+            marker = refs.get(pos)
+            if marker is None:
+                continue
+            _kind, scene, view_box, (mw, mh), (rx, ry), orient, units = marker
+            if isinstance(orient, str):
+                dirs = [d for d in (d_in, d_out) if d is not None]
+                if dirs:
+                    mean = dirs[0] if len(dirs) == 1 else dirs[0] / np.linalg.norm(
+                        dirs[0]
+                    ) + dirs[1] / np.linalg.norm(dirs[1])
+                    angle = math.atan2(mean[1], mean[0])
+                else:
+                    angle = 0.0
+                if orient == "auto-start-reverse" and pos == "start":
+                    angle += math.pi
+            else:
+                angle = orient
+            tr = Transform().translate(point[0], point[1]).rotate(angle)
+            if units == "strokeWidth":
+                tr = tr.scale(sw)
+            if view_box:
+                vb_tr = viewbox_transform((0, 0, mw, mh), view_box)
+                q = vb_tr(np.array([rx, ry], dtype=FLOAT))
+                tr = tr.translate(-q[0], -q[1]) @ vb_tr
+            else:
+                tr = tr.translate(-rx, -ry)
+            out.append(scene.transform(tr))
+    return out
 
 
 def build_gradient(element, is_linear: bool, ids: dict):
@@ -881,6 +941,33 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None):
 
         elif tag == "text":
             group.extend(build_text(element, attrs, fonts, ids, fg))
+
+        elif tag == "marker":
+            # beyond the reference (it lists markers as NOT SUPPORTED)
+            elem_id = attrs.get("id")
+            if elem_id is not None:
+                m_children: list = []
+                for child in element:
+                    m_children.extend(walk(child, inherit_down))
+                if m_children:
+                    orient = attrs.get("orient", "0")
+                    ids[elem_id] = (
+                        "marker",
+                        Scene.group(m_children),
+                        parse_float_list(attrs.get("viewBox"), 4, 4),
+                        (
+                            parse_float(attrs.get("markerWidth", "3")),
+                            parse_float(attrs.get("markerHeight", "3")),
+                        ),
+                        (
+                            parse_float(attrs.get("refX", "0")),
+                            parse_float(attrs.get("refY", "0")),
+                        ),
+                        orient if orient in ("auto", "auto-start-reverse")
+                        else parse_angle(orient),
+                        attrs.get("markerUnits", "strokeWidth"),
+                    )
+            return []
 
         elif tag == "symbol":
             # beyond the reference (it lists symbol as NOT SUPPORTED):

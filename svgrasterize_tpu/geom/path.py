@@ -35,6 +35,15 @@ _TOKEN_RE = re.compile(r"[MmZzLlHhVvCcSsQqTtAa]|" + FLOAT_RE.pattern)
 _ARITY = {"m": 2, "z": 0, "l": 2, "h": 1, "v": 1, "c": 6, "s": 4, "q": 4, "t": 2, "a": 7}
 
 
+def _nonzero_dir(candidates):
+    """First candidate direction with nonzero length (degenerate controls)."""
+    for c in candidates:
+        c = np.asarray(c, dtype=FLOAT)
+        if np.linalg.norm(c) > 1e-12:
+            return c
+    return np.array([1.0, 0.0], dtype=FLOAT)
+
+
 class Path:
     """A sequence of subpaths; the unit of filling and stroking."""
 
@@ -86,6 +95,60 @@ class Path:
             flat = bezier.flatten_cubics(cubics, tolerance)
             lines = np.concatenate([lines, flat]) if lines.size else flat
         return lines
+
+    def vertex_frames(self):
+        """Marker frames: per-subpath [(point (2,), dir_in, dir_out)].
+
+        dir_in/dir_out are unnormalized tangent vectors into/out of each
+        vertex (None at open ends).  Used by SVG marker placement — a
+        feature the reference does not support at all.
+        """
+        frames_all = []
+        for sub in self.subpaths:
+            segs = []  # (start, end, tan_start, tan_end)
+            closed = False
+            for kind, payload in sub:
+                if kind == PATH_UNCLOSED:
+                    continue
+                p = np.asarray(payload, dtype=FLOAT)
+                if kind in PATH_LINES:  # LINE / CLOSED share the layout
+                    if kind == PATH_CLOSED:
+                        closed = True
+                        if np.linalg.norm(p[1] - p[0]) < 1e-12:
+                            continue  # zero-length closing edge
+                    d = p[1] - p[0]
+                    segs.append((p[0], p[1], d, d))
+                elif kind == PATH_QUAD:
+                    t0 = _nonzero_dir([p[1] - p[0], p[2] - p[0]])
+                    t1 = _nonzero_dir([p[2] - p[1], p[2] - p[0]])
+                    segs.append((p[0], p[2], t0, t1))
+                elif kind == PATH_CUBIC:
+                    t0 = _nonzero_dir([p[1] - p[0], p[2] - p[0], p[3] - p[0]])
+                    t1 = _nonzero_dir([p[3] - p[2], p[3] - p[1], p[3] - p[0]])
+                    segs.append((p[0], p[3], t0, t1))
+                elif kind == PATH_ARC:
+                    cubics = arc_ops.to_cubics(*payload)
+                    if not len(cubics):
+                        continue
+                    c0, c1 = np.asarray(cubics[0]), np.asarray(cubics[-1])
+                    segs.append(
+                        (c0[0], c1[3], _nonzero_dir([c0[1] - c0[0]]),
+                         _nonzero_dir([c1[3] - c1[2]]))
+                    )
+            if not segs:
+                continue
+            frames = []
+            n = len(segs)
+            for i, (start, _end, tan_in, _tan_out) in enumerate(segs):
+                if i == 0:
+                    d_in = segs[-1][3] if closed else None
+                else:
+                    d_in = segs[i - 1][3]
+                frames.append((start, d_in, tan_in))
+            if not closed:
+                frames.append((segs[-1][1], segs[-1][3], None))
+            frames_all.append(frames)
+        return frames_all
 
     def transform(self, transform: Transform) -> "Path":
         out = []

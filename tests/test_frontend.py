@@ -232,3 +232,44 @@ def test_symbol_via_use():
     assert img[24, 24, 3] > 0.9
     assert img[4, 4, 3] < 0.01  # outside the use box
     assert img[10, 10, 3] < 0.01  # inside use box, outside scaled rect
+
+
+def test_markers_on_path():
+    # markers are NOT SUPPORTED by the reference; placement per SVG 11.6.2
+    import numpy as np
+
+    from svgrasterize_tpu.core.transform import Transform
+
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="120" height="80">
+      <defs>
+        <marker id="arrow" viewBox="0 0 10 10" refX="9" refY="5"
+                markerWidth="6" markerHeight="6" orient="auto">
+          <path d="M0 0 L10 5 L0 10 Z" fill="crimson"/>
+        </marker>
+        <marker id="dot" markerWidth="8" markerHeight="8" refX="4" refY="4"
+                markerUnits="userSpaceOnUse">
+          <circle cx="4" cy="4" r="3" fill="navy"/>
+        </marker>
+      </defs>
+      <path d="M10 70 L50 20 L90 60 L110 10" fill="none" stroke="black"
+            stroke-width="2" marker-start="url(#dot)" marker-mid="url(#dot)"
+            marker-end="url(#arrow)"/>
+    </svg>
+    """
+    scene, _ids, _size = scene_from_str(doc)
+    layer, _ = scene.render(
+        Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 80, 120)
+    )
+    img = np.zeros((80, 120, 4), np.float32)
+    img[layer.x : layer.x + layer.height, layer.y : layer.y + layer.width] = np.asarray(
+        layer.convert(pre_alpha=False, linear_rgb=False).image
+    )
+    # navy dots centered on the start and mid vertices
+    assert img[70, 10, 2] > 0.4 and img[70, 10, 0] < 0.1
+    assert img[20, 50, 2] > 0.4
+    # crimson arrow near the end vertex, oriented along the last segment
+    crimson = (img[..., 0] > 0.6) & (img[..., 1] < 0.3) & (img[..., 3] > 0.4)
+    ys, xs = np.nonzero(crimson)
+    assert len(xs) > 10
+    assert abs(xs.mean() - 107) < 4 and abs(ys.mean() - 16) < 4
