@@ -189,8 +189,16 @@ def build_shape_scenes(attrs: dict, ids: dict, fg, path: Path | None = None) -> 
     stroke = attrs.get("stroke")
     stroke = attrs.get("color") if stroke == "currentColor" else parse_paint(stroke, ids)
     if stroke is not None:
+        stroke_path = path
+        dasharray = attrs.get("stroke-dasharray")
+        if dasharray not in (None, "none"):
+            dashes = parse_float_list(dasharray.replace("%", ""))
+            if dashes and any(v > 0 for v in dashes):
+                stroke_path = path.dash(
+                    dashes, parse_float(attrs.get("stroke-dashoffset", "0")) or 0.0
+                )
         scene = Scene.stroke(
-            path,
+            stroke_path,
             stroke,
             parse_float(attrs.get("stroke-width", "1")),
             attrs.get("stroke-linecap"),

@@ -110,7 +110,7 @@ class Path:
             for kind, payload in sub:
                 if kind == PATH_UNCLOSED:
                     continue
-                p = np.asarray(payload, dtype=FLOAT)
+                p = None if kind == PATH_ARC else np.asarray(payload, dtype=FLOAT)
                 if kind in PATH_LINES:  # LINE / CLOSED share the layout
                     if kind == PATH_CLOSED:
                         closed = True
@@ -149,6 +149,91 @@ class Path:
                 frames.append((segs[-1][1], segs[-1][3], None))
             frames_all.append(frames)
         return frames_all
+
+    def dash(self, dashes, offset: float = 0.0, tolerance: float = 0.25) -> "Path":
+        """Split into "on" dash runs per SVG stroke-dasharray (+dashoffset).
+
+        Curves are flattened at `tolerance` user units first; every "on"
+        run becomes an open subpath, so stroking applies caps at dash ends.
+        The reference has no dashing support.  Closed subpaths dash around
+        the closing edge but are capped like open runs (spec joins the
+        first/last dash; visually identical except at that seam).
+        """
+        dashes = [float(v) for v in dashes]
+        if len(dashes) % 2:
+            dashes = dashes + dashes
+        total = sum(dashes)
+        if total <= 0 or any(v < 0 for v in dashes):
+            return self
+
+        def lines_subpath(points):
+            sub = [
+                (PATH_LINE, [points[i].tolist(), points[i + 1].tolist()])
+                for i in range(len(points) - 1)
+            ]
+            sub.append((PATH_UNCLOSED, [points[-1].tolist(), points[0].tolist()]))
+            return sub
+
+        out_subs = []
+        for sub in self.subpaths:
+            pts: list = []
+            for kind, payload in sub:
+                if kind == PATH_UNCLOSED:
+                    continue
+                if kind in PATH_LINES:
+                    seg_pts = np.asarray(payload, dtype=FLOAT)
+                else:
+                    if kind == PATH_QUAD:
+                        cubics = bezier.quad_to_cubic(np.asarray(payload, FLOAT))[None]
+                    elif kind == PATH_CUBIC:
+                        cubics = np.asarray(payload, dtype=FLOAT)[None]
+                    else:
+                        cubics = np.asarray(arc_ops.to_cubics(*payload))
+                    flat = bezier.flatten_cubics(cubics, tolerance)
+                    if not flat.size:
+                        continue
+                    seg_pts = np.concatenate([flat[:, 0], flat[-1:, 1]], axis=0)
+                if not pts:
+                    pts.append(seg_pts[0])
+                pts.extend(seg_pts[1:])
+            if len(pts) < 2:
+                continue
+            points = np.asarray(pts, dtype=FLOAT)
+            lengths = np.linalg.norm(points[1:] - points[:-1], axis=1)
+
+            idx = 0
+            phase = offset % total
+            while phase >= dashes[idx] - 1e-12:
+                phase -= dashes[idx]
+                idx = (idx + 1) % len(dashes)
+            on = idx % 2 == 0
+            current: list = [points[0]] if on else []
+            for i, seg_len in enumerate(lengths):
+                a, b, length = points[i], points[i + 1], float(seg_len)
+                if length <= 1e-12:
+                    continue
+                s = 0.0
+                while s < length - 1e-12:
+                    step = min(dashes[idx] - phase, length - s)
+                    s += step
+                    cut = a + (b - a) * (s / length)
+                    if on:
+                        current.append(cut)
+                    phase += step
+                    if phase >= dashes[idx] - 1e-12:
+                        idx = (idx + 1) % len(dashes)
+                        phase = 0.0
+                        if on:
+                            if len(current) >= 2:
+                                out_subs.append(lines_subpath(current))
+                            current = []
+                            on = False
+                        else:
+                            on = True
+                            current = [cut]
+            if on and len(current) >= 2:
+                out_subs.append(lines_subpath(current))
+        return Path(out_subs)
 
     def transform(self, transform: Transform) -> "Path":
         out = []

@@ -273,3 +273,30 @@ def test_markers_on_path():
     ys, xs = np.nonzero(crimson)
     assert len(xs) > 10
     assert abs(xs.mean() - 107) < 4 and abs(ys.mean() - 16) < 4
+
+
+def test_stroke_dasharray():
+    # stroke dashing is absent from the reference entirely
+    import numpy as np
+
+    from svgrasterize_tpu.core.transform import Transform
+
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="120" height="30">
+      <line x1="10" y1="15" x2="110" y2="15" stroke="black" stroke-width="4"
+            stroke-dasharray="10 6"/>
+    </svg>
+    """
+    scene, _ids, _size = scene_from_str(doc)
+    layer, _ = scene.render(
+        Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 30, 120)
+    )
+    img = np.zeros((30, 120, 4), np.float32)
+    img[layer.x : layer.x + layer.height, layer.y : layer.y + layer.width] = np.asarray(
+        layer.convert(pre_alpha=False, linear_rgb=False).image
+    )
+    row = img[15, :, 3] > 0.5
+    edges = np.flatnonzero(np.diff(np.concatenate([[0], row.astype(int), [0]])))
+    runs = np.diff(edges.reshape(-1, 2), axis=1).ravel()
+    assert len(runs) == 7  # 100px at 10-on/6-off: 6 full dashes + 4px remnant
+    assert all(abs(r - 10) <= 1 for r in runs[:-1]) and runs[-1] <= 5
