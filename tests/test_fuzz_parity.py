@@ -127,3 +127,55 @@ def test_random_scene_matches_reference(reference, seed):
     # allow a small AA-edge budget (documented per-draw vs group clipping
     # and stroke-join differences)
     assert bad.mean() < 0.004, f"{bad.sum()} px differ (seed {seed})"
+
+
+@pytest.mark.parametrize("seed", range(100, 104))
+def test_random_strokes_match_reference(reference, seed):
+    """Stroked paths: looser budget (join split heuristics differ, README)."""
+    rng = np.random.default_rng(seed)
+    body = []
+    for _ in range(int(rng.integers(3, 7))):
+        pts = rng.integers(15, 145, size=(4, 2))
+        d = (
+            f"M{pts[0][0]} {pts[0][1]} L{pts[1][0]} {pts[1][1]} "
+            f"Q{pts[2][0]} {pts[2][1]} {pts[3][0]} {pts[3][1]}"
+        )
+        if rng.random() < 0.4:
+            d += " Z"
+        cap = ["butt", "round", "square"][rng.integers(0, 3)]
+        join = ["miter", "round", "bevel"][rng.integers(0, 3)]
+        body.append(
+            f'<path d="{d}" fill="none" '
+            f'stroke="rgb({rng.integers(0,256)},{rng.integers(0,256)},{rng.integers(0,256)})" '
+            f'stroke-width="{rng.uniform(1.5, 8):.1f}" stroke-linecap="{cap}" '
+            f'stroke-linejoin="{join}" stroke-opacity="{rng.uniform(0.6, 1):.2f}"/>'
+        )
+    doc = (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{SIZE}" height="{SIZE}">'
+        f"{''.join(body)}</svg>"
+    )
+
+    ref_scene, _ids, _size = reference.svg_scene_from_str(doc)
+    ref_layer = ref_scene.render(
+        reference.Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, SIZE, SIZE)
+    )
+    ref_img = np.zeros((SIZE, SIZE, 4))
+    if ref_layer is not None:
+        layer, _hull = ref_layer
+        layer = layer.convert(pre_alpha=False, linear_rgb=False)
+        ref_img[layer.x : layer.x + layer.height, layer.y : layer.y + layer.width] = layer.image
+
+    scene, _ids, _size = scene_from_str(doc)
+    result = scene.render(TR, viewport=(0, 0, SIZE, SIZE))
+    img = np.zeros((SIZE, SIZE, 4), np.float32)
+    if result is not None:
+        out, _hull = result
+        out = out.convert(pre_alpha=False, linear_rgb=False)
+        img[out.x : out.x + out.height, out.y : out.y + out.width] = np.asarray(out.image)
+
+    ours = img[..., :3] * img[..., 3:]
+    refp = ref_img[..., :3] * ref_img[..., 3:]
+    bad = (np.abs(ours - refp).max(-1) > 24 / 255) | (
+        np.abs(img[..., 3] - ref_img[..., 3]) > 24 / 255
+    )
+    assert bad.mean() < 0.015, f"{bad.sum()} px differ (seed {seed})"
