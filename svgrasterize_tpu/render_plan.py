@@ -84,6 +84,10 @@ def _pick_tile(viewport) -> int:
     grow the tile to keep the grid under ~4k tiles.  A forced SVGR_TILE or
     a non-TPU backend uses the static default.
     """
+    import os
+
+    if os.environ.get("SVGR_TILE"):
+        return int(os.environ["SVGR_TILE"])
     if TILE != 32:
         return TILE
     _v0, _v1, h, w = viewport
