@@ -1037,7 +1037,7 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None):
         clip_ref = attrs.get("clip-path")
         if clip_ref is not None:
             clip = parse_url(clip_ref, ids)
-            if isinstance(clip, tuple):
+            if isinstance(clip, tuple) and len(clip) == 2 and isinstance(clip[0], Scene):
                 clip_scene, bbox_units = clip
                 group = [Scene.group(group).clip(clip_scene, bbox_units)]
             else:
@@ -1046,7 +1046,7 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None):
         mask_ref = attrs.get("mask")
         if mask_ref is not None:
             mask = parse_url(mask_ref, ids)
-            if isinstance(mask, tuple):
+            if isinstance(mask, tuple) and len(mask) == 2 and isinstance(mask[0], Scene):
                 mask_scene, bbox_units = mask
                 group = [Scene.group(group).mask(mask_scene, bbox_units)]
             else:
