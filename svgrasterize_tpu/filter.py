@@ -42,6 +42,7 @@ FE_SPECULAR_LIGHTING = 12
 FE_TILE = 13
 FE_TURBULENCE = 14
 FE_DROP_SHADOW = 15  # SVG2 convenience primitive
+FE_IMAGE = 16  # intra-document fragment references
 
 FE_SOURCE_ALPHA = "SourceAlpha"
 FE_SOURCE_GRAPHIC = "SourceGraphic"
@@ -172,6 +173,12 @@ class Filter(NamedTuple):
             FE_DISPLACEMENT_MAP, (float(scale), int(x_channel), int(y_channel)),
             [in1, in2], result,
         )
+
+    def image(self, scene, region=None, result=None):
+        """feImage of an intra-document fragment: `scene` renders fresh as
+        the primitive's output (region: user-space (x, y, w, h) placement
+        or None for the scene's natural position)."""
+        return self.add_filter(FE_IMAGE, (scene, region), [FE_SOURCE_GRAPHIC], result)
 
     def diffuse_lighting(self, surface_scale, kd, color, light, input=None, result=None):
         """light: ("distant", azimuth_rad, elevation_rad) |
@@ -378,6 +385,22 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
         )
         image = jnp.where(valid[..., None], src.image[sr, sc], 0.0)
         return Layer(image, src.offset, pre_alpha=False, linear_rgb=True)
+
+    if kind == FE_IMAGE:
+        scene, region = attrs
+        (source,) = inputs
+        tr = transform
+        if region is not None:
+            tr = transform @ Transform().translate(region[0], region[1])
+        result = scene.render(tr, linear_rgb=True)
+        if result is None:
+            offset, (h, w) = _output_region(None, source, transform)
+            return Layer(
+                jnp.zeros((h, w, 4), source.image.dtype), offset,
+                pre_alpha=True, linear_rgb=True,
+            )
+        layer, _hull = result
+        return layer.convert(pre_alpha=False, linear_rgb=True)
 
     if kind in (FE_DIFFUSE_LIGHTING, FE_SPECULAR_LIGHTING):
         surface_scale, k, exponent, color, light = attrs

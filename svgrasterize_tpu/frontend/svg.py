@@ -353,8 +353,11 @@ _COMPOSITE_MODES = {
 }
 
 
-def build_filter(element) -> Filter:
-    """Parse a <filter> element into the SSA-style Filter op list."""
+def build_filter(element, ids: dict) -> Filter:
+    """Parse a <filter> element into the SSA-style Filter op list.
+
+    ids: the document id registry (feImage resolves #fragments against it).
+    """
     flt = Filter.empty()
     for child in element:
         tag = _local_tag(child)
@@ -479,6 +482,17 @@ def build_filter(element) -> Filter:
                 attrs.get("in2"),
                 result,
             )
+        elif tag == "feImage":
+            href = attrs.get("href") or next(
+                (v for k, v in attrs.items() if k.endswith("}href")), None
+            )
+            target = ids.get(href[1:]) if href and href.startswith("#") else None
+            if isinstance(target, Scene):
+                # intra-document fragment; x/y place it, scaling to the
+                # subregion is not applied (fragments have no intrinsic size)
+                flt = flt.image(target, _fe_region(attrs), result)
+            else:
+                warnings.warn(f"feImage supports only #fragment references: {href!r}")
         elif tag in ("feDiffuseLighting", "feSpecularLighting"):
             light = _light_source(child)
             if light is None:
@@ -862,7 +876,7 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None):
         elif tag == "filter":
             elem_id = attrs.get("id")
             if elem_id is not None:
-                ids[elem_id] = build_filter(element)
+                ids[elem_id] = build_filter(element, ids)
             return []
 
         elif tag == "pattern":

@@ -218,3 +218,38 @@ def test_fe_drop_shadow():
     shadow = img[62, 62]
     assert shadow[2] > 0.5 and shadow[0] < 0.4
     assert shadow[3] > 0.5
+
+
+def test_fe_image_fragment():
+    img = _render(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+          <defs>
+            <g id="frag"><circle cx="12" cy="12" r="10" fill="lime"/></g>
+            <filter id="f">
+              <feImage href="#frag" result="im"/>
+              <feComposite in="im" in2="SourceGraphic" operator="over"/>
+            </filter>
+          </defs>
+          <rect x="24" y="24" width="36" height="36" fill="blue" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    assert img[12, 12, 1] > 0.9  # fragment circle rendered by the filter
+    assert img[40, 40, 2] > 0.9  # source rect still beneath
+
+
+def test_vertex_frames_arcs():
+    from svgrasterize_tpu.geom.path import Path
+
+    path = Path.from_svg("M10 20 A10 10 0 0 1 30 20 L40 35")
+    frames = path.vertex_frames()
+    assert len(frames) == 1 and len(frames[0]) == 3
+    p0, d_in0, d_out0 = frames[0][0]
+    assert d_in0 is None
+    np.testing.assert_allclose(p0, [10, 20], atol=1e-6)
+    # the arc starts sweeping upward (negative y) from the left endpoint
+    assert d_out0[1] < 0
+    p2, d_in2, d_out2 = frames[0][2]
+    np.testing.assert_allclose(p2, [40, 35], atol=1e-6)
+    assert d_out2 is None
