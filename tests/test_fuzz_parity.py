@@ -179,3 +179,64 @@ def test_random_strokes_match_reference(reference, seed):
         np.abs(img[..., 3] - ref_img[..., 3]) > 24 / 255
     )
     assert bad.mean() < 0.015, f"{bad.sum()} px differ (seed {seed})"
+
+
+@pytest.mark.parametrize("seed", range(200, 204))
+def test_random_patterns_masks_match_reference(reference, seed):
+    """Patterns, masks, and bbox-units clips — the advanced shared surface."""
+    rng = np.random.default_rng(seed)
+    pw, ph = int(rng.integers(8, 20)), int(rng.integers(8, 20))
+    defs = (
+        f'<pattern id="p" width="{pw}" height="{ph}" patternUnits="userSpaceOnUse">'
+        f'<rect width="{pw//2}" height="{ph//2}" fill="rgb({rng.integers(0,256)},'
+        f'{rng.integers(0,256)},{rng.integers(0,256)})"/>'
+        f'<circle cx="{pw//2}" cy="{ph//2}" r="{min(pw,ph)//3}" fill="rgb('
+        f'{rng.integers(0,256)},{rng.integers(0,256)},{rng.integers(0,256)})"/></pattern>'
+        f'<mask id="m"><rect x="{rng.integers(5,30)}" y="{rng.integers(5,30)}" '
+        f'width="{rng.integers(80,130)}" height="{rng.integers(80,130)}" '
+        f'fill="rgb(200,200,200)"/></mask>'
+        f'<clipPath id="cb" clipPathUnits="objectBoundingBox">'
+        f'<circle cx="0.5" cy="0.5" r="{rng.uniform(0.35, 0.55):.2f}"/></clipPath>'
+    )
+    body = []
+    for _ in range(int(rng.integers(3, 6))):
+        r = rng.random()
+        extra = ""
+        if r < 0.33:
+            extra = ' mask="url(#m)"'
+        elif r < 0.66:
+            extra = ' clip-path="url(#cb)"'
+        body.append(
+            f'<rect x="{rng.integers(0, 90)}" y="{rng.integers(0, 90)}" '
+            f'width="{rng.integers(30, 70)}" height="{rng.integers(30, 70)}" '
+            f'fill="url(#p)"{extra}/>'
+        )
+    doc = (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{SIZE}" height="{SIZE}">'
+        f"<defs>{defs}</defs>{''.join(body)}</svg>"
+    )
+
+    ref_scene, _ids, _size = reference.svg_scene_from_str(doc)
+    ref_layer = ref_scene.render(
+        reference.Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, SIZE, SIZE)
+    )
+    ref_img = np.zeros((SIZE, SIZE, 4))
+    if ref_layer is not None:
+        layer, _hull = ref_layer
+        layer = layer.convert(pre_alpha=False, linear_rgb=False)
+        ref_img[layer.x : layer.x + layer.height, layer.y : layer.y + layer.width] = layer.image
+
+    scene, _ids, _size = scene_from_str(doc)
+    result = scene.render(TR, viewport=(0, 0, SIZE, SIZE))
+    img = np.zeros((SIZE, SIZE, 4), np.float32)
+    if result is not None:
+        out, _hull = result
+        out = out.convert(pre_alpha=False, linear_rgb=False)
+        img[out.x : out.x + out.height, out.y : out.y + out.width] = np.asarray(out.image)
+
+    ours = img[..., :3] * img[..., 3:]
+    refp = ref_img[..., :3] * ref_img[..., 3:]
+    bad = (np.abs(ours - refp).max(-1) > 16 / 255) | (
+        np.abs(img[..., 3] - ref_img[..., 3]) > 16 / 255
+    )
+    assert bad.mean() < 0.006, f"{bad.sum()} px differ (seed {seed})"
