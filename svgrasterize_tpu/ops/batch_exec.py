@@ -48,7 +48,10 @@ PAINT_LINEAR = 1
 PAINT_RADIAL = 2
 PAINT_PATTERN = 3
 
-MAX_STOPS = 16  # gradient stops padded to this many
+# gradient-stop table cap: stop tables are packed to the SCENE's real
+# maximum (render_plan k_bucket), so this only bounds the worst case —
+# scenes beyond it fall back to the interpreter
+MAX_STOPS = 64
 CHUNK_ITEMS = 128  # work items rasterized per scan step
 SMALL_SEGS = 64  # per-item segment budget in the main pass
 CHUNK_BIG = 32  # heavy items rasterized per pre-pass scan step
