@@ -1,21 +1,28 @@
-"""Host lowering: Scene -> flat tiled work-item plan -> one device dispatch.
+"""Host lowering: Scene -> flat tiled work-item plan -> few device programs.
 
 The interpreter in scene.py issues one device call per path; on TPU the
-dispatch latency dominates.  This module compiles a scene subtree into the
-batched form ops/batch_exec.py executes in a single program:
+dispatch latency dominates.  This module compiles a whole scene into the
+batched form ops/batch_exec.py executes:
 
-  * the canvas is a fixed grid of T x T tiles
-  * every FILL/STROKE draw is flattened on host and *binned*: each tile the
-    draw's bbox overlaps gets the draw's edges in tile-local coordinates;
-    edges entirely to the LEFT of a tile are clamped to x = -1, which the
-    coverage kernel's left-clamp semantics turns into exactly the full
-    row-clipped winding contribution (this is how interior tiles of a large
-    shape get their coverage without carrying segment lists around)
-  * items are sorted by (tile, z) so per-tile composition is a segmented scan
+  * the canvas is a grid of T x T tiles (T viewport-adaptive, _pick_tile)
+  * every FILL/STROKE draw is flattened on host (one batched flatten per
+    subtree) and *binned*: each tile the draw overlaps gets its edges in
+    tile-local coordinates; edges entirely LEFT of a tile become an exact
+    per-row winding carry vector (_row_carry) added after rasterization —
+    interior tiles of a large shape carry no segments at all
+  * clip edge lists dedup by content and rasterize once in a pre-pass;
+    heavy edge lists group into per-width segment classes (_pack)
+  * items sort by (tile, z) so per-tile composition is a segmented scan
+  * isolation subtrees (group opacity, masks, filters, nested and
+    bbox-units clips) lower to passes whose output tiles re-enter the
+    parent stream as texture items from a pool; passes merge per
+    dependency level into single programs (_plan_groups); pattern paints
+    render once into an atlas and evaluate by modular gather
 
-Supported nodes: FILL, STROKE, GROUP, TRANSFORM, and OPACITY over a single
-draw (folded into the paint).  Scenes containing CLIP/MASK/FILTER/pattern
-paints or multi-child OPACITY return None and fall back to the interpreter.
+Everything the frontend produces lowers except per-paint colorspace
+overrides, >MAX_STOPS gradients, and evenodd fills inside multi-path
+clips; those scenes return None and render through the interpreter
+(render_group_hybrid still batches every lowerable sibling run).
 """
 
 from __future__ import annotations
