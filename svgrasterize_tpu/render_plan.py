@@ -1017,27 +1017,48 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool, tile: i
     )
 
 
-def _part_filter_program(part, grid_w, viewport, linear_rgb, t_size):
-    """One jitted program for a filter part: canvas -> out-tile stack.
+def _group_post_program(group, grid_w, viewport, linear_rgb, t_size):
+    """One jitted program for a whole group's post-op stage:
+    (canvas, pool) -> updated pool.
 
-    The whole post-op (row gather, span assembly, crop, the filter chain,
-    re-tiling) is traceable — all layout decisions are static host metadata
-    and every primitive is jnp — so tracing it once collapses ~10 eager
-    dispatches per part into one program.  icons.svg has 37 filter parts;
-    on the remote-tunnel TPU, per-dispatch latency dominates that scene.
-    The program is cached on the part dict, so repeated renders of the same
-    lowered plan reuse both trace and executable.
+    Every part's post-op (row gather, span assembly, crop, filter chain,
+    re-tiling) plus the final pool scatter is traceable — all layout
+    decisions are static host metadata and every primitive is jnp — so the
+    entire stage collapses into ONE device dispatch per dependency level.
+    icons.svg has 37 filter parts; on the remote-tunnel TPU, per-dispatch
+    latency dominates that scene, and fusing parts per level beats one
+    program per part (the previous design) both on dispatch count and on
+    total remote-compile time.  The program is cached on the group dict, so
+    repeated renders of the same lowered plan reuse trace and executable.
     """
-    program = part.get("_program")
+    program = group.get("_post_program")
     if program is None:
         import jax
+        import jax.numpy as jnp
 
-        program = jax.jit(
-            lambda canvas: _apply_part_filter(
-                canvas, part, grid_w, viewport, linear_rgb, t_size
+        parts = group["parts"]
+
+        def post(canvas, pool):
+            idx: list = []
+            outs: list = []
+            for p in parts:
+                if p["post"] is None:
+                    idx.extend(range(p["pool_base"], p["pool_base"] + p["n_rows"]))
+                    outs.append(canvas[p["row_start"] : p["row_start"] + p["n_rows"]])
+                else:
+                    out = _apply_part_filter(
+                        canvas, p, grid_w, viewport, linear_rgb, t_size
+                    )
+                    idx.extend(
+                        range(p["pool_base"], p["pool_base"] + len(p["out_tiles"]))
+                    )
+                    outs.append(out)
+            return pool.at[jnp.asarray(idx, jnp.int32)].set(
+                jnp.concatenate(outs, axis=0)
             )
-        )
-        part["_program"] = program
+
+        program = jax.jit(post)
+        group["_post_program"] = program
     return program
 
 
@@ -1149,17 +1170,7 @@ def execute_lowered(
             atlas if bool((g["items"]["pat_idx"] >= 0).any()) else None,
             t_size,
         )
-        idx: list = []
-        parts: list = []
-        for p in g["parts"]:
-            if p["post"] is None:
-                idx.extend(range(p["pool_base"], p["pool_base"] + p["n_rows"]))
-                parts.append(canvas[p["row_start"] : p["row_start"] + p["n_rows"]])
-            else:
-                part = _part_filter_program(p, grid_w, viewport, linear_rgb, t_size)(canvas)
-                idx.extend(range(p["pool_base"], p["pool_base"] + len(p["out_tiles"])))
-                parts.append(part)
-        pool = pool.at[jnp.asarray(idx, jnp.int32)].set(jnp.concatenate(parts, axis=0))
+        pool = _group_post_program(g, grid_w, viewport, linear_rgb, t_size)(canvas, pool)
     return run(
         lowered.items,
         lowered.bigs,
