@@ -37,11 +37,13 @@ def _slope_time(run_chain) -> float:
 
 
 def bench_scene():
+    import jax
     import jax.numpy as jnp
 
     from svgrasterize_tpu import scene_from_filepath
     from svgrasterize_tpu.core.transform import Transform
     from svgrasterize_tpu.ops import batch_exec
+    from svgrasterize_tpu.ops.fused_exec import execute_items_fused, plan_features
     from svgrasterize_tpu.render_plan import lower_scene
 
     scene, _ids, size = scene_from_filepath(DEMO)
@@ -56,16 +58,28 @@ def bench_scene():
     dev = {k: jnp.asarray(v) for k, v in items.items()}
     bigs = tuple(jnp.asarray(b) for b in lowered.bigs)
     clips = jnp.asarray(lowered.clips) if lowered.clips.shape[0] else None
+    feats = plan_features(items, lowered.bigs, lowered.clips, None, None, lowered.tile)
+
+    @jax.jit
+    def loop(dev, bigs, clips, iters):
+        def body(_i, carry):
+            d = dict(dev)
+            d["opacity"] = dev["opacity"] + carry  # serialize iterations
+            if feats is not None:
+                tiles = execute_items_fused(
+                    d, lowered.tile, gh * gw, bigs, None, None, clips, feats
+                )
+            else:
+                tiles = batch_exec.execute_items(
+                    d, lowered.tile, gh * gw, bigs, None, None, clips
+                )
+            return tiles[0, 0, 0, 0] * 0.0
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     def run_chain(k: int) -> float:
         start = time.perf_counter()
-        carry = jnp.float32(0.0)
-        for _ in range(k):
-            d = dict(dev)
-            d["opacity"] = dev["opacity"] + carry  # data dependency between iters
-            tiles = batch_exec.execute_plan(d, lowered.tile, gh * gw, bigs, None, None, clips)
-            carry = tiles[0, 0, 0, 0] * 0.0
-        float(carry)  # scalar readback forces completion
+        float(loop(dev, bigs, clips, jnp.int32(k)))  # readback forces completion
         return time.perf_counter() - start
 
     run_chain(1)  # compile

@@ -312,12 +312,16 @@ def execute_items(
     return canvas[:num_tiles]
 
 
-@partial(jax.jit, static_argnames=("t_size", "num_tiles"))
+@partial(jax.jit, static_argnames=("t_size", "num_tiles", "features"))
 def execute_plan(
     items: dict, t_size: int, num_tiles: int, big_lines=(), pool=None,
-    patterns=None, clip_lines=None,
+    patterns=None, clip_lines=None, features=None,
 ):
     """Run a whole lowered scene; returns the canvas (num_tiles, T, T, 4).
+
+    features: static capability set from fused_exec.plan_features — when
+    not None the fully-fused Pallas executor runs instead (TPU only; one
+    kernel, no chunk scan / gather / scatter traffic).
 
     items: dict of per-item arrays, all with leading dim N (a multiple of
     CHUNK_ITEMS), z-sorted by (tile_id, z).  Padding items carry
@@ -336,4 +340,11 @@ def execute_plan(
     items["clip_idx"] — scenes where hundreds of draws share a clip pay
     for its winding once.
     """
+    if features is not None:
+        from .fused_exec import execute_items_fused
+
+        return execute_items_fused(
+            items, t_size, num_tiles, big_lines, pool, patterns, clip_lines,
+            features,
+        )
     return execute_items(items, t_size, num_tiles, big_lines, pool, patterns, clip_lines)

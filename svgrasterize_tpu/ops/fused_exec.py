@@ -1,0 +1,614 @@
+"""Fully-fused whole-scene executor: one Pallas TPU kernel per scene.
+
+The XLA executor (ops/batch_exec.py) hits a traffic floor on dense scenes:
+per-chunk it materializes an (C, T, T, 4) rgba stack to HBM, runs a
+log-depth associative scan over it, and gathers/scatters canvas tiles with
+dynamic indices (XLA lowers those to sequential dynamic-slice loops).
+Ablations show compute (winding / paint / scan math) is NOT the limit —
+memory movement is.
+
+This module replaces all of that with two Pallas kernels:
+
+  * the MAIN kernel: grid = (N,), one sequential step per z-sorted work
+    item.  The canvas tile a run composites into is a *revisited output
+    block* (its index comes from the scalar-prefetched tile_id), so an
+    entire tile run composes in VMEM and HBM sees exactly one write per
+    canvas tile.  Pre-pass winding stacks (big segment classes,
+    deduplicated clips) and the isolation-pass texture pool stay
+    VMEM-resident and are read per item by dynamic row index — measured
+    ~30x faster than per-step block gathers through index_maps.  Inline
+    winding, fill-rule coverage, paint evaluation, and Porter-Duff OVER
+    all happen in registers between the block DMAs.
+  * the PREPASS kernel: grid = one step per (big | clip) class row,
+    rasterizing each padded edge list into a (T, T) winding field with
+    the same packed-lane inner loop (the XLA formulation wastes 4/G of
+    the VPU on lane padding and dominates dense scenes once the main
+    kernel is fused).
+
+Data layout: a canvas tile is stored channel-PLANAR as (T, 4T) f32 with
+lane = channel * T + column — for T == 32 that is exactly a (32, 128)
+block, one fp32 VREG tile, full lane utilization.  Planar (not
+interleaved) because pltpu.repeat/pltpu.roll give exact channel
+expansion / alpha broadcast in that layout; MXU f32 matmuls are NOT
+exact (~2e-3) and visibly diverge from the XLA executor when composing
+deep stacks.  Inline edges are packed G = 128//T per winding pass
+into the lane dimension: HBM holds compact per-edge parameter columns
+(N, P, 8, G) and the kernel broadcasts each edge across its T columns
+with one tiny MXU matmul per pass, so the inner loop runs at full lanes
+without inflating HBM traffic.  A per-item dynamic pass count skips the
+padding work the XLA executor burns VPU time on.
+
+The per-(edge, pixel) coverage math is bit-identical to ops/coverage.py
+(the closed-form clamped-trapezoid formulation of the reference's font-rs
+scanline algorithm, /root/reference/svgrasterize.py:2213-2304); the
+composition order matches ops/batch_exec.py, so the two executors agree to
+f32 rounding and are fuzz-tested against each other.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.constants import DEVICE_FLOAT
+
+LANES = 128
+
+# paint kinds (must match render_plan.PAINT_*)
+PAINT_SOLID = 0
+PAINT_LINEAR = 1
+PAINT_RADIAL = 2
+PAINT_PATTERN = 3
+
+# fall back to the XLA executor when the resident stacks would not fit
+VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    return os.environ.get("SVGR_FUSED") == "interp"
+
+
+def _clamp_antideriv(t):
+    return jnp.where(t <= 0, 0.0, jnp.where(t >= 1, t - 0.5, 0.5 * t * t))
+
+
+def _coverage(wind, rule):
+    """rule: 0 nonzero, 1 evenodd (scalar)."""
+    nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
+    evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
+    return jnp.where(rule == 0, nonzero, evenodd)
+
+
+def _edge_params(lines, t_size: int):
+    """Compact packed winding params: lines (N, S, 4) -> (N, P, 8, G).
+
+    Row k of each pass holds parameter k (sign, y_lo, y_hi, x_lo, slope,
+    3 zero-pad rows) for the pass's G edges; the kernel broadcasts each
+    edge across its T columns with edges[p] @ B (B the (G, 128) lane
+    broadcast matrix).  Also returns the per-row live pass count.
+    """
+    f32 = DEVICE_FLOAT
+    g = LANES // t_size
+    n, s, _ = lines.shape
+    n_pass = -(-s // g)
+    if n_pass * g != s:
+        lines = jnp.concatenate(
+            [lines, jnp.zeros((n, n_pass * g - s, 4), f32)], axis=1
+        )
+    a0, a1, b0, b1 = lines[..., 0], lines[..., 1], lines[..., 2], lines[..., 3]
+    sign = jnp.sign(b0 - a0)
+    y_lo = jnp.minimum(a0, b0)
+    y_hi = jnp.maximum(a0, b0)
+    x_lo = jnp.where(a0 <= b0, a1, b1)
+    x_hi = jnp.where(a0 <= b0, b1, a1)
+    dy = y_hi - y_lo
+    slope = (x_hi - x_lo) / jnp.where(dy > 0, dy, 1.0)
+    zero = jnp.zeros_like(sign)
+    ep = jnp.stack([sign, y_lo, y_hi, x_lo, slope, zero, zero, zero], axis=-1)
+    ep = ep.reshape(n, n_pass, g, 8).transpose(0, 1, 3, 2)  # (N, P, 8, G)
+
+    live = jnp.abs(lines).max(axis=-1) > 0                  # (N, P*G)
+    last = jnp.max(
+        jnp.where(live, jnp.arange(1, n_pass * g + 1, dtype=jnp.int32), 0),
+        axis=-1,
+    )
+    passes = (last + g - 1) // g                            # (N,) i32
+    return ep, passes, n_pass
+
+
+def _lane_broadcast_matrix(t_size: int):
+    """(G, 128) matrix B with B[g, l] = (l // T == g)."""
+    g = LANES // t_size
+    il = jnp.arange(LANES, dtype=jnp.int32)
+    return (il[None, :] // t_size == jnp.arange(g, dtype=jnp.int32)[:, None]).astype(
+        DEVICE_FLOAT
+    )
+
+
+def _winding_pass_body(edges_ref, b_ref, rows, lane_col):
+    """The shared packed-lane winding inner loop (one pass = G edges)."""
+
+    def body(p, acc):
+        # 0/1 broadcast matrix; HIGHEST makes the f32 MXU pass exact
+        e = jax.lax.dot_general(
+            edges_ref[0, p], b_ref[:], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=acc.dtype,
+        )
+        sign = e[0:1, :]
+        y_lo = e[1:2, :]
+        y_hi = e[2:3, :]
+        x_lo = e[3:4, :]
+        slope = e[4:5, :]
+        lo = jnp.maximum(y_lo, rows)          # (T, 128)
+        hi = jnp.minimum(y_hi, rows + 1.0)
+        dy = jnp.maximum(hi - lo, 0.0)
+        xs0 = x_lo + slope * (lo - y_lo)
+        xs1 = x_lo + slope * (hi - y_lo)
+        g0 = (lane_col + 1.0) - xs0
+        g1 = (lane_col + 1.0) - xs1
+        den = g1 - g0
+        safe = jnp.abs(den) > 1e-7
+        mean = jnp.where(
+            safe,
+            (_clamp_antideriv(g1) - _clamp_antideriv(g0))
+            / jnp.where(safe, den, 1.0),
+            jnp.clip(0.5 * (g0 + g1), 0.0, 1.0),
+        )
+        return acc + sign * dy * mean
+
+    return body
+
+
+def _fold_groups(acc, t_size: int):
+    """Sum the G edge groups of a (T, 128) accumulator -> (T, T)."""
+    wind = acc[:, 0:t_size]
+    for g in range(1, LANES // t_size):
+        wind = wind + acc[:, g * t_size : (g + 1) * t_size]
+    return wind
+
+
+# --------------------------------------------------------------------------
+# pre-pass: winding stacks for big segment classes and deduplicated clips
+# --------------------------------------------------------------------------
+
+
+def _prepass_kernel_factory(t_size: int):
+    T = t_size
+
+    def kernel(np_ref, edges_ref, b_ref, out_ref):
+        f32 = DEVICE_FLOAT
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).astype(f32)
+        lane_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % T
+        ).astype(f32)
+        acc = jax.lax.fori_loop(
+            0,
+            np_ref[0, 0, 0],
+            _winding_pass_body(edges_ref, b_ref, rows, lane_col),
+            jnp.zeros((T, LANES), f32),
+        )
+        out_ref[0] = _fold_groups(acc, T)
+
+    return kernel
+
+
+def prepass_winding(arrays, t_size: int):
+    """Pallas winding stack for padded edge-list classes (M_c, S_c, 4).
+
+    Drop-in replacement for batch_exec._prepass_winding: concatenates the
+    per-class winding fields plus a trailing zeros scratch row.  The
+    packed-lane kernel runs at full VPU width where the XLA formulation
+    pads T lanes up to 128.
+    """
+    T = t_size
+    winds = []
+    for arr in arrays:
+        if arr is None or arr.shape[0] == 0:
+            continue
+        m = arr.shape[0]
+        edges, passes, n_pass = _edge_params(arr.astype(DEVICE_FLOAT), T)
+        wind = pl.pallas_call(
+            _prepass_kernel_factory(T),
+            grid_spec=pl.GridSpec(
+                grid=(m,),
+                in_specs=[
+                    pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, n_pass, 8, LANES // T),
+                                 lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((LANES // T, LANES), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, T, T), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((m, T, T), DEVICE_FLOAT),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(
+            jnp.broadcast_to(passes[:, None, None], (m, 1, 8)),
+            edges,
+            _lane_broadcast_matrix(T),
+        )
+        winds.append(wind)
+    if not winds:
+        return None
+    winds.append(jnp.zeros((1, T, T), DEVICE_FLOAT))
+    return jnp.concatenate(winds, axis=0)
+
+
+# --------------------------------------------------------------------------
+# main kernel
+# --------------------------------------------------------------------------
+
+
+def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
+    """Build the kernel fn for one static configuration."""
+    T = t_size
+
+    has_big = "big" in features
+    has_clip = "clip" in features
+    has_grad = "grad" in features
+    has_tex = "tex" in features
+    has_mask = "mask" in features
+
+    # scalar-prefetch slot of each gathered array's row index
+    s_slots = {"tile": 0}
+    for name, on in (("big", has_big), ("clip", has_clip),
+                     ("tex", has_tex), ("mask", has_mask)):
+        if on:
+            s_slots[name] = len(s_slots)
+    n_scalars = len(s_slots)
+
+    def kernel(*refs):
+        scalar_refs = refs[:n_scalars]
+        tile_ref = scalar_refs[s_slots["tile"]]
+        it = iter(refs[n_scalars:-1])
+        edges_ref = next(it)     # (1, P, 8, G) VMEM compact edge params
+        b_ref = next(it)         # (G, 128) VMEM lane-broadcast matrix
+        carries_ref = next(it)   # (1, T, 2) VMEM
+        iparams_ref = next(it)   # (1, 1, 8) SMEM int32
+        fparams_ref = next(it)   # (1, 1, 24) SMEM f32
+        color_ref = next(it)     # (1, 1, 4T) VMEM (channel-planar)
+        if has_grad:
+            stop_off_ref = next(it)  # (1, 1, K) SMEM
+            stops_ref = next(it)     # (1, K, 4T) VMEM
+        if has_big:
+            big_ref = next(it)       # (M+1, T, T) VMEM-resident stack
+        if has_clip:
+            clip_ref = next(it)      # (U+1, T, T) VMEM-resident stack
+        if has_tex:
+            tex_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
+        if has_mask:
+            msk_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
+        out_ref = refs[-1]           # (1, T, 4T) VMEM, revisited per tile run
+
+        i = pl.program_id(0)
+        f32 = DEVICE_FLOAT
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).astype(f32)
+        lane_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % T
+        ).astype(f32)
+
+        # ---- inline winding: G edges per pass, full 128 lanes ----------
+        acc = jax.lax.fori_loop(
+            0,
+            iparams_ref[0, 0, 4],
+            _winding_pass_body(edges_ref, b_ref, rows, lane_col),
+            jnp.zeros((T, LANES), f32),
+        )
+        wind = _fold_groups(acc, T)
+
+        if has_big:
+            wind = wind + big_ref[scalar_refs[s_slots["big"]][i]]
+        wind = wind + carries_ref[0, :, 0:1]
+        cov = _coverage(wind, iparams_ref[0, 0, 1])
+        if has_clip:
+            cw = clip_ref[scalar_refs[s_slots["clip"]][i]] + carries_ref[0, :, 1:2]
+            cov = cov * _coverage(cw, iparams_ref[0, 0, 2])
+        mask = cov * fparams_ref[0, 0, 16]
+        mask = jnp.where(mask < 1e-6, 0.0, mask)
+        mask128 = pltpu.repeat(mask, 4, axis=1)  # planar tile -> (T, 4T)
+
+        # ---- paint ------------------------------------------------------
+        paint = jnp.broadcast_to(color_ref[0, 0].reshape(1, 4 * T), (T, 4 * T))
+        if has_grad:
+            kind = iparams_ref[0, 0, 0]
+            fp = fparams_ref
+            r = rows + fp[0, 0, 17] + 0.5                                 # (T,1)
+            c = (jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(f32)
+                 + fp[0, 0, 18] + 0.5)
+            gx = r * fp[0, 0, 0] + c * fp[0, 0, 1] + fp[0, 0, 2]          # (T,T)
+            gy = r * fp[0, 0, 3] + c * fp[0, 0, 4] + fp[0, 0, 5]
+            vec0 = fp[0, 0, 8] - fp[0, 0, 6]
+            vec1 = fp[0, 0, 9] - fp[0, 0, 7]
+            denom = jnp.maximum(vec0 * vec0 + vec1 * vec1, 1e-30)
+            t_lin = ((gx - fp[0, 0, 6]) * vec0 + (gy - fp[0, 0, 7]) * vec1) / denom
+            cd0 = fp[0, 0, 10] - fp[0, 0, 12]
+            cd1 = fp[0, 0, 11] - fp[0, 0, 13]
+            pd0 = gx - fp[0, 0, 12]
+            pd1 = gy - fp[0, 0, 13]
+            radius = fp[0, 0, 14]
+            fradius = fp[0, 0, 15]
+            rd = radius - fradius
+            a_q = cd0 * cd0 + cd1 * cd1 - rd * rd
+            b_q = pd0 * cd0 + pd1 * cd1 + fradius * rd
+            c_q = pd0 * pd0 + pd1 * pd1 - fradius * fradius
+            det = b_q * b_q - a_q * c_q
+            sq = jnp.sqrt(jnp.maximum(det, 0.0))
+            a_safe = jnp.where(jnp.abs(a_q) > 1e-30, a_q, 1e-30)
+            t_rad = jnp.maximum((b_q + sq) / a_safe, (b_q - sq) / a_safe)
+            # f32 throughout: Mosaic cannot select on i1 vectors
+            rad_valid = (det >= 0).astype(f32)
+            lim = fradius / jnp.where(jnp.abs(rd) > 1e-12, fradius - radius, 1.0)
+            rad_valid = jnp.where(jnp.abs(rd) > 1e-12,
+                                  rad_valid * (t_rad > lim).astype(f32), rad_valid)
+            t = jnp.where(kind == PAINT_LINEAR, t_lin, t_rad)
+            mode = iparams_ref[0, 0, 3]
+            repeat = t - jnp.trunc(t)
+            reflect = jnp.abs(jnp.remainder(t + 1.0, 2.0) - 1.0)
+            t = jnp.where(mode == 0, t, jnp.where(mode == 1, repeat, reflect))
+            t128 = pltpu.repeat(t, 4, axis=1)                           # (T,4T)
+            grad = jnp.broadcast_to(stops_ref[0, 0].reshape(1, 4 * T), (T, 4 * T))
+            for k in range(1, k_stops):
+                span = stop_off_ref[0, 0, k] - stop_off_ref[0, 0, k - 1]
+                ok = span > 1e-12
+                ratio = jnp.clip(
+                    (t128 - stop_off_ref[0, 0, k - 1]) / jnp.where(ok, span, 1.0),
+                    0.0, 1.0,
+                )
+                ratio = jnp.where(
+                    ok, ratio, (t128 >= stop_off_ref[0, 0, k]).astype(f32)
+                )
+                grad = grad + ratio * (stops_ref[0, k] - stops_ref[0, k - 1]).reshape(
+                    1, 4 * T
+                )
+            valid128 = pltpu.repeat(rad_valid, 4, axis=1)
+            grad = grad * jnp.where(kind == PAINT_RADIAL, valid128, 1.0)
+            paint = jnp.where(kind == PAINT_SOLID, paint, grad)
+        if has_tex:
+            paint = jnp.where(
+                iparams_ref[0, 0, 5] >= 0,
+                tex_ref[scalar_refs[s_slots["tex"]][i]], paint,
+            )
+        if has_mask:
+            # SVG mask value = luminance weights dotted with premultiplied
+            # rgb: weight per channel plane, then circular group-sum rolls
+            # (exact, unlike an MXU matmul)
+            grp = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * T), 1) // T
+            wv = jnp.where(
+                grp == 0, 0.2125,
+                jnp.where(grp == 1, 0.7154, jnp.where(grp == 2, 0.072, 0.0)),
+            ).astype(f32)
+            s = msk_ref[scalar_refs[s_slots["mask"]][i]] * wv
+            lum = s
+            for kk in (1, 2, 3):
+                lum = lum + pltpu.roll(s, 4 * T - kk * T, 1)
+            mask128 = mask128 * jnp.where(iparams_ref[0, 0, 6] >= 0, lum, 1.0)
+
+        # ---- Porter-Duff OVER into the revisited canvas block -----------
+        rgba = mask128 * paint
+        asel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 4 * T), 1) // T == 3
+        ).astype(f32)
+        s_a = rgba * asel
+        alpha = s_a
+        for kk in (1, 2, 3):
+            alpha = alpha + pltpu.roll(s_a, 4 * T - kk * T, 1)
+        j = jnp.maximum(i - 1, 0)
+        first = (i == 0) | (tile_ref[i] != tile_ref[j])
+        prev = jnp.where(first, 0.0, out_ref[0])
+        out_ref[0] = rgba + prev * (1.0 - alpha)
+
+    return kernel, s_slots, n_scalars
+
+
+def _gather_map(pos):
+    return lambda i, *s: (s[pos][i], 0, 0)
+
+
+def execute_items_fused(
+    items: dict, t_size: int, num_tiles: int, big_lines=(), pool=None,
+    patterns=None, clip_lines=None, features=frozenset(),
+):
+    """Traceable fused execution; same contract as batch_exec.execute_items.
+
+    Requires: patterns is None, LANES % t_size == 0.  `features` is the
+    static capability set computed by plan_features from the host-side
+    plan ("big", "clip", "grad", "tex", "mask").
+    """
+    assert patterns is None, "pattern paints use the XLA executor"
+
+    f32 = DEVICE_FLOAT
+    T = t_size
+    features = frozenset(features)
+    n = items["tile_id"].shape[0]
+
+    edges, passes, n_pass = _edge_params(items["lines"].astype(f32), T)
+    # big items REPLACE their winding with the pre-pass field in the XLA
+    # executor (their inline lines are not guaranteed empty) — skip their
+    # inline passes so add == replace
+    passes = jnp.where(items["big_idx"].astype(jnp.int32) >= 0, 0, passes)
+
+    carries = jnp.stack(
+        [items["carry"].astype(f32), items["clip_carry"].astype(f32)], axis=-1
+    )  # (N, T, 2)
+
+    ipar = jnp.stack(
+        [
+            items["kind"].astype(jnp.int32),
+            items["fill_rule"].astype(jnp.int32),
+            items["clip_rule"].astype(jnp.int32),
+            items["spread"].astype(jnp.int32),
+            passes,
+            items["tex_idx"].astype(jnp.int32),
+            items["mask_idx"].astype(jnp.int32),
+            jnp.zeros((n,), jnp.int32),
+        ],
+        axis=-1,
+    )[:, None, :]  # (N, 1, 8)
+
+    aff = items["affine"].astype(f32).reshape(n, 6)
+    fpar = jnp.concatenate(
+        [
+            aff,
+            items["p0"].astype(f32),
+            items["p1"].astype(f32),
+            items["center"].astype(f32),
+            items["fcenter"].astype(f32),
+            items["radius"].astype(f32)[:, None],
+            items["fradius"].astype(f32)[:, None],
+            items["opacity"].astype(f32)[:, None],
+            items["tile_r"].astype(f32)[:, None],
+            items["tile_c"].astype(f32)[:, None],
+            jnp.zeros((n, 5), f32),
+        ],
+        axis=-1,
+    )[:, None, :]  # (N, 1, 24)
+
+    # channel-planar paint vector: lane l holds color[l // T]
+    colorv = jnp.broadcast_to(
+        items["color"].astype(f32)[:, :, None], (n, 4, T)
+    ).reshape(n, 1, 4 * T)
+
+    tile_id = items["tile_id"].astype(jnp.int32)
+
+    scalars = [tile_id]
+    tensors = [edges, _lane_broadcast_matrix(T), carries, ipar, fpar, colorv]
+    g = LANES // T
+    in_specs = [
+        pl.BlockSpec((1, n_pass, 8, g), lambda i, *s: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, LANES), lambda i, *s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, 2), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 8), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 24), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 4 * T), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    k_stops = int(items["stop_offsets"].shape[1])
+    if "grad" in features:
+        stops = jnp.broadcast_to(
+            items["stop_colors"].astype(f32)[:, :, :, None], (n, k_stops, 4, T)
+        ).reshape(n, k_stops, 4 * T)
+        tensors += [items["stop_offsets"].astype(f32)[:, None, :], stops]
+        in_specs += [
+            pl.BlockSpec((1, 1, k_stops), lambda i, *s: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k_stops, 4 * T), lambda i, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    if "big" in features:
+        if big_lines is not None and not isinstance(big_lines, (tuple, list)):
+            big_lines = (big_lines,)
+        big_wind = prepass_winding(tuple(big_lines or ()), T)   # (M+1, T, T)
+        m = big_wind.shape[0] - 1
+        big_idx = items["big_idx"].astype(jnp.int32)
+        scalars.append(jnp.where(big_idx >= 0, big_idx, m))
+        tensors.append(big_wind)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if "clip" in features:
+        clip_wind = prepass_winding((clip_lines,), T)           # (U+1, T, T)
+        u = clip_wind.shape[0] - 1
+        clip_idx = items["clip_idx"].astype(jnp.int32)
+        scalars.append(jnp.where(clip_idx >= 0, clip_idx, u))
+        tensors.append(clip_wind)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if "tex" in features or "mask" in features:
+        pool128 = jnp.concatenate(
+            [pool.astype(f32), jnp.zeros((1, T, T, 4), f32)], axis=0
+        ).transpose(0, 1, 3, 2).reshape(-1, T, 4 * T)  # channel-planar
+        p_rows = pool128.shape[0] - 1
+    if "tex" in features:
+        tex_idx = items["tex_idx"].astype(jnp.int32)
+        scalars.append(jnp.where(tex_idx >= 0, tex_idx, p_rows))
+        tensors.append(pool128)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if "mask" in features:
+        mask_idx = items["mask_idx"].astype(jnp.int32)
+        scalars.append(jnp.where(mask_idx >= 0, mask_idx, p_rows))
+        tensors.append(pool128)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    kernel, _slots, n_scalars = _kernel_factory(T, k_stops, features)
+    assert n_scalars == len(scalars)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_scalars,
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, T, 4 * T), _gather_map(0),
+                               memory_space=pltpu.VMEM),
+    )
+    canvas128 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, T, 4 * T), f32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # the pre-pass winding stacks and the isolation pool stay
+            # VMEM-resident (dynamic per-item row reads beat per-step
+            # block gathers by ~30x); raise the scoped limit accordingly
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(*scalars, *tensors)
+
+    # tiles no item touched hold garbage (their output block was never
+    # written — possibly NaN, so select rather than multiply).  The scratch
+    # row absorbs pads.
+    touched = jnp.zeros((num_tiles + 1,), jnp.bool_).at[tile_id].set(True)
+    canvas = jnp.where(
+        touched[:num_tiles, None, None], canvas128[:num_tiles], 0.0
+    )
+    # channel-planar (T, 4T) -> (T, T, 4)
+    return canvas.reshape(num_tiles, T, 4, T).transpose(0, 1, 3, 2)
+
+
+@functools.lru_cache(maxsize=None)
+def _backend_is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def plan_features(items, bigs, clips, pool, patterns, t_size: int):
+    """Host-side: the static feature set for the fused path, or None when
+    the plan (or platform) requires the XLA executor.  `items` here are the
+    host numpy arrays of a lowered plan."""
+    mode = os.environ.get("SVGR_FUSED", "")
+    if mode == "0":
+        return None
+    if patterns is not None or LANES % t_size != 0:
+        return None
+    if (items["pat_idx"] >= 0).any():
+        return None
+    if mode not in ("1", "interp") and not _backend_is_tpu():
+        return None
+    f = []
+    resident = 0
+    if bigs is not None and any(b is not None and b.shape[0] for b in bigs):
+        f.append("big")
+        resident += sum(b.shape[0] for b in bigs if b is not None)
+    if clips is not None and clips.shape[0]:
+        f.append("clip")
+        resident += clips.shape[0]
+    if (items["kind"] != PAINT_SOLID).any():
+        f.append("grad")
+    if pool is not None and (items["tex_idx"] >= 0).any():
+        f.append("tex")
+    if pool is not None and (items["mask_idx"] >= 0).any():
+        f.append("mask")
+    if ("tex" in f or "mask" in f) and pool is not None:
+        resident += pool.shape[0] * 4
+    if (resident + 2) * t_size * t_size * 4 > VMEM_BUDGET:
+        return None
+    return frozenset(f)

@@ -1117,9 +1117,17 @@ def _apply_part_filter(canvas, part, grid_w, viewport, linear_rgb, t_size):
 
 
 def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
-    """Single-device plan executor (one jitted program)."""
+    """Single-device plan executor (one jitted program).
+
+    On TPU, plans without pattern paints run through the fully-fused
+    Pallas executor (ops/fused_exec.py) — the capability set is computed
+    here from the host arrays so the device program stays static.
+    """
     import jax.numpy as jnp
 
+    from .ops.fused_exec import plan_features
+
+    features = plan_features(items, bigs, clips, pool, patterns, t_size)
     return batch_exec.execute_plan(
         {k: jnp.asarray(v) for k, v in items.items()},
         t_size,
@@ -1128,6 +1136,7 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
         pool,
         patterns,
         jnp.asarray(clips) if clips.shape[0] else None,
+        features=features,
     )
 
 

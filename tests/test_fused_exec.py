@@ -1,0 +1,123 @@
+"""Fused Pallas executor vs the XLA executor (the in-repo oracle).
+
+The fused path (ops/fused_exec.py) must produce the same canvas as
+ops/batch_exec.execute_items for any lowered plan it accepts.  On CPU the
+kernel runs in Pallas interpret mode (SVGR_FUSED=interp); the real-TPU
+equivalence is covered by the golden demos, which route through the fused
+path automatically on that backend.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import svgrasterize_tpu.render_plan as rp
+from svgrasterize_tpu import scene_from_str
+from svgrasterize_tpu.core.transform import Transform
+
+TR = Transform().matrix(0, 1, 0, 1, 0, 0)
+
+
+def _compare(svg: str, viewport, tol=1e-5):
+    scene, _ids, _size = scene_from_str(svg)
+    lowered = rp.lower_scene(scene, TR, viewport, False)
+    assert lowered is not None, "scene must lower"
+    prev = os.environ.get("SVGR_FUSED")
+    try:
+        os.environ["SVGR_FUSED"] = "0"
+        ref = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        os.environ["SVGR_FUSED"] = "interp"
+        got = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+    finally:
+        if prev is None:
+            os.environ.pop("SVGR_FUSED", None)
+        else:
+            os.environ["SVGR_FUSED"] = prev
+    assert np.abs(ref - got).max() <= tol, (
+        f"fused executor diverges: {np.abs(ref - got).max()}"
+    )
+
+
+def test_solid_fills_rules_opacity():
+    _compare(
+        """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <rect x='4' y='4' width='50' height='40' fill='#d04020'/>
+        <circle cx='70' cy='32' r='20' fill='#2060c0' opacity='0.7'/>
+        <path d='M10 50 L90 44 L50 62 Z M20 48 L80 48 L50 60 Z'
+              fill='#20a040' fill-rule='evenodd'/>
+        </svg>""",
+        (0, 0, 64, 96),
+    )
+
+
+def test_gradients_clips_carries():
+    _compare(
+        """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <defs>
+        <linearGradient id='lg' x1='0' y1='0' x2='1' y2='1' spreadMethod='reflect'>
+        <stop offset='0' stop-color='#ff0000'/><stop offset='0.5' stop-color='#00ff00'/>
+        <stop offset='1' stop-color='#0000ff'/></linearGradient>
+        <radialGradient id='rg' cx='0.5' cy='0.5' r='0.5' fx='0.3' fy='0.3'>
+        <stop offset='0' stop-color='#ffffff'/><stop offset='1' stop-color='#204080'/>
+        </radialGradient>
+        <clipPath id='c'><circle cx='30' cy='30' r='22'/></clipPath></defs>
+        <rect x='4' y='4' width='50' height='40' fill='url(#rg)' clip-path='url(#c)'/>
+        <rect x='56' y='6' width='36' height='20' fill='url(#lg)'/>
+        <path d='M2 2 C 90 0, 4 60, 94 62 L 94 2 Z' fill='#208040' opacity='0.5'/>
+        </svg>""",
+        (0, 0, 64, 96),
+    )
+
+
+def test_isolation_pool_tex_and_mask():
+    _compare(
+        """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <defs><mask id='m'><rect x='0' y='0' width='96' height='64' fill='#606060'/>
+        <circle cx='48' cy='32' r='18' fill='white'/></mask></defs>
+        <g opacity='0.6'><rect x='8' y='8' width='40' height='30' fill='#c03020'/>
+        <circle cx='40' cy='40' r='14' fill='#30a050'/></g>
+        <rect x='30' y='10' width='60' height='44' fill='#2060c0' mask='url(#m)'/>
+        </svg>""",
+        (0, 0, 64, 96),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_scene_equivalence(seed):
+    rng = np.random.default_rng(seed)
+    parts = []
+    for _ in range(12):
+        kind = rng.integers(0, 3)
+        color = "#%02x%02x%02x" % tuple(rng.integers(0, 256, 3))
+        op = rng.uniform(0.3, 1.0)
+        if kind == 0:
+            x, y = rng.uniform(0, 80, 2)
+            w, h = rng.uniform(5, 40, 2)
+            parts.append(
+                f"<rect x='{x:.1f}' y='{y:.1f}' width='{w:.1f}' height='{h:.1f}'"
+                f" fill='{color}' opacity='{op:.2f}'/>"
+            )
+        elif kind == 1:
+            cx, cy = rng.uniform(10, 85, 2)
+            r = rng.uniform(4, 25)
+            parts.append(
+                f"<circle cx='{cx:.1f}' cy='{cy:.1f}' r='{r:.1f}'"
+                f" fill='{color}' opacity='{op:.2f}'/>"
+            )
+        else:
+            pts = rng.uniform(0, 96, (4, 2))
+            d = "M" + " L".join(f"{p[0]:.1f} {p[1]:.1f}" for p in pts) + " Z"
+            rule = "evenodd" if rng.random() < 0.5 else "nonzero"
+            parts.append(
+                f"<path d='{d}' fill='{color}' fill-rule='{rule}'"
+                f" opacity='{op:.2f}'/>"
+            )
+    svg = (
+        "<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>"
+        + "".join(parts)
+        + "</svg>"
+    )
+    _compare(svg, (0, 0, 64, 96))
