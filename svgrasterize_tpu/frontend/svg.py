@@ -221,7 +221,8 @@ def _marker_scenes(attrs: dict, ids: dict, path: Path) -> list:
     rotate by the orient rule (auto = tangent / bisector), scale by the
     stroke width for markerUnits=strokeWidth, fit the viewBox into the
     marker box, and anchor refX/refY at the vertex (SVG 1.1 11.6.2).
-    overflow clipping of marker viewports is not applied.
+    Content outside the marker viewport is clipped unless the marker sets
+    overflow: visible|auto (the UA default for marker is hidden).
     """
     import math
 
@@ -231,7 +232,7 @@ def _marker_scenes(attrs: dict, ids: dict, path: Path) -> list:
         if value is None:
             continue
         target = parse_url(value, ids)
-        if isinstance(target, tuple) and len(target) == 7 and target[0] == "marker":
+        if isinstance(target, tuple) and len(target) == 8 and target[0] == "marker":
             refs[pos] = target
     if not refs:
         return []
@@ -245,7 +246,15 @@ def _marker_scenes(attrs: dict, ids: dict, path: Path) -> list:
             marker = refs.get(pos)
             if marker is None:
                 continue
-            _kind, scene, view_box, (mw, mh), (rx, ry), orient, units = marker
+            _kind, scene, view_box, (mw, mh), (rx, ry), orient, units, overflow = marker
+            if overflow not in ("visible", "auto"):
+                # clip to the marker viewport: content coordinates map onto
+                # the (0, 0, mw, mh) box (through the viewBox fit when set)
+                clip_box = view_box if view_box else (0.0, 0.0, mw, mh)
+                clip = Scene.fill(
+                    Path.from_svg(rect_path_data(*clip_box)), np.ones(4)
+                )
+                scene = scene.clip(clip)
             if isinstance(orient, str):
                 dirs = [d for d in (d_in, d_out) if d is not None]
                 if dirs:
@@ -988,6 +997,9 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None):
                         orient if orient in ("auto", "auto-start-reverse")
                         else parse_angle(orient),
                         attrs.get("markerUnits", "strokeWidth"),
+                        # UA stylesheet default for marker viewports is
+                        # overflow: hidden (SVG 1.1 14.3.3)
+                        attrs.get("overflow", "hidden"),
                     )
             return []
 

@@ -85,6 +85,7 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
     else:
         m_dev, s_big = 0, 0
 
+    items = {k: v for k, v in items.items() if not k.startswith("_")}
     stacked = {
         k: np.zeros((n_devices, n_dev, *v.shape[1:]), v.dtype) for k, v in items.items()
     }

@@ -1122,21 +1122,42 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
     On TPU, plans without pattern paints run through the fully-fused
     Pallas executor (ops/fused_exec.py) — the capability set is computed
     here from the host arrays so the device program stays static.
+
+    The host->device conversion of the packed plan arrays is cached on the
+    items dict (key "_device_cache"): on the remote-tunnel TPU the upload
+    costs ~70ms for a dense scene, an order of magnitude more than the
+    fused render itself, so repeated renders of one plan must not pay it.
     """
     import jax.numpy as jnp
 
     from .ops.fused_exec import plan_features
 
-    features = plan_features(items, bigs, clips, pool, patterns, t_size)
+    import os
+
+    mode = os.environ.get("SVGR_FUSED", "")
+    cache = items.get("_device_cache")
+    if cache is None or cache["mode"] != mode:
+        cache = {
+            "mode": mode,
+            "items": {
+                k: jnp.asarray(v)
+                for k, v in items.items()
+                if not k.startswith("_")
+            },
+            "bigs": tuple(jnp.asarray(b) for b in bigs),
+            "clips": jnp.asarray(clips) if clips.shape[0] else None,
+            "features": plan_features(items, bigs, clips, pool, patterns, t_size),
+        }
+        items["_device_cache"] = cache
     return batch_exec.execute_plan(
-        {k: jnp.asarray(v) for k, v in items.items()},
+        cache["items"],
         t_size,
         num_tiles,
-        tuple(jnp.asarray(b) for b in bigs),
+        cache["bigs"],
         pool,
         patterns,
-        jnp.asarray(clips) if clips.shape[0] else None,
-        features=features,
+        cache["clips"],
+        features=cache["features"],
     )
 
 

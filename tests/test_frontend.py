@@ -275,6 +275,40 @@ def test_markers_on_path():
     assert abs(xs.mean() - 107) < 4 and abs(ys.mean() - 16) < 4
 
 
+def test_marker_viewport_overflow_clip():
+    # UA default overflow: hidden clips marker content to the viewport
+    # (SVG 1.1 14.3.3); overflow="visible" opts out
+    import numpy as np
+
+    from svgrasterize_tpu.core.transform import Transform
+
+    base = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="120" height="60">
+      <defs>
+        <marker id="m" markerWidth="6" markerHeight="6" refX="3" refY="3"
+                markerUnits="userSpaceOnUse"{OV}>
+          <circle cx="3" cy="3" r="8" fill="red"/>
+        </marker>
+      </defs>
+      <path d="M20 30 L100 30" stroke="black" stroke-width="1"
+            marker-start="url(#m)" marker-end="url(#m)"/>
+    </svg>
+    """
+
+    def red_area(doc):
+        scene, _ids, _size = scene_from_str(doc)
+        layer, _ = scene.render(
+            Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 60, 120)
+        )
+        img = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)
+        return int((img[..., 0] > 0.2).sum())
+
+    clipped = red_area(base.replace("{OV}", ""))
+    visible = red_area(base.replace("{OV}", ' overflow="visible"'))
+    assert abs(clipped - 2 * 36) < 20  # two 6x6 viewports
+    assert visible > 4 * clipped
+
+
 def test_stroke_dasharray():
     # stroke dashing is absent from the reference entirely
     import numpy as np
