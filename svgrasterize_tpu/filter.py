@@ -389,6 +389,21 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
     if kind == FE_IMAGE:
         scene, region = attrs
         (source,) = inputs
+        if isinstance(scene, tuple) and scene[0] == "raster":
+            # external raster resource (PNG): stretched onto its subregion
+            # (or its intrinsic pixel size in user units), axis-aligned —
+            # rotation of the placement box is not applied
+            import jax
+
+            raster = np.asarray(scene[1], dtype=np.float64) / 255.0
+            if region is None:
+                region = (0.0, 0.0, float(raster.shape[1]), float(raster.shape[0]))
+            offset, (h, w) = _output_region(region, source, transform)
+            image = jax.image.resize(
+                jnp.asarray(raster, source.image.dtype), (h, w, 4), method="linear"
+            )
+            layer = Layer(image, offset, pre_alpha=False, linear_rgb=False)
+            return layer.convert(pre_alpha=False, linear_rgb=True)
         tr = transform
         if region is not None:
             tr = transform @ Transform().translate(region[0], region[1])

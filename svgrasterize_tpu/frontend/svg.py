@@ -362,6 +362,47 @@ _COMPOSITE_MODES = {
 }
 
 
+def load_image_resource(href: str, base: str | None):
+    """Resolve a feImage href to ("scene", Scene) or ("raster", (H, W, 4)
+    uint8 straight-alpha sRGB) — data: URIs (base64 or URL-encoded PNG /
+    SVG) and local file paths relative to the document.  Network URLs are
+    not fetched (warn + None)."""
+    import base64
+    import urllib.parse
+
+    from ..core.png import read_png
+
+    try:
+        if href.startswith("data:"):
+            head, _, payload = href.partition(",")
+            mime = head[5:]
+            data = (
+                base64.b64decode(payload)
+                if ";base64" in mime
+                else urllib.parse.unquote_to_bytes(payload)
+            )
+            if "image/svg" in mime:
+                scene, _ids, _size = scene_from_str(data.decode("utf-8"))
+                return ("scene", scene) if scene is not None else None
+            if "image/png" in mime:
+                return "raster", read_png(data)
+            warnings.warn(f"unsupported data: media type {mime.split(';')[0]!r}")
+            return None
+        if href.startswith(("http:", "https:")):
+            warnings.warn(f"network image resources are not fetched: {href!r}")
+            return None
+        path = href if os.path.isabs(href) else os.path.join(base or ".", href)
+        ext = os.path.splitext(path)[1].lower()
+        if ext in (".svg", ".svgz", ".gz"):
+            scene, _ids, _size = scene_from_filepath(path)
+            return ("scene", scene) if scene is not None else None
+        with open(path, "rb") as file:
+            return "raster", read_png(file)
+    except (OSError, ValueError, NotImplementedError) as exc:
+        warnings.warn(f"failed to load image resource {href!r}: {exc}")
+        return None
+
+
 def build_filter(element, ids: dict) -> Filter:
     """Parse a <filter> element into the SSA-style Filter op list.
 
@@ -500,8 +541,17 @@ def build_filter(element, ids: dict) -> Filter:
                 # intra-document fragment; x/y place it, scaling to the
                 # subregion is not applied (fragments have no intrinsic size)
                 flt = flt.image(target, _fe_region(attrs), result)
+            elif href and not href.startswith("#"):
+                resource = load_image_resource(href, ids.get("\x00base"))
+                if resource is None:
+                    continue
+                kind_r, payload = resource
+                if kind_r == "scene":
+                    flt = flt.image(payload, _fe_region(attrs), result)
+                else:
+                    flt = flt.image(("raster", payload), _fe_region(attrs), result)
             else:
-                warnings.warn(f"feImage supports only #fragment references: {href!r}")
+                warnings.warn(f"feImage reference not resolvable: {href!r}")
         elif tag in ("feDiffuseLighting", "feSpecularLighting"):
             light = _light_source(child)
             if light is None:
@@ -772,15 +822,17 @@ def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
 # ------------------------------------------------------------------------------
 # document walker
 # ------------------------------------------------------------------------------
-def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None):
+def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
+                   base: str | None = None):
     """Build a Scene from an SVG file object.
 
     Returns (scene | None, ids, size) where ids maps element ids to the
     objects they defined (scenes, gradients, patterns, filters, clip tuples)
     and size is the top-level (width, height) if the document declares one.
+    base: directory external resource references (feImage) resolve against.
     """
     fonts = FontsDB() if fonts is None else fonts
-    ids: dict = {}
+    ids: dict = {"\x00base": base}
     doc_size: list = [None]
 
     def walk(element, inherited, top=False, forced_width=None):
@@ -1099,12 +1151,13 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None):
 def scene_from_filepath(path, fg=None, width=None, fonts: FontsDB | None = None):
     """Build a Scene from an .svg or gzipped .svgz/.gz file path."""
     path = os.path.expanduser(path)
+    base = os.path.dirname(os.path.abspath(path))
     _, ext = os.path.splitext(path)
     if ext in (".svgz", ".gz"):
         with gzip.open(path, mode="rt", encoding="utf-8") as file:
-            return scene_from_xml(file, fg, width, fonts)
+            return scene_from_xml(file, fg, width, fonts, base=base)
     with open(path, encoding="utf-8") as file:
-        return scene_from_xml(file, fg, width, fonts)
+        return scene_from_xml(file, fg, width, fonts, base=base)
 
 
 def scene_from_str(text: str, fg=None, width=None, fonts: FontsDB | None = None):

@@ -239,6 +239,59 @@ def test_fe_image_fragment():
     assert img[40, 40, 2] > 0.9  # source rect still beneath
 
 
+def test_fe_image_data_uri_raster():
+    # external resources: a base64 data: PNG stretched onto its subregion
+    import base64
+
+    from svgrasterize_tpu.core.png import write_png
+
+    tile = np.zeros((4, 4, 4), np.uint8)
+    tile[:2, :2] = [255, 0, 0, 255]
+    tile[2:, 2:] = [255, 0, 0, 255]
+    tile[:2, 2:] = [0, 0, 255, 255]
+    tile[2:, :2] = [0, 0, 255, 255]
+    uri = "data:image/png;base64," + base64.b64encode(
+        write_png(tile).getvalue()
+    ).decode()
+    img = _render(
+        f"""
+        <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+          <defs><filter id="f" x="0" y="0" width="64" height="64"
+                        filterUnits="userSpaceOnUse">
+            <feImage href="{uri}" x="8" y="8" width="32" height="32"/>
+          </filter></defs>
+          <rect x="0" y="0" width="64" height="64" fill="green" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    assert img[12, 12, 0] > 0.8 and img[12, 12, 2] < 0.2   # red quadrant
+    assert img[12, 36, 2] > 0.8 and img[12, 36, 0] < 0.2   # blue quadrant
+    assert img[50, 50, 3] < 0.05                           # outside the box
+
+
+def test_fe_image_data_uri_svg():
+    import base64
+
+    inner = (
+        "<svg xmlns='http://www.w3.org/2000/svg' width='64' height='64'>"
+        "<circle cx='16' cy='16' r='12' fill='red'/></svg>"
+    )
+    uri = "data:image/svg+xml;base64," + base64.b64encode(inner.encode()).decode()
+    img = _render(
+        f"""
+        <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+          <defs><filter id="f">
+            <feImage href="{uri}" result="im"/>
+            <feComposite in="im" in2="SourceGraphic" operator="over"/>
+          </filter></defs>
+          <rect x="32" y="32" width="30" height="30" fill="blue" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    assert img[16, 16, 0] > 0.8   # embedded SVG circle
+    assert img[48, 48, 2] > 0.8   # source rect beneath
+
+
 def test_vertex_frames_arcs():
     from svgrasterize_tpu.geom.path import Path
 
