@@ -1143,6 +1143,7 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
     root = etree.parse(file).getroot()
     default_color = np.array([0.0, 0.0, 0.0, 1.0], dtype=FLOAT) if fg is None else fg
     group = walk(root, {"color": default_color}, top=True, forced_width=width)
+    ids.pop("\x00base", None)  # internal plumbing, not part of the registry
     if not group:
         return None, ids, doc_size[0]
     return Scene.group(group), ids, doc_size[0]

@@ -155,9 +155,11 @@ class Path:
 
         Curves are flattened at `tolerance` user units first; every "on"
         run becomes an open subpath, so stroking applies caps at dash ends.
-        The reference has no dashing support.  Closed subpaths dash around
-        the closing edge but are capped like open runs (spec joins the
-        first/last dash; visually identical except at that seam).
+        The reference has no dashing support.  On a closed subpath whose
+        start falls inside an "on" period, the trailing dash wraps the
+        seam and merges with the leading dash (SVG 11.4: the closure gets
+        a line JOIN, not two caps); a dash pattern that never switches off
+        keeps the subpath closed.
         """
         dashes = [float(v) for v in dashes]
         if len(dashes) % 2:
@@ -166,16 +168,24 @@ class Path:
         if total <= 0 or any(v < 0 for v in dashes):
             return self
 
-        def lines_subpath(points):
+        def lines_subpath(points, closed=False):
+            if closed and np.allclose(points[0], points[-1]):
+                points = points[:-1]
             sub = [
                 (PATH_LINE, [points[i].tolist(), points[i + 1].tolist()])
                 for i in range(len(points) - 1)
             ]
-            sub.append((PATH_UNCLOSED, [points[-1].tolist(), points[0].tolist()]))
+            sub.append(
+                (
+                    PATH_CLOSED if closed else PATH_UNCLOSED,
+                    [points[-1].tolist(), points[0].tolist()],
+                )
+            )
             return sub
 
         out_subs = []
         for sub in self.subpaths:
+            sub_closed = any(kind == PATH_CLOSED for kind, _ in sub)
             pts: list = []
             for kind, payload in sub:
                 if kind == PATH_UNCLOSED:
@@ -207,6 +217,8 @@ class Path:
                 phase -= dashes[idx]
                 idx = (idx + 1) % len(dashes)
             on = idx % 2 == 0
+            started_on = on
+            runs: list = []
             current: list = [points[0]] if on else []
             for i, seg_len in enumerate(lengths):
                 a, b, length = points[i], points[i + 1], float(seg_len)
@@ -225,14 +237,24 @@ class Path:
                         phase = 0.0
                         if on:
                             if len(current) >= 2:
-                                out_subs.append(lines_subpath(current))
+                                runs.append(current)
                             current = []
                             on = False
                         else:
                             on = True
                             current = [cut]
-            if on and len(current) >= 2:
-                out_subs.append(lines_subpath(current))
+            trailing = on and len(current) >= 2
+            if trailing:
+                runs.append(current)
+            if sub_closed and trailing and started_on:
+                if len(runs) == 1:
+                    # the pattern never switched off around the loop
+                    out_subs.append(lines_subpath(runs[0], closed=True))
+                    continue
+                # the trailing dash ends at the subpath seam where the
+                # leading dash starts: join them across the closure
+                runs[0] = runs.pop() + runs[0][1:]
+            out_subs.extend(lines_subpath(r) for r in runs)
         return Path(out_subs)
 
     def transform(self, transform: Transform) -> "Path":

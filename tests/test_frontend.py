@@ -309,6 +309,36 @@ def test_marker_viewport_overflow_clip():
     assert visible > 4 * clipped
 
 
+def test_dash_closure_join():
+    # SVG 11.4: on a closed subpath the trailing dash wraps the seam and
+    # joins the leading dash instead of taking two caps
+    import numpy as np
+
+    from svgrasterize_tpu.geom.path import PATH_CLOSED, PATH_UNCLOSED, Path
+
+    square = Path.from_svg("M0 0 L10 0 L10 10 L0 10 Z")
+    dashed = square.dash([6, 4], offset=3)  # start lands mid-dash
+
+    def run_points(sub):
+        return [seg[1][0] for seg in sub] + [sub[-2][1][1]]
+
+    seam_runs = [
+        s
+        for s in dashed.subpaths
+        if any(np.allclose(q, [0, 0]) for q in run_points(s)[1:-1])
+    ]
+    assert len(seam_runs) == 1  # one merged run passes THROUGH the seam
+
+    # a pattern that never switches off keeps the subpath closed
+    solid = square.dash([100, 0])
+    assert len(solid.subpaths) == 1
+    assert solid.subpaths[0][-1][0] == PATH_CLOSED
+
+    # open paths keep plain capped runs
+    open_runs = Path.from_svg("M0 0 L40 0").dash([6, 4], offset=3)
+    assert all(s[-1][0] == PATH_UNCLOSED for s in open_runs.subpaths)
+
+
 def test_stroke_dasharray():
     # stroke dashing is absent from the reference entirely
     import numpy as np
