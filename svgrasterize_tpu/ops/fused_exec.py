@@ -260,11 +260,12 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
     has_grad = "grad" in features
     has_tex = "tex" in features
     has_mask = "mask" in features
+    has_pat = "pat" in features
 
     # scalar-prefetch slot of each gathered array's row index
     s_slots = {"tile": 0}
     for name, on in (("big", has_big), ("clip", has_clip),
-                     ("tex", has_tex), ("mask", has_mask)):
+                     ("tex", has_tex), ("mask", has_mask), ("pat", has_pat)):
         if on:
             s_slots[name] = len(s_slots)
     n_scalars = len(s_slots)
@@ -290,6 +291,8 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             tex_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
         if has_mask:
             msk_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
+        if has_pat:
+            pat_ref = next(it)       # (Q+1, T, 4T) VMEM-resident pattern tiles
         out_ref = refs[-1]           # (1, T, 4T) VMEM, revisited per tile run
 
         i = pl.program_id(0)
@@ -375,6 +378,13 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             valid128 = pltpu.repeat(rad_valid, 4, axis=1)
             grad = grad * jnp.where(kind == PAINT_RADIAL, valid128, 1.0)
             paint = jnp.where(kind == PAINT_SOLID, paint, grad)
+        if has_pat:
+            # pattern items' paint tiles are pre-rendered by the XLA paint
+            # path into a small planar pool (see execute_items_fused)
+            paint = jnp.where(
+                iparams_ref[0, 0, 0] == PAINT_PATTERN,
+                pat_ref[scalar_refs[s_slots["pat"]][i]], paint,
+            )
         if has_tex:
             paint = jnp.where(
                 iparams_ref[0, 0, 5] >= 0,
@@ -426,8 +436,6 @@ def execute_items_fused(
     static capability set computed by plan_features from the host-side
     plan ("big", "clip", "grad", "tex", "mask").
     """
-    assert patterns is None, "pattern paints use the XLA executor"
-
     f32 = DEVICE_FLOAT
     T = t_size
     features = frozenset(features)
@@ -539,6 +547,33 @@ def execute_items_fused(
         scalars.append(jnp.where(mask_idx >= 0, mask_idx, p_rows))
         tensors.append(pool128)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if "pat" in features:
+        # pre-render the Q pattern items' paint tiles with the XLA paint
+        # path (exact same modular-gather semantics, batch_exec._paint_item)
+        from .batch_exec import _paint_item
+
+        rows = items["pat_rows"].astype(jnp.int32)        # (Q,) item indices
+        sub = {
+            k: items[k][rows]
+            for k in ("affine", "pat_fwd", "pat_xy", "pat_wh", "pat_lo",
+                      "pat_max", "p0", "p1", "center", "fcenter", "radius",
+                      "fradius", "spread", "stop_offsets", "stop_colors",
+                      "color", "kind")
+        }
+        pat_tex = patterns[items["pat_idx"][rows].astype(jnp.int32)]
+        tiles = jax.vmap(
+            lambda it, tr, tc, tex: _paint_item(it, tr, tc, T, tex)
+        )(sub, items["tile_r"][rows], items["tile_c"][rows], pat_tex)
+        pat_pool = jnp.concatenate(
+            [tiles.astype(f32), jnp.zeros((1, T, T, 4), f32)], axis=0
+        ).transpose(0, 1, 3, 2).reshape(-1, T, 4 * T)     # channel-planar
+        q_rows = pat_pool.shape[0] - 1
+        # per-item position in the pool (host-precomputed rank, Q for none)
+        scalars.append(
+            jnp.minimum(items["pat_pos"].astype(jnp.int32), q_rows)
+        )
+        tensors.append(pat_pool)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     kernel, _slots, n_scalars = _kernel_factory(T, k_stops, features)
     assert n_scalars == len(scalars)
@@ -587,9 +622,10 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int):
     mode = os.environ.get("SVGR_FUSED", "")
     if mode == "0":
         return None
-    if patterns is not None or LANES % t_size != 0:
+    if LANES % t_size != 0:
         return None
-    if (items["pat_idx"] >= 0).any():
+    n_pat = int((items["pat_idx"] >= 0).sum())
+    if n_pat and patterns is None:
         return None
     if mode not in ("1", "interp") and not _backend_is_tpu():
         return None
@@ -601,7 +637,8 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int):
     if clips is not None and clips.shape[0]:
         f.append("clip")
         resident += clips.shape[0]
-    if (items["kind"] != PAINT_SOLID).any():
+    kinds = items["kind"]
+    if ((kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)).any():
         f.append("grad")
     if pool is not None and (items["tex_idx"] >= 0).any():
         f.append("tex")
@@ -609,6 +646,27 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int):
         f.append("mask")
     if ("tex" in f or "mask" in f) and pool is not None:
         resident += pool.shape[0] * 4
+    if n_pat:
+        f.append("pat")
+        resident += (n_pat + 1) * 4
     if (resident + 2) * t_size * t_size * 4 > VMEM_BUDGET:
         return None
     return frozenset(f)
+
+
+def pattern_rows(items):
+    """Host-side companion arrays for the "pat" feature: the pattern
+    items' indices (pow2-padded) and every item's rank in that list."""
+    import numpy as np
+
+    pat_idx = np.asarray(items["pat_idx"])
+    sel = np.nonzero(pat_idx >= 0)[0]
+    q = 1
+    while q < sel.size:
+        q *= 2
+    rows = np.concatenate(
+        [sel, np.full(q - sel.size, sel[0], dtype=sel.dtype)]
+    ).astype(np.int32)
+    pos = np.full(pat_idx.shape[0], 1 << 30, dtype=np.int32)
+    pos[sel] = np.arange(sel.size, dtype=np.int32)
+    return rows, pos

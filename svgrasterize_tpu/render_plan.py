@@ -1137,16 +1137,22 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
     mode = os.environ.get("SVGR_FUSED", "")
     cache = items.get("_device_cache")
     if cache is None or cache["mode"] != mode:
+        features = plan_features(items, bigs, clips, pool, patterns, t_size)
+        dev = {
+            k: jnp.asarray(v) for k, v in items.items() if not k.startswith("_")
+        }
+        if features is not None and "pat" in features:
+            from .ops.fused_exec import pattern_rows
+
+            rows, pos = pattern_rows(items)
+            dev["pat_rows"] = jnp.asarray(rows)
+            dev["pat_pos"] = jnp.asarray(pos)
         cache = {
             "mode": mode,
-            "items": {
-                k: jnp.asarray(v)
-                for k, v in items.items()
-                if not k.startswith("_")
-            },
+            "items": dev,
             "bigs": tuple(jnp.asarray(b) for b in bigs),
             "clips": jnp.asarray(clips) if clips.shape[0] else None,
-            "features": plan_features(items, bigs, clips, pool, patterns, t_size),
+            "features": features,
         }
         items["_device_cache"] = cache
     return batch_exec.execute_plan(

@@ -85,6 +85,20 @@ def test_isolation_pool_tex_and_mask():
     )
 
 
+def test_pattern_paints():
+    _compare(
+        """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <defs><pattern id='p' width='8' height='8' patternUnits='userSpaceOnUse'>
+        <rect x='0' y='0' width='4' height='4' fill='#d04020'/>
+        <rect x='4' y='4' width='4' height='4' fill='#2060c0'/></pattern></defs>
+        <rect x='4' y='4' width='60' height='40' fill='url(#p)'/>
+        <circle cx='75' cy='40' r='18' fill='url(#p)'/>
+        <rect x='10' y='48' width='40' height='12' fill='#20a040'/>
+        </svg>""",
+        (0, 0, 64, 96),
+    )
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_random_scene_equivalence(seed):
     rng = np.random.default_rng(seed)
