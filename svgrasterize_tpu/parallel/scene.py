@@ -113,19 +113,36 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
         k = (device_of == d).sum()
         stacked["tile_id"][d, k:] = tiles_per_dev
 
+    if (stacked["pat_idx"] >= 0).any():
+        # per-shard companions for the fused executor's pattern pool
+        counts = [(stacked["pat_idx"][d] >= 0).sum() for d in range(n_devices)]
+        qpad = _pow2_pad(max(max(counts), 1), 1)
+        rows = np.zeros((n_devices, qpad), np.int32)
+        pos = np.full((n_devices, n_dev), 1 << 30, np.int32)
+        for d in range(n_devices):
+            sel = np.nonzero(stacked["pat_idx"][d] >= 0)[0]
+            if len(sel):
+                rows[d, : len(sel)] = sel
+                rows[d, len(sel) :] = sel[0]
+                pos[d, sel] = np.arange(len(sel), dtype=np.int32)
+        stacked["pat_rows"] = rows
+        stacked["pat_pos"] = pos
+
     return stacked, stacked_big, tiles_per_dev
 
 
 def sharded_render_plan(
     mesh: Mesh, items: dict, big_lines, t_size: int, num_tiles: int,
-    pool=None, patterns=None, clips=None,
+    pool=None, patterns=None, clips=None, features=None,
 ):
     """Execute a partitioned plan over the mesh's "data" axis.
 
     items/big_lines must already carry the leading device axis from
     partition_plan.  pool (isolation-pass tiles), patterns (pattern atlas),
     and clips (deduplicated clip edge lists) are replicated: any device may
-    gather any row.  Returns the assembled canvas
+    gather any row.  features: the fused-executor capability set (see
+    ops/fused_exec.plan_features) — each shard then runs the fused Pallas
+    kernel instead of the XLA executor.  Returns the assembled canvas
     (n_devices * tiles_per_device, T, T, 4); callers slice to num_tiles.
     """
     import jax.numpy as jnp
@@ -144,9 +161,18 @@ def sharded_render_plan(
         pool_l = rest.pop(0) if has_pool else None
         patterns_l = rest.pop(0) if has_patterns else None
         clips_l = rest.pop(0) if has_clips else None
-        canvas = batch_exec.execute_items(
-            local_items, t_size, tiles_per_dev, big, pool_l, patterns_l, clips_l
-        )
+        if features is not None:
+            from ..ops.fused_exec import execute_items_fused
+
+            canvas = execute_items_fused(
+                local_items, t_size, tiles_per_dev,
+                (big,) if big is not None else (),
+                pool_l, patterns_l, clips_l, features,
+            )
+        else:
+            canvas = batch_exec.execute_items(
+                local_items, t_size, tiles_per_dev, big, pool_l, patterns_l, clips_l
+            )
         return canvas[None]
 
     spec_items = {k: P("data") for k in items}
@@ -181,10 +207,22 @@ def sharded_exec_fn(mesh: Mesh):
     n_devices = int(mesh.devices.size)
 
     def run(items, bigs, clips, num_tiles, pool, patterns, t_size):
+        from ..ops.fused_exec import plan_features
+
         st_items, st_big, _tpd = partition_plan(items, bigs, num_tiles, n_devices)
+        # per-shard capability set: presence tests over all shards, VMEM
+        # budget against the per-device flattened big class
+        flat = {
+            k: st_items[k].reshape(-1, *st_items[k].shape[2:])
+            for k in ("pat_idx", "kind", "tex_idx", "mask_idx")
+        }
+        features = plan_features(
+            flat, (st_big[0],) if st_big.shape[1] else (),
+            clips if clips.shape[0] else None, pool, patterns, t_size,
+        )
         canvas = sharded_render_plan(
             mesh, st_items, st_big, t_size, num_tiles, pool, patterns,
-            jnp.asarray(clips) if clips.shape[0] else None,
+            jnp.asarray(clips) if clips.shape[0] else None, features=features,
         )
         return canvas[:num_tiles]
 

@@ -109,3 +109,34 @@ def test_partition_balances_and_remaps(plan):
     real_before = (items["tile_id"] < num_tiles).sum()
     real_after = (st_items["tile_id"] < tiles_per_dev).sum()
     assert real_before == real_after
+
+
+def test_sharded_fused_executor_interpret():
+    """The fused Pallas executor under shard_map (interpret mode) matches
+    the XLA sharded path shard-for-shard."""
+    import os
+
+    from svgrasterize_tpu.parallel.scene import sharded_exec_fn
+    from svgrasterize_tpu.render_plan import execute_lowered
+
+    scene, _ids, _size = scene_from_str(MULTIPASS_DOC)
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    lowered = lower_scene(scene, tr, (0, 0, 300, 400), False)
+    assert lowered is not None
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    prev = os.environ.get("SVGR_FUSED")
+    try:
+        os.environ["SVGR_FUSED"] = "0"
+        ref = np.asarray(
+            execute_lowered(lowered, (0, 0), False, exec_fn=sharded_exec_fn(mesh))
+        )
+        os.environ["SVGR_FUSED"] = "interp"
+        out = np.asarray(
+            execute_lowered(lowered, (0, 0), False, exec_fn=sharded_exec_fn(mesh))
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("SVGR_FUSED", None)
+        else:
+            os.environ["SVGR_FUSED"] = prev
+    np.testing.assert_allclose(out, ref, atol=1e-5)
