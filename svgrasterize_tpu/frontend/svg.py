@@ -744,6 +744,85 @@ def build_font(element) -> Font | None:
     return font
 
 
+def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
+    """Lay glyphs along a referenced path (SVG 1.1 10.13.2).
+
+    Beyond both the reference (textPath listed as not supported,
+    /root/reference/svgrasterize.py:9-13) and SVG Tiny: each glyph is
+    rotated to the path tangent at the point where its advance midpoint
+    lands; glyphs whose midpoints fall off the path are not rendered.
+    startOffset supports user units and %-of-path-length.
+    """
+    import math
+
+    href = attrs.get("href") or next(
+        (v for k, v in element.attrib.items() if k.endswith("}href")), None
+    )
+    if not href or not href.startswith("#"):
+        warnings.warn(f"textPath needs a #fragment href: {href!r}")
+        return []
+    target = ids.get(href[1:])
+    if not isinstance(target, Scene):
+        warnings.warn(f"textPath reference is not a shape: {href!r}")
+        return []
+    path = target.to_path(Transform())
+    polys = path.polylines(tolerance=0.1)
+    if not polys:
+        return []
+    points = np.concatenate([p for p, _closed in polys], axis=0)
+    seg_vec = points[1:] - points[:-1]
+    seg_len = np.linalg.norm(seg_vec, axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    total = float(cum[-1])
+    if total <= 0:
+        return []
+
+    text = " ".join("".join(element.itertext()).split())
+    if not text:
+        return []
+    size = parse_float(attrs.get("font-size", str(DEFAULT_FONT_SIZE)))
+    font = fonts.resolve(
+        attrs.get("font-family"),
+        font_weight(attrs.get("font-weight")),
+        attrs.get("font-style"),
+    )
+    if font is None:
+        return []
+
+    start = attrs.get("startOffset", "0")
+    if isinstance(start, str) and start.strip().endswith("%"):
+        start_offset = total * float(start.strip()[:-1]) / 100.0
+    else:
+        start_offset = parse_size(start) or 0.0
+
+    scale = size / font.units_per_em
+    placed, _advance = font.shape(text)
+    glyph_scale = Transform().scale(scale, -scale)
+    subpaths: list = []
+    for pen, glyph in placed:
+        width = glyph.advance * scale
+        mid = start_offset + pen * scale + width / 2
+        if mid < 0 or mid > total:
+            continue  # off-path glyphs are not rendered (spec)
+        seg = min(np.searchsorted(cum, mid, side="right") - 1, len(seg_len) - 1)
+        if seg_len[seg] <= 1e-12:
+            continue
+        frac = (mid - cum[seg]) / seg_len[seg]
+        point = points[seg] + seg_vec[seg] * frac
+        angle = math.atan2(seg_vec[seg][1], seg_vec[seg][0])
+        tr = (
+            Transform()
+            .translate(point[0], point[1])
+            .rotate(angle)
+            .translate(-width / 2, 0.0)
+            @ glyph_scale
+        )
+        subpaths.extend(glyph.path.transform(tr).subpaths)
+    if not subpaths:
+        return []
+    return build_shape_scenes(dict(attrs), ids, fg, Path(subpaths))
+
+
 def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
     """Lower a <text> element (with nested tspans) into glyph-path scenes.
 
@@ -801,6 +880,9 @@ def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
                 child_attrs = cascade_attrs(child.attrib, node_attrs)
                 sub, pen, pending_space = walk(child, child_attrs, pen, pending_space)
                 scenes.extend(sub)
+            elif _local_tag(child) == "textPath":
+                child_attrs = cascade_attrs(child.attrib, node_attrs)
+                scenes.extend(_text_path_scenes(child, child_attrs, fonts, ids, fg))
             tail, pen, pending_space = layout_run(child.tail, node_attrs, pen, pending_space)
             scenes.extend(tail)
         return scenes, pen, pending_space

@@ -150,6 +150,40 @@ class Path:
             frames_all.append(frames)
         return frames_all
 
+    def polylines(self, tolerance: float = 0.25) -> list:
+        """Flatten each subpath into ((M, 2) points, closed) polylines.
+
+        Curves flatten at `tolerance` user units; closed subpaths include
+        the closing edge so the polyline ends at its start point.  Shared
+        by dashing and textPath layout.
+        """
+        out = []
+        for sub in self.subpaths:
+            sub_closed = any(kind == PATH_CLOSED for kind, _ in sub)
+            pts: list = []
+            for kind, payload in sub:
+                if kind == PATH_UNCLOSED:
+                    continue
+                if kind in PATH_LINES:
+                    seg_pts = np.asarray(payload, dtype=FLOAT)
+                else:
+                    if kind == PATH_QUAD:
+                        cubics = bezier.quad_to_cubic(np.asarray(payload, FLOAT))[None]
+                    elif kind == PATH_CUBIC:
+                        cubics = np.asarray(payload, dtype=FLOAT)[None]
+                    else:
+                        cubics = np.asarray(arc_ops.to_cubics(*payload))
+                    flat = bezier.flatten_cubics(cubics, tolerance)
+                    if not flat.size:
+                        continue
+                    seg_pts = np.concatenate([flat[:, 0], flat[-1:, 1]], axis=0)
+                if not pts:
+                    pts.append(seg_pts[0])
+                pts.extend(seg_pts[1:])
+            if len(pts) >= 2:
+                out.append((np.asarray(pts, dtype=FLOAT), sub_closed))
+        return out
+
     def dash(self, dashes, offset: float = 0.0, tolerance: float = 0.25) -> "Path":
         """Split into "on" dash runs per SVG stroke-dasharray (+dashoffset).
 
@@ -184,31 +218,9 @@ class Path:
             return sub
 
         out_subs = []
-        for sub in self.subpaths:
-            sub_closed = any(kind == PATH_CLOSED for kind, _ in sub)
-            pts: list = []
-            for kind, payload in sub:
-                if kind == PATH_UNCLOSED:
-                    continue
-                if kind in PATH_LINES:
-                    seg_pts = np.asarray(payload, dtype=FLOAT)
-                else:
-                    if kind == PATH_QUAD:
-                        cubics = bezier.quad_to_cubic(np.asarray(payload, FLOAT))[None]
-                    elif kind == PATH_CUBIC:
-                        cubics = np.asarray(payload, dtype=FLOAT)[None]
-                    else:
-                        cubics = np.asarray(arc_ops.to_cubics(*payload))
-                    flat = bezier.flatten_cubics(cubics, tolerance)
-                    if not flat.size:
-                        continue
-                    seg_pts = np.concatenate([flat[:, 0], flat[-1:, 1]], axis=0)
-                if not pts:
-                    pts.append(seg_pts[0])
-                pts.extend(seg_pts[1:])
-            if len(pts) < 2:
+        for points, sub_closed in self.polylines(tolerance):
+            if len(points) < 2:
                 continue
-            points = np.asarray(pts, dtype=FLOAT)
             lengths = np.linalg.norm(points[1:] - points[:-1], axis=1)
 
             idx = 0

@@ -77,3 +77,41 @@ def test_missing_glyph_fallback(db):
     font = db.resolve("monospace")
     path, adv = font.str_to_path(16, "中")  # CJK char not in the font
     assert adv >= 0  # missing glyph renders its box (or nothing) without crashing
+
+
+def test_text_path_layout(db):
+    """textPath: glyphs follow the referenced curve with tangent rotation
+    (beyond the reference, which lists textPath as not supported)."""
+    import io
+
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.frontend.svg import scene_from_xml
+
+    svg = """<svg xmlns='http://www.w3.org/2000/svg' width='200' height='120'>
+    <defs><path id='curve' d='M 20 100 C 60 20, 140 20, 180 100'/></defs>
+    <text font-size='16' fill='black'>
+      <textPath href='#curve'>Curved text!</textPath></text>
+    </svg>"""
+    scene, _ids, _size = scene_from_xml(io.StringIO(svg), fonts=db)
+    assert scene is not None
+    layer, _ = scene.render(
+        Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 120, 200)
+    )
+    img = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)
+    cov = img[..., 3] > 0.3
+    assert cov.sum() > 200
+    ys, xs = np.nonzero(cov)
+    xs = xs + layer.y
+    ys = ys + layer.x
+    # the run starts at the curve start (bottom-left) and climbs the slope
+    assert ys[xs < 35].mean() > ys[xs > 60].mean() + 15
+
+    # startOffset=50% starts the run mid-curve (top): placement shifts right
+    svg2 = svg.replace("<textPath ", "<textPath startOffset='50%' ")
+    scene2, _i, _s = scene_from_xml(io.StringIO(svg2), fonts=db)
+    layer2, _ = scene2.render(
+        Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 120, 200)
+    )
+    img2 = np.asarray(layer2.convert(pre_alpha=False, linear_rgb=False).image)
+    ys2, xs2 = np.nonzero(img2[..., 3] > 0.3)
+    assert (xs2 + layer2.y).min() > xs.min() + 40
