@@ -33,7 +33,7 @@ from ..ops.compose import (
     COMPOSE_OVER,
     COMPOSE_XOR,
 )
-from ..paint import GradLinear, GradRadial, Pattern
+from ..paint import GradLinear, GradRadial, Pattern, RasterImage
 from ..scene import Scene
 from ..text.fonts import FONT_STYLE_NORMAL, Font, FontsDB, Glyph, font_weight
 from ..utils.constants import FLOAT
@@ -382,8 +382,8 @@ def load_image_resource(href: str, base: str | None):
                 else urllib.parse.unquote_to_bytes(payload)
             )
             if "image/svg" in mime:
-                scene, _ids, _size = scene_from_str(data.decode("utf-8"))
-                return ("scene", scene) if scene is not None else None
+                scene, _ids, size = scene_from_str(data.decode("utf-8"))
+                return ("scene", (scene, size)) if scene is not None else None
             if "image/png" in mime:
                 return "raster", read_png(data)
             warnings.warn(f"unsupported data: media type {mime.split(';')[0]!r}")
@@ -394,8 +394,8 @@ def load_image_resource(href: str, base: str | None):
         path = href if os.path.isabs(href) else os.path.join(base or ".", href)
         ext = os.path.splitext(path)[1].lower()
         if ext in (".svg", ".svgz", ".gz"):
-            scene, _ids, _size = scene_from_filepath(path)
-            return ("scene", scene) if scene is not None else None
+            scene, _ids, size = scene_from_filepath(path)
+            return ("scene", (scene, size)) if scene is not None else None
         with open(path, "rb") as file:
             return "raster", read_png(file)
     except (OSError, ValueError, NotImplementedError) as exc:
@@ -547,7 +547,7 @@ def build_filter(element, ids: dict) -> Filter:
                     continue
                 kind_r, payload = resource
                 if kind_r == "scene":
-                    flt = flt.image(payload, _fe_region(attrs), result)
+                    flt = flt.image(payload[0], _fe_region(attrs), result)
                 else:
                     flt = flt.image(("raster", payload), _fe_region(attrs), result)
             else:
@@ -1106,6 +1106,51 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
 
         elif tag == "text":
             group.extend(build_text(element, attrs, fonts, ids, fg))
+
+        elif tag == "image":
+            # beyond the reference (it warns on unknown elements): raster
+            # payloads become a rect filled by a single-cell Pattern whose
+            # sub-scene is a RasterImage; SVG payloads place like <use>
+            href = attrs.get("href") or next(
+                (v for k, v in element.attrib.items() if k.endswith("}href")), None
+            )
+            resource = load_image_resource(href, ids.get("\x00base")) if href else None
+            if resource is not None:
+                kind_r, payload = resource
+                x = parse_size(attrs.get("x", "0")) or 0.0
+                y = parse_size(attrs.get("y", "0")) or 0.0
+                w = parse_size(attrs.get("width"))
+                h = parse_size(attrs.get("height"))
+                if kind_r == "raster":
+                    # a rect filled by a single-cell Pattern whose sub-scene
+                    # is the raster (rides every accelerated paint path).
+                    # Pattern grids anchor in the translation-free frame
+                    # (reference parity, svgrasterize.py:1051/1073), so the
+                    # element's own x/y is folded into the cell anchor;
+                    # scaling maps through paint.transform
+                    # (preserveAspectRatio=none behavior).
+                    ih, iw = payload.shape[:2]
+                    w = float(iw) if w is None else w
+                    h = float(ih) if h is None else h
+                    sx, sy = w / iw, h / ih
+                    paint = Pattern(
+                        RasterImage(payload), False, None,
+                        x / sx, y / sy, float(iw), float(ih),
+                        Transform().scale(sx, sy), False,
+                    )
+                    rect = Path.from_svg(rect_path_data(x, y, w, h))
+                    group.append(Scene.fill(rect, paint))
+                else:
+                    inner, size = payload
+                    tr = Transform().translate(x, y)
+                    if size is not None and w is not None and h is not None:
+                        sw, sh = float(size[0]), float(size[1])
+                        if sw > 0 and sh > 0:
+                            s = min(w / sw, h / sh)  # preserveAspectRatio meet
+                            tr = tr.translate(
+                                (w - sw * s) / 2, (h - sh * s) / 2
+                            ).scale(s)
+                    group.append(inner.transform(tr))
 
         elif tag == "marker":
             # beyond the reference (it lists markers as NOT SUPPORTED)

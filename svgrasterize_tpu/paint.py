@@ -53,6 +53,53 @@ class Pattern(NamedTuple):
         return (self.x, self.y, self.width, self.height)
 
 
+class RasterImage:
+    """Scene-like raster content (duck-typed .render, usable as a Pattern
+    sub-scene).
+
+    Wraps a straight-alpha sRGB uint8 (H, W, 4) array; render() maps the
+    (0, 0, W, H) user box through the transform axis-aligned (rotated
+    placements degrade to their bounding box) with bilinear resampling.
+    An <image> element lowers to a rect filled by a single-cell Pattern
+    whose sub-scene is this object, so raster drawing rides the ordinary
+    pattern paths (interpreter, batched executor, fused kernel) without a
+    new scene node kind.
+    """
+
+    def __init__(self, array):
+        self.array = np.ascontiguousarray(array)
+
+    def render(self, transform, mask_only: bool = False, viewport=None,
+               linear_rgb: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        from .core.layer import Layer
+        from .geom.hull import ConvexHull
+        from .utils.constants import DEVICE_FLOAT
+
+        h, w = self.array.shape[:2]
+        corners = transform(
+            np.array([[0, 0], [w, 0], [0, h], [w, h]], dtype=np.float64)
+        )
+        lo = np.floor(corners.min(axis=0)).astype(int)
+        hi = np.ceil(corners.max(axis=0)).astype(int)
+        rows, cols = int(hi[0] - lo[0]), int(hi[1] - lo[1])
+        if rows <= 0 or cols <= 0:
+            return None
+        img = jnp.asarray(self.array, DEVICE_FLOAT) / 255.0
+        img = jax.image.resize(img, (rows, cols, 4), method="linear")
+        layer = Layer(img, (int(lo[0]), int(lo[1])), pre_alpha=False,
+                      linear_rgb=False)
+        layer = layer.convert(pre_alpha=True, linear_rgb=linear_rgb)
+        if mask_only:
+            layer = Layer(
+                layer.image * jnp.asarray([0.0, 0.0, 0.0, 1.0], layer.image.dtype),
+                layer.offset, True, linear_rgb,
+            )
+        return layer, ConvexHull(corners)
+
+
 def stops_to_arrays(stops, linear_rgb: bool):
     """Sorted stop arrays for the device interpolator, colorspace-adjusted.
 

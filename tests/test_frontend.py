@@ -309,6 +309,51 @@ def test_marker_viewport_overflow_clip():
     assert visible > 4 * clipped
 
 
+def test_image_element_raster():
+    # <image> with a data-URI PNG (beyond the reference: unknown element
+    # there); lowers to a single-cell raster pattern so both the
+    # interpreter and the batched executor draw it identically
+    import base64
+    import io
+
+    import numpy as np
+
+    import svgrasterize_tpu.render_plan as rp
+    from svgrasterize_tpu.core.png import write_png
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.frontend.svg import scene_from_xml
+
+    tile = np.zeros((4, 4, 4), np.uint8)
+    tile[:2, :2] = [255, 0, 0, 255]
+    tile[2:, 2:] = [255, 0, 0, 255]
+    tile[:2, 2:] = [0, 0, 255, 255]
+    tile[2:, :2] = [0, 0, 255, 255]
+    uri = "data:image/png;base64," + base64.b64encode(
+        write_png(tile).getvalue()
+    ).decode()
+    svg = (
+        "<svg xmlns='http://www.w3.org/2000/svg' width='64' height='64'>"
+        f"<image href='{uri}' x='8' y='8' width='32' height='32'/></svg>"
+    )
+    scene, _ids, _size = scene_from_xml(io.StringIO(svg))
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    layer, _ = scene.render(tr, viewport=(0, 0, 64, 64))
+    img = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)
+    full = np.zeros((64, 64, 4), np.float32)
+    full[
+        layer.x : layer.x + img.shape[0], layer.y : layer.y + img.shape[1]
+    ] = img[: 64 - layer.x, : 64 - layer.y]
+    assert full[12, 12, 0] > 0.7    # top-left quadrant red
+    assert full[12, 36, 2] > 0.7    # top-right blue
+    assert full[36, 12, 2] > 0.7    # bottom-left blue
+    assert full[42, 42, 3] < 0.1    # outside the image box
+
+    out = rp.render_fast(scene, tr, (0, 0, 64, 64), False)
+    assert out is not None, "image scenes must lower to the batched path"
+    img2 = np.asarray(out[0].convert(pre_alpha=False, linear_rgb=False).image)
+    assert np.abs(img2[:64, :64] - full).max() < 0.02
+
+
 def test_dash_closure_join():
     # SVG 11.4: on a closed subpath the trailing dash wraps the seam and
     # joins the leading dash instead of taking two caps
