@@ -1034,32 +1034,31 @@ def _group_post_program(group, grid_w, viewport, linear_rgb, t_size):
     program = group.get("_post_program")
     if program is None:
         import jax
-        import jax.numpy as jnp
 
-        parts = group["parts"]
-
-        def post(canvas, pool):
-            idx: list = []
-            outs: list = []
-            for p in parts:
-                if p["post"] is None:
-                    idx.extend(range(p["pool_base"], p["pool_base"] + p["n_rows"]))
-                    outs.append(canvas[p["row_start"] : p["row_start"] + p["n_rows"]])
-                else:
-                    out = _apply_part_filter(
-                        canvas, p, grid_w, viewport, linear_rgb, t_size
-                    )
-                    idx.extend(
-                        range(p["pool_base"], p["pool_base"] + len(p["out_tiles"]))
-                    )
-                    outs.append(out)
-            return pool.at[jnp.asarray(idx, jnp.int32)].set(
-                jnp.concatenate(outs, axis=0)
+        program = jax.jit(
+            lambda canvas, pool: _apply_group_post(
+                canvas, pool, group, grid_w, viewport, linear_rgb, t_size
             )
-
-        program = jax.jit(post)
+        )
         group["_post_program"] = program
     return program
+
+
+def _apply_group_post(canvas, pool, group, grid_w, viewport, linear_rgb, t_size):
+    """Traceable post-op stage for one group: (canvas, pool) -> pool."""
+    import jax.numpy as jnp
+
+    idx: list = []
+    outs: list = []
+    for p in group["parts"]:
+        if p["post"] is None:
+            idx.extend(range(p["pool_base"], p["pool_base"] + p["n_rows"]))
+            outs.append(canvas[p["row_start"] : p["row_start"] + p["n_rows"]])
+        else:
+            out = _apply_part_filter(canvas, p, grid_w, viewport, linear_rgb, t_size)
+            idx.extend(range(p["pool_base"], p["pool_base"] + len(p["out_tiles"])))
+            outs.append(out)
+    return pool.at[jnp.asarray(idx, jnp.int32)].set(jnp.concatenate(outs, axis=0))
 
 
 def _apply_part_filter(canvas, part, grid_w, viewport, linear_rgb, t_size):
@@ -1116,23 +1115,21 @@ def _apply_part_filter(canvas, part, grid_w, viewport, linear_rgb, t_size):
     return tiles[jnp.asarray(local, jnp.int32)]
 
 
-def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
-    """Single-device plan executor (one jitted program).
+def _device_plan(items, bigs, clips, pool, patterns, t_size):
+    """Host->device conversion of a packed plan, cached on the items dict.
 
-    On TPU, plans without pattern paints run through the fully-fused
-    Pallas executor (ops/fused_exec.py) — the capability set is computed
-    here from the host arrays so the device program stays static.
-
-    The host->device conversion of the packed plan arrays is cached on the
-    items dict (key "_device_cache"): on the remote-tunnel TPU the upload
-    costs ~70ms for a dense scene, an order of magnitude more than the
-    fused render itself, so repeated renders of one plan must not pay it.
+    On the remote-tunnel TPU the upload costs ~70ms for a dense scene —
+    an order of magnitude more than the fused render — so repeated
+    renders of one plan must not pay it.  Also computes and caches the
+    fused-executor capability set (plus its pattern companions); the
+    cache is invalidated when SVGR_FUSED changes.  `pool`/`patterns`
+    matter only by presence and leading dimension here.
     """
+    import os
+
     import jax.numpy as jnp
 
     from .ops.fused_exec import plan_features
-
-    import os
 
     mode = os.environ.get("SVGR_FUSED", "")
     cache = items.get("_device_cache")
@@ -1155,6 +1152,16 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
             "features": features,
         }
         items["_device_cache"] = cache
+    return cache
+
+
+def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
+    """Single-device plan executor (one jitted program).
+
+    On TPU, plans run through the fully-fused Pallas executor
+    (ops/fused_exec.py) when _device_plan's capability set allows it.
+    """
+    cache = _device_plan(items, bigs, clips, pool, patterns, t_size)
     return batch_exec.execute_plan(
         cache["items"],
         t_size,
@@ -1168,7 +1175,8 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
 
 
 def execute_lowered(
-    lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: int = None, exec_fn=None
+    lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: int = None,
+    exec_fn=None, whole: bool | None = None,
 ):
     """Execute a lowered plan: merged isolation-pass groups (with any post-op
     filters) in level order, then the main stream referencing the pool.
@@ -1177,12 +1185,23 @@ def execute_lowered(
     overrides the plan executor — parallel/scene.py supplies a mesh-sharded
     one; the default runs one device program per group.
     """
+    import os
+
     import jax.numpy as jnp
 
     t_size = t_size or lowered.tile
     grid_h, grid_w = lowered.grid
     groups = lowered.groups
     num_tiles = grid_h * grid_w
+    # whole-plan fusion trades per-scene compile time for dispatch count:
+    # the single program's signature is scene-specific, so one-shot renders
+    # (CLI) keep the per-stage programs whose shape buckets recompile far
+    # less across scenes; serving (CompiledScene) opts in.
+    env_whole = os.environ.get("SVGR_WHOLE", "")
+    if whole is None:
+        whole = env_whole == "1"
+    if exec_fn is None and whole and env_whole != "0":
+        return _whole_plan_program(lowered, viewport, linear_rgb, t_size)()
     atlas = jnp.asarray(lowered.patterns) if lowered.patterns is not None else None
     run = exec_fn or _default_exec
 
@@ -1216,6 +1235,108 @@ def execute_lowered(
         atlas if bool((lowered.items["pat_idx"] >= 0).any()) else None,
         t_size,
     )
+
+
+def _pool_capacity(groups) -> int:
+    total = max(p["pool_base"] + len(p["out_tiles"]) for g in groups for p in g["parts"])
+    cap = 16
+    while cap < total:
+        cap *= 2
+    return cap
+
+
+class _PoolShape:
+    """Stand-in with just a .shape for plan_features' pool-presence tests."""
+
+    def __init__(self, cap: int):
+        self.shape = (cap,)
+
+
+def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
+    """ONE jitted program for an entire multi-pass plan.
+
+    Every group run, its filter post-op stage, and the final main-stream
+    run trace into a single device program (the per-stage programs remain
+    for pluggable exec_fns).  On the remote-tunnel TPU, per-dispatch
+    latency makes this worth ~2x on filter-heavy scenes: icons.svg goes
+    from ~8 dispatches to 1.  Program + device operands are cached on the
+    plan; the cache key tracks viewport/colorspace/tile/SVGR_FUSED.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import batch_exec
+    from .ops.fused_exec import execute_items_fused
+
+    grid_h, grid_w = lowered.grid
+    num_tiles = grid_h * grid_w
+    mode = os.environ.get("SVGR_FUSED", "")
+    key = (tuple(viewport), bool(linear_rgb), t_size, mode)
+    cached = lowered.items.get("_whole_program")
+    if cached is not None and cached[0] == key:
+        program, operands = cached[1], cached[2]
+        return lambda: program(operands)
+
+    groups = lowered.groups
+    cap = _pool_capacity(groups) if groups else 0
+    pool_probe = _PoolShape(cap)
+    atlas_np = lowered.patterns
+
+    g_caches = []
+    for g in groups:
+        has_pat = bool((g["items"]["pat_idx"] >= 0).any())
+        g_caches.append(
+            _device_plan(
+                g["items"], g["bigs"], g["clips"],
+                pool_probe if g["needs_pool"] else None,
+                atlas_np if has_pat else None, t_size,
+            )
+        )
+    main_pat = bool((lowered.items["pat_idx"] >= 0).any())
+    main_cache = _device_plan(
+        lowered.items, lowered.bigs, lowered.clips,
+        pool_probe if groups else None, atlas_np if main_pat else None, t_size,
+    )
+
+    def _run(cache, rows, pool, patterns):
+        if cache["features"] is not None:
+            return execute_items_fused(
+                cache["items"], t_size, rows, cache["bigs"], pool, patterns,
+                cache["clips"], cache["features"],
+            )
+        return batch_exec.execute_items(
+            cache["items"], t_size, rows, cache["bigs"], pool, patterns,
+            cache["clips"],
+        )
+
+    def fn(g_items, main_items, atlas):
+        pool = (
+            jnp.zeros((cap, t_size, t_size, 4), DEVICE_FLOAT) if groups else None
+        )
+        for g, gc, dev in zip(groups, g_caches, g_items):
+            gc = dict(gc, items=dev)
+            canvas = _run(
+                gc, g["rows"],
+                pool if g["needs_pool"] else None,
+                atlas if bool((g["items"]["pat_idx"] >= 0).any()) else None,
+            )
+            pool = _apply_group_post(
+                canvas, pool, g, grid_w, viewport, linear_rgb, t_size
+            )
+        mc = dict(main_cache, items=main_items)
+        return _run(mc, num_tiles, pool, atlas if main_pat else None)
+
+    program = jax.jit(fn)
+    operands = (
+        [gc["items"] for gc in g_caches],
+        main_cache["items"],
+        jnp.asarray(atlas_np) if atlas_np is not None else None,
+    )
+    lowered.items["_whole_program"] = (key, lambda ops: program(*ops), operands)
+    prog = lowered.items["_whole_program"]
+    return lambda: prog[1](prog[2])
 
 
 def render_fast(scene, transform: Transform, viewport, linear_rgb: bool = False):
@@ -1267,7 +1388,11 @@ class CompiledScene:
     def render_tiles(self):
         """Raw canvas tiles (num_tiles, T, T, 4), premultiplied."""
         return execute_lowered(
-            self._lowered, self._viewport[:2], self._linear_rgb, exec_fn=self._exec_fn
+            self._lowered, self._viewport[:2], self._linear_rgb,
+            exec_fn=self._exec_fn,
+            # serving renders one plan many times: the whole-plan single
+            # program amortizes its scene-specific compile immediately
+            whole=self._exec_fn is None,
         )
 
     def render(self) -> Layer:
