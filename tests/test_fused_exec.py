@@ -21,9 +21,9 @@ from svgrasterize_tpu.core.transform import Transform
 TR = Transform().matrix(0, 1, 0, 1, 0, 0)
 
 
-def _compare(svg: str, viewport, tol=1e-5):
+def _compare(svg: str, viewport, tol=1e-5, tile=None):
     scene, _ids, _size = scene_from_str(svg)
-    lowered = rp.lower_scene(scene, TR, viewport, False)
+    lowered = rp.lower_scene(scene, TR, viewport, False, tile=tile)
     assert lowered is not None, "scene must lower"
     prev = os.environ.get("SVGR_FUSED")
     try:
@@ -96,6 +96,23 @@ def test_pattern_paints():
         <rect x='10' y='48' width='40' height='12' fill='#20a040'/>
         </svg>""",
         (0, 0, 64, 96),
+    )
+
+
+def test_tile64_gradients_clips():
+    # T=64 is the adaptive tile for 4K canvases: G = 2 edges per winding
+    # pass and (64, 256) canvas blocks
+    _compare(
+        """<svg xmlns='http://www.w3.org/2000/svg' width='160' height='128'>
+        <defs><linearGradient id='lg' x1='0' y1='0' x2='1' y2='1'>
+        <stop offset='0' stop-color='#ff0000'/><stop offset='1' stop-color='#0000ff'/>
+        </linearGradient>
+        <clipPath id='c'><circle cx='60' cy='60' r='45'/></clipPath></defs>
+        <rect x='8' y='8' width='100' height='90' fill='url(#lg)' clip-path='url(#c)'/>
+        <path d='M10 100 C 150 10, 20 120, 150 120 L 10 120 Z' fill='#20a040'/>
+        </svg>""",
+        (0, 0, 128, 160),
+        tile=64,
     )
 
 
