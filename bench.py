@@ -30,10 +30,16 @@ ITERS = 8
 
 
 def _slope_time(run_chain) -> float:
-    """min-of-2 slope between 1 and 1+ITERS chained executions."""
-    t1 = min(run_chain(1) for _ in range(2))
-    tk = min(run_chain(1 + ITERS) for _ in range(2))
-    return max((tk - t1) / ITERS, 1e-9)
+    """min-of-3 slope between 1 and 1+ITERS chained executions.
+
+    The remote-tunnel TPU shows multi-ms per-call jitter; taking the min
+    of three slope estimates keeps the recorded metric stable."""
+    slopes = []
+    for _ in range(3):
+        t1 = run_chain(1)
+        tk = run_chain(1 + ITERS)
+        slopes.append(max((tk - t1) / ITERS, 1e-9))
+    return min(slopes)
 
 
 def bench_scene():

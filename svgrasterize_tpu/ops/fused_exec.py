@@ -601,10 +601,13 @@ def execute_items_fused(
 
     # tiles no item touched hold garbage (their output block was never
     # written — possibly NaN, so select rather than multiply).  The scratch
-    # row absorbs pads.
-    touched = jnp.zeros((num_tiles + 1,), jnp.bool_).at[tile_id].set(True)
+    # row absorbs pads.  tile_id is sorted, so membership is a searchsorted
+    # probe — TPU scatters lower to sequential dynamic-slices and are slow.
+    probe = jnp.arange(num_tiles, dtype=tile_id.dtype)
+    pos = jnp.clip(jnp.searchsorted(tile_id, probe), 0, n - 1)
+    touched = tile_id[pos] == probe
     canvas = jnp.where(
-        touched[:num_tiles, None, None], canvas128[:num_tiles], 0.0
+        touched[:, None, None], canvas128[:num_tiles], 0.0
     )
     # channel-planar (T, 4T) -> (T, T, 4)
     return canvas.reshape(num_tiles, T, 4, T).transpose(0, 1, 3, 2)
