@@ -116,6 +116,45 @@ def test_tile64_gradients_clips():
     )
 
 
+@pytest.mark.parametrize("seed", [3, 4])
+def test_random_featureful_equivalence(seed):
+    """Random scenes mixing gradients, clips, patterns, and opacity."""
+    rng = np.random.default_rng(seed)
+    defs = """<defs>
+    <linearGradient id='lg'><stop offset='0' stop-color='#f00'/>
+    <stop offset='1' stop-color='#00f'/></linearGradient>
+    <radialGradient id='rg'><stop offset='0' stop-color='#fff'/>
+    <stop offset='1' stop-color='#137'/></radialGradient>
+    <clipPath id='c'><circle cx='48' cy='32' r='26'/></clipPath>
+    <pattern id='p' width='6' height='6' patternUnits='userSpaceOnUse'>
+    <rect width='3' height='3' fill='#d04020'/></pattern></defs>"""
+    fills = ["url(#lg)", "url(#rg)", "url(#p)", "#20a040", "#a02060"]
+    parts = []
+    for _ in range(14):
+        fill = fills[rng.integers(0, len(fills))]
+        clip = " clip-path='url(#c)'" if rng.random() < 0.3 else ""
+        op = rng.uniform(0.4, 1.0)
+        if rng.random() < 0.5:
+            x, y = rng.uniform(0, 70, 2)
+            w, h = rng.uniform(6, 40, 2)
+            parts.append(
+                f"<rect x='{x:.1f}' y='{y:.1f}' width='{w:.1f}'"
+                f" height='{h:.1f}' fill='{fill}' opacity='{op:.2f}'{clip}/>"
+            )
+        else:
+            cx, cy = rng.uniform(10, 85, 2)
+            r = rng.uniform(5, 22)
+            parts.append(
+                f"<circle cx='{cx:.1f}' cy='{cy:.1f}' r='{r:.1f}'"
+                f" fill='{fill}' opacity='{op:.2f}'{clip}/>"
+            )
+    svg = (
+        "<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>"
+        + defs + "".join(parts) + "</svg>"
+    )
+    _compare(svg, (0, 0, 64, 96))
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_random_scene_equivalence(seed):
     rng = np.random.default_rng(seed)
