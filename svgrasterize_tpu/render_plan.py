@@ -387,7 +387,14 @@ def _edge_extents(lines):
 
 
 def _bin_draw(lines: np.ndarray, grid_h: int, grid_w: int, tile: int):
-    """Bin a draw's edges (K, 4) into tiles; yields (ti, tj, edges, carry)."""
+    """Bin a draw's edges (K, 4) into tiles; yields (ti, tj, edges, carry).
+
+    The host hot loop of lowering: per tile ROW the row-overlapping edge
+    subset (and each edge's exact signed row-overlap vector, the carry
+    contribution) is computed once and every tile column works on that
+    subset — same results as _tile_local_edges per tile, ~3x faster on
+    draw-dense scenes.
+    """
     r_lo, r_hi, c_lo, c_hi = _edge_extents(lines)
     tr0 = max(int(np.floor(r_lo.min() / tile)), 0)
     tr1 = min(int(np.floor((r_hi.max() - 1e-9) / tile)) + 1, grid_h)
@@ -395,10 +402,56 @@ def _bin_draw(lines: np.ndarray, grid_h: int, grid_w: int, tile: int):
     tc1 = min(int(np.floor((c_hi.max() - 1e-9) / tile)) + 1, grid_w)
 
     for ti in range(tr0, tr1):
+        rowdata = _row_bin(lines, r_lo, r_hi, c_lo, c_hi, ti, tile)
+        if rowdata is None:
+            continue
         for tj in range(tc0, tc1):
-            edges, carry = _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti, tj, tile)
+            edges, carry = _col_bin(rowdata, tj, tile)
             if edges.shape[0] or carry.any():
                 yield ti, tj, edges, carry
+
+
+def _row_bin(lines, r_lo, r_hi, c_lo, c_hi, ti: int, tile: int):
+    """Tile-row subset + per-edge signed row-overlap vectors, or None."""
+    row_sel = (r_hi > ti * tile) & (r_lo < (ti + 1) * tile)
+    if not row_sel.any():
+        return None
+    rows_idx = _carry_consts(tile)[0]
+    sub = lines[row_sel]
+    a0 = sub[:, 0] - ti * tile
+    b0 = sub[:, 2] - ti * tile
+    lo = np.minimum(a0, b0)[:, None]
+    hi = np.maximum(a0, b0)[:, None]
+    overlap = np.clip(
+        np.minimum(hi, rows_idx + 1.0) - np.maximum(lo, rows_idx), 0.0, None
+    )
+    signed_overlap = np.sign(b0 - a0)[:, None] * overlap  # (K_row, tile)
+    return sub, a0, b0, c_lo[row_sel], c_hi[row_sel], signed_overlap
+
+
+def _col_bin(rowdata, tj: int, tile: int):
+    """One tile column of a _row_bin subset -> (edges (K, 4), carry (tile,))."""
+    sub, a0, b0, s_c_lo, s_c_hi, signed_overlap = rowdata
+    zero_carry = _carry_consts(tile)[1]
+    in_col = s_c_lo < (tj + 1) * tile
+    if not in_col.any():
+        return _NO_EDGES, zero_carry
+    fully_left = in_col & (s_c_hi <= tj * tile)
+    keep = in_col & ~fully_left
+    if keep.any():
+        edges = sub[keep].copy()
+        edges[:, 0] = a0[keep]
+        edges[:, 2] = b0[keep]
+        edges[:, 1] -= tj * tile
+        edges[:, 3] -= tj * tile
+    else:
+        edges = _NO_EDGES
+    carry = (
+        signed_overlap[fully_left].sum(axis=0).astype(DEVICE_FLOAT)
+        if fully_left.any()
+        else zero_carry
+    )
+    return edges, carry
 
 
 def _filter_margin(flt, transform: Transform) -> tuple[int, int]:
@@ -492,6 +545,7 @@ class _Builder:
         self.shift = np.array([v0, v1, v0, v1], dtype=np.float64)
         self.linear_rgb = linear_rgb
         self.clip_flat_cache: dict = {}
+        self.clip_row_cache: dict = {}
         self.clip_tile_cache: dict = {}
         self.passes: list = []  # [_Pass] in emission order; merged by _plan_groups
         self.pool_size = 0
@@ -521,7 +575,15 @@ class _Builder:
         cached = self.clip_tile_cache.get(tile_key)
         if cached is None:
             clip_lines, extents, rule = self.clip_flat_cache[clip_key]
-            cached = (*_tile_local_edges(clip_lines, *extents, ti, tj, self.tile), rule)
+            row_key = (clip_key, ti)
+            rowdata = self.clip_row_cache.get(row_key, False)
+            if rowdata is False:
+                rowdata = _row_bin(clip_lines, *extents, ti, self.tile)
+                self.clip_row_cache[row_key] = rowdata
+            if rowdata is None:
+                cached = (_NO_EDGES, _carry_consts(self.tile)[1], rule)
+            else:
+                cached = (*_col_bin(rowdata, tj, self.tile), rule)
             self.clip_tile_cache[tile_key] = cached
         edges, carry, rule = cached
         if edges.shape[0] == 0 and not carry.any():
