@@ -79,10 +79,19 @@ def _local_tag(element) -> str:
     return element.tag.split("}")[-1]
 
 
-def cascade_attrs(raw: dict, inherited: dict | None = None) -> dict:
-    """Merge element attributes over inherited ones, expanding style=""."""
+def cascade_attrs(raw: dict, inherited: dict | None = None, css=None,
+                  tag: str | None = None) -> dict:
+    """Merge element attributes over inherited ones, expanding style="".
+
+    With a parsed stylesheet (`css`, see parse_stylesheet) the SVG cascade
+    order applies: presentation attributes < matched CSS rules (by
+    specificity) < inline style="".  The reference ignores <style> blocks
+    entirely.
+    """
     attrs = dict(raw)
     style = attrs.pop("style", None)
+    if css:
+        attrs.update(match_rules(css, tag, attrs.get("class"), attrs.get("id")))
     if style is not None:
         for decl in style.split(";"):
             decl = decl.strip()
@@ -93,6 +102,68 @@ def cascade_attrs(raw: dict, inherited: dict | None = None) -> dict:
     if inherited:
         attrs = {**inherited, **attrs}
     return attrs
+
+
+def parse_stylesheet(text: str) -> list:
+    """Minimal CSS for <style> blocks: tag / .class / #id simple selectors
+    (the last simple selector of any combinator chain matches; pseudo
+    classes and attribute selectors are skipped).  Returns rules sorted by
+    (specificity, source order) ready for match_rules."""
+    import re
+
+    text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+    rules: list = []
+    for block in text.split("}"):
+        if "{" not in block:
+            continue
+        sel_part, _, body = block.partition("{")
+        props = {}
+        for decl in body.split(";"):
+            key, _, value = decl.partition(":")
+            if key.strip() and value.strip():
+                props[key.strip()] = value.strip().removesuffix("!important").strip()
+        if not props:
+            continue
+        for sel in sel_part.split(","):
+            sel = sel.strip()
+            if not sel or any(ch in sel for ch in ":[|"):
+                continue  # unsupported selector features
+            simple = re.split(r"[\s>+~]+", sel)[-1]
+            m = re.fullmatch(r"(\*|[A-Za-z][\w-]*)?((?:[.#][\w-]+)*)", simple)
+            if m is None or (m.group(1) is None and not m.group(2)):
+                continue
+            tag = m.group(1)
+            classes: set = set()
+            sel_id = None
+            for tok in re.findall(r"[.#][\w-]+", m.group(2) or ""):
+                if tok[0] == ".":
+                    classes.add(tok[1:])
+                else:
+                    sel_id = tok[1:]
+            spec = (
+                (100 if sel_id else 0)
+                + 10 * len(classes)
+                + (1 if tag not in (None, "*") else 0)
+            )
+            rules.append((spec, len(rules), tag, classes, sel_id, props))
+    rules.sort(key=lambda r: (r[0], r[1]))
+    return rules
+
+
+def match_rules(rules: list, tag, class_attr, elem_id) -> dict:
+    """Properties of every rule matching (tag, class list, id), later
+    (more specific) rules overriding earlier ones."""
+    classes = set((class_attr or "").split())
+    out: dict = {}
+    for _spec, _order, rtag, rclasses, rid, props in rules:
+        if rtag not in (None, "*") and rtag != tag:
+            continue
+        if rid is not None and rid != elem_id:
+            continue
+        if not rclasses <= classes:
+            continue
+        out.update(props)
+    return out
 
 
 def viewbox_transform(bbox, viewbox) -> Transform:
@@ -877,11 +948,15 @@ def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
         scenes, pen, pending_space = layout_run(node.text, node_attrs, pen, pending_space)
         for child in node:
             if _local_tag(child) in ("tspan", "text"):
-                child_attrs = cascade_attrs(child.attrib, node_attrs)
+                child_attrs = cascade_attrs(
+                    child.attrib, node_attrs, ids.get("\x00css"), _local_tag(child)
+                )
                 sub, pen, pending_space = walk(child, child_attrs, pen, pending_space)
                 scenes.extend(sub)
             elif _local_tag(child) == "textPath":
-                child_attrs = cascade_attrs(child.attrib, node_attrs)
+                child_attrs = cascade_attrs(
+                    child.attrib, node_attrs, ids.get("\x00css"), "textPath"
+                )
                 scenes.extend(_text_path_scenes(child, child_attrs, fonts, ids, fg))
             tail, pen, pending_space = layout_run(child.tail, node_attrs, pen, pending_space)
             scenes.extend(tail)
@@ -919,7 +994,7 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
 
     def walk(element, inherited, top=False, forced_width=None):
         tag = _local_tag(element)
-        attrs = cascade_attrs(element.attrib, inherited)
+        attrs = cascade_attrs(element.attrib, inherited, ids.get("\x00css"), tag)
         inherit_down = {k: v for k, v in attrs.items() if k in INHERITED_ATTRS}
 
         group: list = []
@@ -1268,9 +1343,15 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
         return group
 
     root = etree.parse(file).getroot()
+    css_text = "".join(
+        e.text or "" for e in root.iter() if _local_tag(e) == "style"
+    )
+    if css_text.strip():
+        ids["\x00css"] = parse_stylesheet(css_text)
     default_color = np.array([0.0, 0.0, 0.0, 1.0], dtype=FLOAT) if fg is None else fg
     group = walk(root, {"color": default_color}, top=True, forced_width=width)
     ids.pop("\x00base", None)  # internal plumbing, not part of the registry
+    ids.pop("\x00css", None)
     if not group:
         return None, ids, doc_size[0]
     return Scene.group(group), ids, doc_size[0]

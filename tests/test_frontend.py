@@ -309,6 +309,40 @@ def test_marker_viewport_overflow_clip():
     assert visible > 4 * clipped
 
 
+def test_css_style_blocks():
+    # <style> sheets with tag/.class/#id selectors (the reference ignores
+    # <style> entirely); cascade: presentation attrs < CSS < inline style
+    import io
+
+    import numpy as np
+
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.frontend.svg import scene_from_xml
+
+    svg = """<svg xmlns='http://www.w3.org/2000/svg' width='64' height='32'>
+    <style>/* comment */ .warm { fill: #d04020; }
+    rect.cool { fill: #2060c0; }
+    #special { fill: #20a040; opacity: 0.5; }</style>
+    <rect class='warm' x='2' y='2' width='16' height='28'/>
+    <rect class='cool' x='22' y='2' width='16' height='28' fill='black'/>
+    <rect id='special' class='warm' x='42' y='2' width='16' height='28'
+          style='opacity:1'/>
+    </svg>"""
+    scene, _ids, _size = scene_from_xml(io.StringIO(svg))
+    layer, _ = scene.render(
+        Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 32, 64)
+    )
+    img = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)
+    full = np.zeros((32, 64, 4), np.float32)
+    full[
+        layer.x : layer.x + img.shape[0], layer.y : layer.y + img.shape[1]
+    ] = img[:32, :64]
+    assert full[16, 10, 0] > 0.7              # .warm red
+    assert full[16, 30, 2] > 0.7              # rect.cool beats fill='black'
+    assert full[16, 50, 1] > 0.5              # #special (higher specificity)
+    assert full[16, 50, 3] > 0.9              # inline style beats CSS opacity
+
+
 def test_image_element_raster():
     # <image> with a data-URI PNG (beyond the reference: unknown element
     # there); lowers to a single-cell raster pattern so both the
