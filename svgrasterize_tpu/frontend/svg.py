@@ -166,11 +166,14 @@ def match_rules(rules: list, tag, class_attr, elem_id) -> dict:
     return out
 
 
-def viewbox_transform(bbox, viewbox) -> Transform:
-    """Uniform-scale transform fitting `viewbox` into `bbox` (centered).
+def viewbox_transform(bbox, viewbox, par: str | None = None) -> Transform:
+    """Transform fitting `viewbox` into `bbox` per preserveAspectRatio.
 
     bbox: (x, y, w, h) with w/h possibly None (derived from the viewbox
-    aspect ratio); viewbox: (vx, vy, vw, vh).
+    aspect ratio); viewbox: (vx, vy, vw, vh); par: the
+    preserveAspectRatio string ("xMidYMid meet" when None/invalid —
+    "none" stretches, "slice" covers, xMin/xMid/xMax + YMin/YMid/YMax
+    pick the anchor).  The reference hardwires centered meet.
     """
     vx, vy, vw, vh = viewbox
     x, y, w, h = bbox
@@ -180,10 +183,28 @@ def viewbox_transform(bbox, viewbox) -> Transform:
         w = vw * h / vh
     elif h is None:
         h = vh * w / vw
-    scale = min(w / vw, h / vh)
-    tx = -vx + (w / scale - vw) / 2 + x / scale
-    ty = -vy + (h / scale - vh) / 2 + y / scale
-    return Transform().scale(scale).translate(tx, ty)
+
+    align, sizing = "xMidYMid", "meet"
+    if par:
+        parts = par.strip().split()
+        if parts and (parts[0] == "none" or parts[0].startswith(("xMin", "xMid", "xMax"))):
+            align = parts[0]
+        if len(parts) > 1 and parts[1] in ("meet", "slice"):
+            sizing = parts[1]
+    if align == "none":
+        sx, sy = w / vw, h / vh
+        fx = fy = 0.0
+    else:
+        pick = max if sizing == "slice" else min
+        sx = sy = pick(w / vw, h / vh)
+        fx = {"xMin": 0.0, "xMid": 0.5, "xMax": 1.0}.get(align[:4], 0.5)
+        fy = {"YMin": 0.0, "YMid": 0.5, "YMax": 1.0}.get(align[4:8], 0.5)
+    return (
+        Transform()
+        .translate(x + (w - vw * sx) * fx, y + (h - vh * sy) * fy)
+        .scale(sx, sy)
+        .translate(-vx, -vy)
+    )
 
 
 def rect_path_data(x, y, width, height, rx=None, ry=None) -> str:
@@ -1020,7 +1041,9 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
             declared = parse_float_list(attrs.get("viewBox"), 4, 4)
             viewbox = declared or viewbox
             if viewbox is not None:
-                scene = scene.transform(viewbox_transform((x, y, w, h), viewbox))
+                scene = scene.transform(viewbox_transform(
+                    (x, y, w, h), viewbox, attrs.get("preserveAspectRatio")
+                ))
                 _vx, _vy, vw, vh = viewbox
                 if w is None and h is None:
                     w, h = vw, vh
@@ -1221,10 +1244,10 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
                     if size is not None and w is not None and h is not None:
                         sw, sh = float(size[0]), float(size[1])
                         if sw > 0 and sh > 0:
-                            s = min(w / sw, h / sh)  # preserveAspectRatio meet
-                            tr = tr.translate(
-                                (w - sw * s) / 2, (h - sh * s) / 2
-                            ).scale(s)
+                            tr = tr @ viewbox_transform(
+                                (0, 0, w, h), (0, 0, sw, sh),
+                                attrs.get("preserveAspectRatio"),
+                            )
                     group.append(inner.transform(tr))
 
         elif tag == "marker":
@@ -1270,6 +1293,7 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
                         "symbol",
                         Scene.group(sym_children),
                         parse_float_list(attrs.get("viewBox"), 4, 4),
+                        attrs.get("preserveAspectRatio"),
                     )
             return []
 
@@ -1284,13 +1308,13 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
                 target = ids.get(href[1:])
                 if isinstance(target, Scene):
                     group.append(target)
-                elif isinstance(target, tuple) and len(target) == 3 and target[0] == "symbol":
-                    _kind, sym_scene, view_box = target
+                elif isinstance(target, tuple) and len(target) == 4 and target[0] == "symbol":
+                    _kind, sym_scene, view_box, sym_par = target
                     if view_box:
                         w = parse_size(attrs.get("width")) or view_box[2]
                         h = parse_size(attrs.get("height")) or view_box[3]
                         sym_scene = sym_scene.transform(
-                            viewbox_transform((0, 0, w, h), view_box)
+                            viewbox_transform((0, 0, w, h), view_box, sym_par)
                         )
                     group.append(sym_scene)
 

@@ -309,6 +309,30 @@ def test_marker_viewport_overflow_clip():
     assert visible > 4 * clipped
 
 
+def test_preserve_aspect_ratio():
+    # "none" stretches; alignment anchors; default stays centered meet
+    import numpy as np
+
+    from svgrasterize_tpu.frontend.svg import viewbox_transform
+
+    vb = (0, 0, 10, 10)
+    # wide box, default: uniform scale 2, centered horizontally
+    tr = viewbox_transform((0, 0, 40, 20), vb)
+    np.testing.assert_allclose(tr(np.array([0.0, 0.0])), [10, 0], atol=1e-9)
+    np.testing.assert_allclose(tr(np.array([10.0, 10.0])), [30, 20], atol=1e-9)
+    # none: non-uniform stretch fills the box
+    tr = viewbox_transform((0, 0, 40, 20), vb, "none")
+    np.testing.assert_allclose(tr(np.array([10.0, 10.0])), [40, 20], atol=1e-9)
+    # xMinYMin meet anchors at the origin
+    tr = viewbox_transform((0, 0, 40, 20), vb, "xMinYMin meet")
+    np.testing.assert_allclose(tr(np.array([0.0, 0.0])), [0, 0], atol=1e-9)
+    np.testing.assert_allclose(tr(np.array([10.0, 10.0])), [20, 20], atol=1e-9)
+    # slice covers: scale 4, centered -> viewbox overflows horizontally
+    tr = viewbox_transform((0, 0, 40, 20), vb, "xMidYMid slice")
+    np.testing.assert_allclose(tr(np.array([0.0, 0.0])), [0, -10], atol=1e-9)
+    np.testing.assert_allclose(tr(np.array([10.0, 10.0])), [40, 30], atol=1e-9)
+
+
 def test_css_style_blocks():
     # <style> sheets with tag/.class/#id selectors (the reference ignores
     # <style> entirely); cascade: presentation attrs < CSS < inline style
