@@ -289,12 +289,16 @@ def build_shape_scenes(attrs: dict, ids: dict, fg, path: Path | None = None) -> 
                 stroke_path = path.dash(
                     dashes, parse_float(attrs.get("stroke-dashoffset", "0")) or 0.0
                 )
+        linejoin = attrs.get("stroke-linejoin")
+        miterlimit = parse_float(attrs.get("stroke-miterlimit"))
+        if miterlimit is not None and linejoin in (None, "miter"):
+            linejoin = ("miter", miterlimit)
         scene = Scene.stroke(
             stroke_path,
             stroke,
             parse_float(attrs.get("stroke-width", "1")),
             attrs.get("stroke-linecap"),
-            attrs.get("stroke-linejoin"),
+            linejoin,
         )
         stroke_opacity = parse_float(attrs.get("stroke-opacity"))
         if stroke_opacity is not None:

@@ -172,7 +172,12 @@ def _end_tangents(curve):
 
 
 def join_between(c0, c1, linejoin=None, miterlimit: float = 4):
-    """Curves joining the end of offset curve c0 to the start of c1."""
+    """Curves joining the end of offset curve c0 to the start of c1.
+
+    linejoin may be a ("miter", limit) pair to carry stroke-miterlimit
+    through the Scene tuple without widening it (SVG default limit 4)."""
+    if isinstance(linejoin, (tuple, list)):
+        linejoin, miterlimit = linejoin
     linejoin = linejoin or JOIN_MITER
     if linejoin == JOIN_BEVEL:
         return [np.array([c0[-1], c1[0]], dtype=FLOAT)]

@@ -467,3 +467,28 @@ def test_stroke_dasharray():
     runs = np.diff(edges.reshape(-1, 2), axis=1).ravel()
     assert len(runs) == 7  # 100px at 10-on/6-off: 6 full dashes + 4px remnant
     assert all(abs(r - 10) <= 1 for r in runs[:-1]) and runs[-1] <= 5
+
+
+def test_stroke_miterlimit():
+    # stroke-miterlimit carries through as a ("miter", limit) linejoin;
+    # limit=1 bevels the sharp apex that the default limit 4 miters
+    import numpy as np
+
+    from svgrasterize_tpu.core.transform import Transform
+
+    base = """<svg xmlns='http://www.w3.org/2000/svg' width='64' height='64'>
+    <path d='M8 56 L32 12 L56 56' fill='none' stroke='black'
+          stroke-width='6'{ML}/></svg>"""
+
+    def area(doc):
+        scene, _ids, _size = scene_from_str(doc)
+        layer, _ = scene.render(
+            Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 64, 64)
+        )
+        img = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)
+        return int((img[..., 3] > 0.5).sum())
+
+    default = area(base.replace("{ML}", ""))
+    limited = area(base.replace("{ML}", " stroke-miterlimit='1'"))
+    assert limited < default
+    assert area(base.replace("{ML}", " stroke-miterlimit='20'")) >= default
