@@ -59,8 +59,13 @@ def interpolate_stops(offsets, stop_offsets, stop_colors):
     o1 = stop_offsets[idx]
     c0 = stop_colors[idx - 1]
     c1 = stop_colors[idx]
-    denom = jnp.where(o1 - o0 > 1e-12, o1 - o0, 1.0)
-    ratio = jnp.clip((offsets - o0) / denom, 0.0, 1.0)[..., None]
+    span = o1 - o0
+    ratio = jnp.clip((offsets - o0) / jnp.where(span > 1e-12, span, 1.0), 0.0, 1.0)
+    # duplicate offsets are a hard step at the stop position (the reference
+    # pair loop skips empty (o, o] intervals, so values above the duplicate
+    # take the later color immediately, svgrasterize.py:1680-1683)
+    ratio = jnp.where(span > 1e-12, ratio, (offsets >= o1).astype(ratio.dtype))
+    ratio = ratio[..., None]
     return (1.0 - ratio) * c0 + ratio * c1
 
 

@@ -92,7 +92,7 @@ def _random_doc(rng: np.random.Generator) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", [*range(8), 217])
 def test_random_scene_matches_reference(reference, seed):
     rng = np.random.default_rng(seed)
     doc = _random_doc(rng)
