@@ -64,7 +64,8 @@ def bench_scene():
     dev = {k: jnp.asarray(v) for k, v in items.items()}
     bigs = tuple(jnp.asarray(b) for b in lowered.bigs)
     clips = jnp.asarray(lowered.clips) if lowered.clips.shape[0] else None
-    feats = plan_features(items, lowered.bigs, lowered.clips, None, None, lowered.tile)
+    feats = plan_features(items, lowered.bigs, lowered.clips, None, None,
+                          lowered.tile, gh * gw)
 
     @jax.jit
     def loop(dev, bigs, clips, iters):

@@ -578,9 +578,16 @@ def execute_items_fused(
     kernel, _slots, n_scalars = _kernel_factory(T, k_stops, features)
     assert n_scalars == len(scalars)
 
+    # padding items (tile_id == num_tiles) sort last; the grid stops at the
+    # real item count instead of burning steps on them (the XLA executor's
+    # CHUNK_ITEMS padding is irrelevant here)
+    n_real = n
+    for f in features:
+        if isinstance(f, tuple) and f[0] == "nreal":
+            n_real = max(1, min(int(f[1]), n))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalars,
-        grid=(n,),
+        grid=(n_real,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, T, 4 * T), _gather_map(0),
                                memory_space=pltpu.VMEM),
@@ -618,10 +625,13 @@ def _backend_is_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def plan_features(items, bigs, clips, pool, patterns, t_size: int):
+def plan_features(items, bigs, clips, pool, patterns, t_size: int,
+                  num_tiles: int | None = None):
     """Host-side: the static feature set for the fused path, or None when
     the plan (or platform) requires the XLA executor.  `items` here are the
-    host numpy arrays of a lowered plan."""
+    host numpy arrays of a lowered plan.  With num_tiles, the set carries
+    the real (non-padding) item count so the kernel grid skips the
+    trailing pads."""
     mode = os.environ.get("SVGR_FUSED", "")
     if mode == "0":
         return None
@@ -654,6 +664,10 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int):
         resident += (n_pat + 1) * 4
     if (resident + 2) * t_size * t_size * 4 > VMEM_BUDGET:
         return None
+    if num_tiles is not None:
+        # padding items carry the scratch tile id (== num_tiles), sorted last
+        n_real = int((items["tile_id"] < num_tiles).sum())
+        f.append(("nreal", max(n_real, 1)))
     return frozenset(f)
 
 

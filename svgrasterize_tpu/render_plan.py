@@ -1177,7 +1177,7 @@ def _apply_part_filter(canvas, part, grid_w, viewport, linear_rgb, t_size):
     return tiles[jnp.asarray(local, jnp.int32)]
 
 
-def _device_plan(items, bigs, clips, pool, patterns, t_size):
+def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
     """Host->device conversion of a packed plan, cached on the items dict.
 
     On the remote-tunnel TPU the upload costs ~70ms for a dense scene —
@@ -1196,7 +1196,9 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size):
     mode = os.environ.get("SVGR_FUSED", "")
     cache = items.get("_device_cache")
     if cache is None or cache["mode"] != mode:
-        features = plan_features(items, bigs, clips, pool, patterns, t_size)
+        features = plan_features(
+            items, bigs, clips, pool, patterns, t_size, num_tiles
+        )
         dev = {
             k: jnp.asarray(v) for k, v in items.items() if not k.startswith("_")
         }
@@ -1223,7 +1225,7 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
     On TPU, plans run through the fully-fused Pallas executor
     (ops/fused_exec.py) when _device_plan's capability set allows it.
     """
-    cache = _device_plan(items, bigs, clips, pool, patterns, t_size)
+    cache = _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles)
     return batch_exec.execute_plan(
         cache["items"],
         t_size,
@@ -1353,13 +1355,14 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
             _device_plan(
                 g["items"], g["bigs"], g["clips"],
                 pool_probe if g["needs_pool"] else None,
-                atlas_np if has_pat else None, t_size,
+                atlas_np if has_pat else None, t_size, g["rows"],
             )
         )
     main_pat = bool((lowered.items["pat_idx"] >= 0).any())
     main_cache = _device_plan(
         lowered.items, lowered.bigs, lowered.clips,
-        pool_probe if groups else None, atlas_np if main_pat else None, t_size,
+        pool_probe if groups else None, atlas_np if main_pat else None,
+        t_size, num_tiles,
     )
 
     def _run(cache, rows, pool, patterns):
