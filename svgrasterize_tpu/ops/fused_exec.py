@@ -85,12 +85,15 @@ def _coverage(wind, rule):
 
 
 def _edge_params(lines, t_size: int):
-    """Compact packed winding params: lines (N, S, 4) -> (N, P, 8, G).
+    """Packed winding params: lines (N, S, 4) -> (N, P, 8, 128).
 
     Row k of each pass holds parameter k (sign, y_lo, y_hi, x_lo, slope,
-    3 zero-pad rows) for the pass's G edges; the kernel broadcasts each
-    edge across its T columns with edges[p] @ B (B the (G, 128) lane
-    broadcast matrix).  Also returns the per-row live pass count.
+    3 zero-pad rows) for the pass's G = 128//T edges, each pre-broadcast
+    across its T lanes by this device-side prep (HBM pays G*T/G = T x the
+    compact size, ~0.1ms of bandwidth for a dense scene, and the kernel's
+    inner loop needs no broadcast at all — an exact HIGHEST-precision MXU
+    broadcast matmul per pass measured ~25% of the whole render).  Also
+    returns the per-row live pass count.
     """
     f32 = DEVICE_FLOAT
     g = LANES // t_size
@@ -111,6 +114,7 @@ def _edge_params(lines, t_size: int):
     zero = jnp.zeros_like(sign)
     ep = jnp.stack([sign, y_lo, y_hi, x_lo, slope, zero, zero, zero], axis=-1)
     ep = ep.reshape(n, n_pass, g, 8).transpose(0, 1, 3, 2)  # (N, P, 8, G)
+    ep = jnp.repeat(ep, t_size, axis=-1)                    # (N, P, 8, 128)
 
     live = jnp.abs(lines).max(axis=-1) > 0                  # (N, P*G)
     last = jnp.max(
@@ -121,25 +125,11 @@ def _edge_params(lines, t_size: int):
     return ep, passes, n_pass
 
 
-def _lane_broadcast_matrix(t_size: int):
-    """(G, 128) matrix B with B[g, l] = (l // T == g)."""
-    g = LANES // t_size
-    il = jnp.arange(LANES, dtype=jnp.int32)
-    return (il[None, :] // t_size == jnp.arange(g, dtype=jnp.int32)[:, None]).astype(
-        DEVICE_FLOAT
-    )
-
-
-def _winding_pass_body(edges_ref, b_ref, rows, lane_col):
+def _winding_pass_body(edges_ref, rows, lane_col):
     """The shared packed-lane winding inner loop (one pass = G edges)."""
 
     def body(p, acc):
-        # 0/1 broadcast matrix; HIGHEST makes the f32 MXU pass exact
-        e = jax.lax.dot_general(
-            edges_ref[0, p], b_ref[:], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=acc.dtype,
-        )
+        e = edges_ref[0, p]  # (8, 128): params pre-broadcast across lanes
         sign = e[0:1, :]
         y_lo = e[1:2, :]
         y_hi = e[2:3, :]
@@ -181,7 +171,7 @@ def _fold_groups(acc, t_size: int):
 def _prepass_kernel_factory(t_size: int):
     T = t_size
 
-    def kernel(np_ref, edges_ref, b_ref, out_ref):
+    def kernel(np_ref, edges_ref, out_ref):
         f32 = DEVICE_FLOAT
         rows = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).astype(f32)
         lane_col = (
@@ -190,7 +180,7 @@ def _prepass_kernel_factory(t_size: int):
         acc = jax.lax.fori_loop(
             0,
             np_ref[0, 0, 0],
-            _winding_pass_body(edges_ref, b_ref, rows, lane_col),
+            _winding_pass_body(edges_ref, rows, lane_col),
             jnp.zeros((T, LANES), f32),
         )
         out_ref[0] = _fold_groups(acc, T)
@@ -220,10 +210,8 @@ def prepass_winding(arrays, t_size: int):
                 in_specs=[
                     pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
                                  memory_space=pltpu.SMEM),
-                    pl.BlockSpec((1, n_pass, 8, LANES // T),
+                    pl.BlockSpec((1, n_pass, 8, LANES),
                                  lambda i: (i, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((LANES // T, LANES), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec((1, T, T), lambda i: (i, 0, 0),
@@ -237,7 +225,6 @@ def prepass_winding(arrays, t_size: int):
         )(
             jnp.broadcast_to(passes[:, None, None], (m, 1, 8)),
             edges,
-            _lane_broadcast_matrix(T),
         )
         winds.append(wind)
     if not winds:
@@ -274,8 +261,7 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
         scalar_refs = refs[:n_scalars]
         tile_ref = scalar_refs[s_slots["tile"]]
         it = iter(refs[n_scalars:-1])
-        edges_ref = next(it)     # (1, P, 8, G) VMEM compact edge params
-        b_ref = next(it)         # (G, 128) VMEM lane-broadcast matrix
+        edges_ref = next(it)     # (1, P, 8, 128) VMEM lane-broadcast params
         carries_ref = next(it)   # (1, T, 2) VMEM
         iparams_ref = next(it)   # (1, 1, 8) SMEM int32
         fparams_ref = next(it)   # (1, 1, 24) SMEM f32
@@ -306,7 +292,7 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
         acc = jax.lax.fori_loop(
             0,
             iparams_ref[0, 0, 4],
-            _winding_pass_body(edges_ref, b_ref, rows, lane_col),
+            _winding_pass_body(edges_ref, rows, lane_col),
             jnp.zeros((T, LANES), f32),
         )
         wind = _fold_groups(acc, T)
@@ -491,12 +477,10 @@ def execute_items_fused(
     tile_id = items["tile_id"].astype(jnp.int32)
 
     scalars = [tile_id]
-    tensors = [edges, _lane_broadcast_matrix(T), carries, ipar, fpar, colorv]
-    g = LANES // T
+    tensors = [edges, carries, ipar, fpar, colorv]
     in_specs = [
-        pl.BlockSpec((1, n_pass, 8, g), lambda i, *s: (i, 0, 0, 0),
+        pl.BlockSpec((1, n_pass, 8, LANES), lambda i, *s: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((g, LANES), lambda i, *s: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T, 2), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 8), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 24), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
