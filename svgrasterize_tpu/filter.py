@@ -77,10 +77,11 @@ def color_matrix_saturate(value: float) -> np.ndarray:
 class Filter(NamedTuple):
     names: dict  # result name -> stack index
     filters: list  # [(kind, attrs, input indices)]
+    regions: tuple = ()  # per-primitive subregion (x, y, w, h) | None
 
     @classmethod
     def empty(cls) -> "Filter":
-        return cls({FE_SOURCE_ALPHA: 0, FE_SOURCE_GRAPHIC: 1}, [])
+        return cls({FE_SOURCE_ALPHA: 0, FE_SOURCE_GRAPHIC: 1}, [], ())
 
     def add_filter(self, kind, attrs, inputs, result) -> "Filter":
         names = self.names.copy()
@@ -99,7 +100,15 @@ class Filter(NamedTuple):
         if result is not None:
             names[result] = len(filters) + 2
         filters.append((kind, attrs, args))
-        return Filter(names, filters)
+        return Filter(names, filters, (*self.regions, None))
+
+    def set_region(self, region) -> "Filter":
+        """Attach an x/y/width/height primitive subregion (SVG 15.7.5) to
+        the most recently added primitive; its result is clipped to the
+        region.  The reference ignores subregions entirely."""
+        if region is None or not self.filters:
+            return self
+        return Filter(self.names, self.filters, (*self.regions[:-1], region))
 
     # builder helpers ------------------------------------------------------
     def offset(self, dx, dy, input=None, result=None):
@@ -208,9 +217,13 @@ class Filter(NamedTuple):
             linear_rgb=True,
         )
         stack = [alpha, source.convert(pre_alpha=False, linear_rgb=True)]
-        for kind, attrs, inputs in self.filters:
+        regions = (*self.regions, *([None] * (len(self.filters) - len(self.regions))))
+        for (kind, attrs, inputs), region in zip(self.filters, regions):
             args = [stack[i] for i in inputs]
-            stack.append(_apply(kind, attrs, args, transform))
+            out = _apply(kind, attrs, args, transform)
+            if region is not None:
+                out = _crop_to_region(out, region, transform)
+            stack.append(out)
         return stack[-1]
 
 
@@ -522,6 +535,27 @@ def _convolve_same(image, kernel: np.ndarray):
         feature_group_count=ch, dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     return jnp.moveaxis(out[0], 0, -1)
+
+
+def _crop_to_region(layer: Layer, region, transform: Transform) -> Layer:
+    """Clip a primitive's result to its device-mapped subregion box."""
+    x, y, w, h = region
+    corners = transform(
+        np.array([[x, y], [x + w, y], [x, y + h], [x + w, y + h]], dtype=np.float64)
+    )
+    lo = np.floor(corners.min(axis=0)).astype(int)
+    hi = np.ceil(corners.max(axis=0)).astype(int)
+    r0 = max(int(lo[0]), layer.x)
+    c0 = max(int(lo[1]), layer.y)
+    r1 = min(int(hi[0]), layer.x + layer.height)
+    c1 = min(int(hi[1]), layer.y + layer.width)
+    if r0 >= r1 or c0 >= c1:
+        return Layer(
+            jnp.zeros((1, 1, 4), layer.image.dtype), (int(lo[0]), int(lo[1])),
+            layer.pre_alpha, layer.linear_rgb,
+        )
+    image = layer.image[r0 - layer.x : r1 - layer.x, c0 - layer.y : c1 - layer.y]
+    return Layer(image, (r0, c0), layer.pre_alpha, layer.linear_rgb)
 
 
 def _output_region(region, source: Layer, transform: Transform):

@@ -510,6 +510,7 @@ def build_filter(element, ids: dict) -> Filter:
         attrs = child.attrib
         result = attrs.get("result")
         input_ = attrs.get("in")
+        n_before = len(flt.filters)
 
         if tag == "feOffset":
             flt = flt.offset(
@@ -683,6 +684,10 @@ def build_filter(element, ids: dict) -> Filter:
             )
         else:
             warnings.warn(f"unsupported filter primitive: {tag}")
+        if len(flt.filters) > n_before:
+            # x/y/width/height subregion clips the primitive's result
+            # (SVG 15.7.5; the reference ignores subregions)
+            flt = flt.set_region(_fe_region(attrs))
     return flt
 
 

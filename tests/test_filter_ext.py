@@ -306,3 +306,24 @@ def test_vertex_frames_arcs():
     p2, d_in2, d_out2 = frames[0][2]
     np.testing.assert_allclose(p2, [40, 35], atol=1e-6)
     assert d_out2 is None
+
+
+def test_primitive_subregion_clips_result():
+    # x/y/width/height on any primitive clip its result (SVG 15.7.5);
+    # the reference ignores subregions entirely
+    img = _render(
+        """
+        <svg xmlns="http://www.w3.org/2000/svg" width="64" height="32">
+          <defs><filter id="f" x="0" y="0" width="64" height="32"
+                        filterUnits="userSpaceOnUse">
+            <feGaussianBlur stdDeviation="2" x="0" y="0" width="28"
+                            height="32" result="b"/>
+            <feMerge><feMergeNode in="b"/>
+            <feMergeNode in="SourceGraphic"/></feMerge>
+          </filter></defs>
+          <rect x="4" y="8" width="56" height="16" fill="red" filter="url(#f)"/>
+        </svg>
+        """
+    )
+    assert img[6, 10, 3] > 0.05   # blur halo inside the subregion
+    assert img[6, 50, 3] < 0.01   # no halo where the subregion clipped it
