@@ -15,7 +15,8 @@ from svgrasterize_tpu.core.transform import Transform
 
 WIDTH = 96
 
-# (icon, allowed fraction of pixels with channel diff > 16/255)
+# (icon, allowed fraction of pixels with channel diff > 16/255) —
+# the full demo/icons suite
 ICONS = [
     ("python.svg", 0.02),
     ("fontforge.svg", 0.02),
@@ -23,6 +24,13 @@ ICONS = [
     ("gamepad.svg", 0.02),
     ("rust.svg", 0.035),  # stroke-heavy: join heuristics differ more
     ("tiger.svg", 0.035),
+    ("firefox-2019.svg", 0.01),
+    ("firefox.svg", 0.005),
+    ("games-solve.svg", 0.005),
+    ("inkscape.svg", 0.005),
+    ("kde.svg", 0.005),
+    ("office.svg", 0.005),
+    ("present.svg", 0.005),
 ]
 
 
