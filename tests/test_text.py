@@ -115,3 +115,58 @@ def test_text_path_layout(db):
     img2 = np.asarray(layer2.convert(pre_alpha=False, linear_rgb=False).image)
     ys2, xs2 = np.nonzero(img2[..., 3] > 0.3)
     assert (xs2 + layer2.y).min() > xs.min() + 40
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_text_matches_reference(db, ref_db, reference, seed):
+    """End-to-end rasterized <text> parity (families, sizes, anchors,
+    ligature-bearing strings) against the reference renderer."""
+    import io
+
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.frontend.svg import scene_from_xml
+
+    words = ["Alpha", "fi flow", "TPU raster!", "quick brown fox", "We offer AVATAR"]
+    r = np.random.default_rng(seed)
+    parts = []
+    for _ in range(4):
+        x, y = r.uniform(5, 120), r.uniform(15, 60)
+        size = r.uniform(8, 20)
+        fam = r.choice(["Source Sans Pro", "Source Serif Pro", "Source Code Pro"])
+        anchor = r.choice(["start", "middle", "end"])
+        t = words[r.integers(0, len(words))]
+        parts.append(
+            f"<text x='{x:.0f}' y='{y:.0f}' font-size='{size:.1f}'"
+            f" font-family='{fam}' text-anchor='{anchor}'>{t}</text>"
+        )
+    doc = (
+        "<svg xmlns='http://www.w3.org/2000/svg' width='160' height='80'>"
+        + "".join(parts)
+        + "</svg>"
+    )
+
+    rs, _i, _s = reference.svg_scene_from_str(doc, fonts=ref_db)
+    ref_img = np.zeros((80, 160, 4))
+    out = rs.render(
+        reference.Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 80, 160)
+    )
+    if out is not None:
+        layer, _ = out
+        layer = layer.convert(pre_alpha=False, linear_rgb=False)
+        ref_img[
+            layer.offset[0] : layer.offset[0] + layer.height,
+            layer.offset[1] : layer.offset[1] + layer.width,
+        ] = layer.image
+
+    sc, _a, _b = scene_from_xml(io.StringIO(doc), fonts=db)
+    img = np.zeros((80, 160, 4), np.float32)
+    r2 = sc.render(
+        Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 80, 160)
+    )
+    if r2 is not None:
+        o, _ = r2
+        o = o.convert(pre_alpha=False, linear_rgb=False)
+        img[o.x : o.x + o.height, o.y : o.y + o.width] = np.asarray(o.image)
+
+    bad = np.abs(img[..., 3] - ref_img[..., 3]) > 16 / 255
+    assert bad.mean() < 0.001, f"{bad.sum()} px differ (seed {seed})"
