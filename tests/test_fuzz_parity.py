@@ -240,3 +240,89 @@ def test_random_patterns_masks_match_reference(reference, seed):
         np.abs(img[..., 3] - ref_img[..., 3]) > 16 / 255
     )
     assert bad.mean() < 0.006, f"{bad.sum()} px differ (seed {seed})"
+
+
+@pytest.mark.parametrize("seed", range(300, 308))
+def test_random_filter_chains_match_reference(reference, seed):
+    """Random chains of the reference-executed filter primitives (blur,
+    offset, colorMatrix, morphology, composite, merge).  Budget 2%:
+    morphology windows amplify sub-threshold AA differences on curved
+    inputs into multi-pixel bands (single-op morphology on axis-aligned
+    shapes is pixel-exact)."""
+    rng = np.random.default_rng(seed)
+    prims = []
+    last = None
+    for i in range(rng.integers(1, 4)):
+        k = rng.integers(0, 5)
+        if k == 0:
+            prims.append(
+                f"<feGaussianBlur stdDeviation='{rng.uniform(0.5, 3):.2f}' result='p{i}'/>"
+            )
+        elif k == 1:
+            prims.append(
+                f"<feOffset dx='{rng.integers(-6, 7)}' dy='{rng.integers(-6, 7)}' result='p{i}'/>"
+            )
+        elif k == 2:
+            prims.append(
+                f"<feColorMatrix type='saturate' values='{rng.uniform(0, 2):.2f}' result='p{i}'/>"
+            )
+        elif k == 3:
+            prims.append(
+                f"<feMorphology operator='{rng.choice(['erode', 'dilate'])}'"
+                f" radius='{rng.integers(1, 3)}' result='p{i}'/>"
+            )
+        else:
+            prims.append(
+                f"<feComposite in2='SourceGraphic'"
+                f" operator='{rng.choice(['over', 'in', 'atop', 'xor'])}' result='p{i}'/>"
+            )
+        last = f"p{i}"
+    prims.append(
+        f"<feMerge><feMergeNode in='{last}'/><feMergeNode in='SourceGraphic'/></feMerge>"
+    )
+    shapes = []
+    for _ in range(3):
+        cx, cy, r = rng.uniform(20, 76), rng.uniform(20, 76), rng.uniform(8, 20)
+        col = "#%02x%02x%02x" % tuple(rng.integers(0, 256, 3))
+        shapes.append(
+            f"<circle cx='{cx:.0f}' cy='{cy:.0f}' r='{r:.0f}' fill='{col}'"
+            f" opacity='{rng.uniform(0.5, 1):.2f}'/>"
+        )
+    doc = (
+        "<svg xmlns='http://www.w3.org/2000/svg' width='96' height='96'>"
+        f"<defs><filter id='f'>{''.join(prims)}</filter></defs>"
+        f"<g filter='url(#f)'>{''.join(shapes)}</g></svg>"
+    )
+
+    def paste(dst, src, x, y):
+        H, W = dst.shape[:2]
+        h, w = src.shape[:2]
+        r0, c0 = max(x, 0), max(y, 0)
+        r1, c1 = min(x + h, H), min(y + w, W)
+        if r0 < r1 and c0 < c1:
+            dst[r0:r1, c0:c1] = src[r0 - x : r1 - x, c0 - y : c1 - y]
+
+    rs, _i, _s = reference.svg_scene_from_str(doc)
+    ref_img = np.zeros((96, 96, 4))
+    out = rs.render(
+        reference.Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 96, 96)
+    )
+    if out is not None:
+        layer, _ = out
+        layer = layer.convert(pre_alpha=False, linear_rgb=False)
+        paste(ref_img, np.asarray(layer.image), layer.offset[0], layer.offset[1])
+
+    scene, _a, _b = scene_from_str(doc)
+    img = np.zeros((96, 96, 4), np.float32)
+    r2 = scene.render(TR, viewport=(0, 0, 96, 96))
+    if r2 is not None:
+        o, _ = r2
+        o = o.convert(pre_alpha=False, linear_rgb=False)
+        paste(img, np.asarray(o.image), o.x, o.y)
+
+    ours = img[..., :3] * img[..., 3:]
+    refp = ref_img[..., :3] * ref_img[..., 3:]
+    bad = (np.abs(ours - refp).max(-1) > 16 / 255) | (
+        np.abs(img[..., 3] - ref_img[..., 3]) > 16 / 255
+    )
+    assert bad.mean() < 0.02, f"{bad.sum()} px differ (seed {seed})"
