@@ -619,7 +619,9 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
     mode = os.environ.get("SVGR_FUSED", "")
     if mode == "0":
         return None
-    if LANES % t_size != 0:
+    if LANES % t_size != 0 or 4 * t_size < LANES:
+        # 4T must fill whole 128-lane registers: the circular alpha /
+        # luminance rolls would wrap at the padded lane count otherwise
         return None
     n_pat = int((items["pat_idx"] >= 0).sum())
     if n_pat and patterns is None:
