@@ -112,12 +112,25 @@ class Layer:
         return Layer(image, layer.offset, False, True)
 
     def convolve(self, kernel) -> "Layer":
-        """Full 2D convolution of every channel with `kernel` (feGaussianBlur)."""
+        """Full 2D convolution of every channel with `kernel` (feGaussianBlur).
+
+        Rank-1 kernels (axis-aligned blurs) run as two 1D passes —
+        kh + kw taps per pixel instead of kh * kw."""
+        import numpy as np
+
         from ..ops import blur
 
         layer = self.convert(pre_alpha=False, linear_rgb=True)
         kh, kw = kernel.shape
-        image = blur.convolve_full(layer.image, jnp.asarray(kernel, DEVICE_FLOAT))
+        uv = blur.separate_kernel(np.asarray(kernel)) if min(kh, kw) > 1 else None
+        if uv is not None:
+            image = blur.convolve_separable(
+                layer.image,
+                jnp.asarray(uv[0], DEVICE_FLOAT),
+                jnp.asarray(uv[1], DEVICE_FLOAT),
+            )
+        else:
+            image = blur.convolve_full(layer.image, jnp.asarray(kernel, DEVICE_FLOAT))
         # the reference truncates x - k/2 toward zero, which shifts the blur
         # by one pixel whenever x > k/2; reproduced bit-for-bit (callers feed
         # bbox-tight layers so the same x reaches this formula)

@@ -80,3 +80,39 @@ def convolve_full(image, kernel):
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     return jnp.moveaxis(out[0], 0, -1)
+
+
+def separate_kernel(kernel: np.ndarray):
+    """(u, v) with kernel == outer(u, v), or None if not rank-1.
+
+    Axis-aligned gaussian kernels factor exactly (row sums x column sums
+    for a normalized kernel), turning a kh*kw-tap conv into kh + kw taps.
+    """
+    u = kernel.sum(axis=1)
+    v = kernel.sum(axis=0)
+    s = kernel.sum()
+    if s <= 0:
+        return None
+    if not np.allclose(np.outer(u, v) / s, kernel, atol=1e-7):
+        return None
+    return u / s, v
+
+
+@jax.jit
+def convolve_separable(image, u, v):
+    """Full separable depthwise convolution: rows by u, columns by v."""
+    ch = image.shape[-1]
+    kh = u.shape[0]
+    kw = v.shape[0]
+    x = jnp.moveaxis(image, -1, 0)[None]  # NCHW
+    ku = jnp.broadcast_to(u[::-1][None, None, :, None], (ch, 1, kh, 1)).astype(image.dtype)
+    kv = jnp.broadcast_to(v[::-1][None, None, None, :], (ch, 1, 1, kw)).astype(image.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, ku, window_strides=(1, 1), padding=[(kh - 1, kh - 1), (0, 0)],
+        feature_group_count=ch, dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    out = jax.lax.conv_general_dilated(
+        out, kv, window_strides=(1, 1), padding=[(0, 0), (kw - 1, kw - 1)],
+        feature_group_count=ch, dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return jnp.moveaxis(out[0], 0, -1)
