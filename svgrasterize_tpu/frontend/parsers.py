@@ -68,8 +68,18 @@ def parse_angle(text) -> float:
     return float(text) * math.pi / 180.0
 
 
-def parse_size(text, default=None, dpi: float = 96.0, font_size: float = DEFAULT_FONT_SIZE):
-    """Parse a length with physical units into pixels."""
+def parse_size(
+    text, default=None, dpi: float = 96.0,
+    font_size: float = DEFAULT_FONT_SIZE, percent_ref: float | None = None,
+):
+    """Parse a length with physical units into pixels.
+
+    percent_ref is the viewport-relative reference length for "%" values
+    (SVG 1.1 7.10: width of the viewport for x-lengths, height for
+    y-lengths, diagonal/sqrt(2) otherwise).  The reference implementation
+    warns and mis-scales percentages (/root/reference/svgrasterize.py:
+    3546-3548); callers with a viewport pass the reference length instead.
+    """
     if text is None:
         return default
     if isinstance(text, (int, float)):
@@ -94,7 +104,9 @@ def parse_size(text, default=None, dpi: float = 96.0, font_size: float = DEFAULT
     }.get(unit)
     if scale is None:
         if unit == "%":
-            warnings.warn("percentage sizes are not supported")
+            if percent_ref is not None:
+                return value / 100.0 * percent_ref
+            warnings.warn("percentage size without a viewport reference")
             return value
         warnings.warn(f"unknown size unit: {unit!r}")
         return value

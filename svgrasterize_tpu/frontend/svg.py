@@ -1021,6 +1021,24 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
     fonts = FontsDB() if fonts is None else fonts
     ids: dict = {"\x00base": base}
     doc_size: list = [None]
+    # current viewport (w, h) for resolving percentage lengths (SVG 1.1
+    # 7.10) — pushed per <svg> from its viewBox / negotiated size; the
+    # reference has no such notion and mis-scales "%" with a warning
+    # (/root/reference/svgrasterize.py:3546-3548)
+    vp_stack: list = [None]
+
+    def psize(text, axis="d", default=None):
+        vp = vp_stack[-1]
+        ref = None
+        if vp is not None:
+            vw_, vh_ = vp
+            if axis == "x":
+                ref = vw_
+            elif axis == "y":
+                ref = vh_
+            else:
+                ref = float(np.hypot(vw_, vh_)) / float(np.sqrt(2.0))
+        return parse_size(text, default, percent_ref=ref)
 
     def walk(element, inherited, top=False, forced_width=None):
         tag = _local_tag(element)
@@ -1029,16 +1047,34 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
 
         group: list = []
         if tag == "svg":
-            for child in element:
-                group.extend(walk(child, inherit_down))
-            if not group:
-                return group
-            scene = Scene.group(group)
+            # negotiate the viewport BEFORE walking children so their
+            # percentage lengths resolve against it
+            declared = parse_float_list(attrs.get("viewBox"), 4, 4)
+            if top and declared and vp_stack[-1] is None:
+                # standalone root: percentages on the <svg> itself resolve
+                # against its own viewBox (e.g. rust.svg width="100%");
+                # 100% means "intrinsic size" — leave unset so the
+                # negotiation below keeps the exact (fractional) viewBox
+                # aspect instead of pre-truncating
+                def _root_len(text, axis):
+                    if text is not None and text.strip().endswith("%") and \
+                            abs(float(text.strip()[:-1]) - 100.0) < 1e-9:
+                        return None
+                    return psize(text, axis)
 
-            x = parse_size(attrs.get("x", "0"))
-            y = parse_size(attrs.get("y", "0"))
-            w = parse_size(attrs.get("width"))
-            h = parse_size(attrs.get("height"))
+                vp_stack.append((declared[2], declared[3]))
+                try:
+                    x = psize(attrs.get("x", "0"), "x")
+                    y = psize(attrs.get("y", "0"), "y")
+                    w = _root_len(attrs.get("width"), "x")
+                    h = _root_len(attrs.get("height"), "y")
+                finally:
+                    vp_stack.pop()
+            else:
+                x = psize(attrs.get("x", "0"), "x")
+                y = psize(attrs.get("y", "0"), "y")
+                w = psize(attrs.get("width"), "x")
+                h = psize(attrs.get("height"), "y")
             viewbox = None
             if w is not None and h is not None:
                 viewbox = [0, 0, w, h]
@@ -1047,8 +1083,22 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
                     w, h = forced_width, int(forced_width * h / w)
                 else:
                     w, h = forced_width, None
-            declared = parse_float_list(attrs.get("viewBox"), 4, 4)
             viewbox = declared or viewbox
+            if viewbox is not None:
+                vp_stack.append((viewbox[2], viewbox[3]))
+            elif w is not None and h is not None:
+                vp_stack.append((w, h))
+            else:
+                vp_stack.append(vp_stack[-1])
+            try:
+                for child in element:
+                    group.extend(walk(child, inherit_down))
+            finally:
+                vp_stack.pop()
+            if not group:
+                return group
+            scene = Scene.group(group)
+
             if viewbox is not None:
                 scene = scene.transform(viewbox_transform(
                     (x, y, w, h), viewbox, attrs.get("preserveAspectRatio")
@@ -1159,28 +1209,28 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
 
         elif tag == "rect":
             attrs["d"] = rect_path_data(
-                parse_size(attrs.pop("x", "0")),
-                parse_size(attrs.pop("y", "0")),
-                parse_size(attrs.pop("width")),
-                parse_size(attrs.pop("height")),
-                parse_size(attrs.get("rx")),
-                parse_size(attrs.get("ry")),
+                psize(attrs.pop("x", "0"), "x"),
+                psize(attrs.pop("y", "0"), "y"),
+                psize(attrs.pop("width"), "x"),
+                psize(attrs.pop("height"), "y"),
+                psize(attrs.get("rx"), "x"),
+                psize(attrs.get("ry"), "y"),
             )
             group.extend(build_shape_scenes(attrs, ids, fg))
 
         elif tag == "circle":
-            r = parse_size(attrs.pop("r"))
+            r = psize(attrs.pop("r"), "d")
             attrs["d"] = ellipse_path_data(
-                parse_size(attrs.pop("cx", "0")), parse_size(attrs.pop("cy", "0")), r, r
+                psize(attrs.pop("cx", "0"), "x"), psize(attrs.pop("cy", "0"), "y"), r, r
             )
             group.extend(build_shape_scenes(attrs, ids, fg))
 
         elif tag == "ellipse":
             attrs["d"] = ellipse_path_data(
-                parse_size(attrs.pop("cx", "0")),
-                parse_size(attrs.pop("cy", "0")),
-                parse_size(attrs.pop("rx", None)),
-                parse_size(attrs.pop("ry", None)),
+                psize(attrs.pop("cx", "0"), "x"),
+                psize(attrs.pop("cy", "0"), "y"),
+                psize(attrs.pop("rx", None), "x"),
+                psize(attrs.pop("ry", None), "y"),
             )
             group.extend(build_shape_scenes(attrs, ids, fg))
 
@@ -1194,7 +1244,8 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
 
         elif tag == "line":
             x1, y1, x2, y2 = (
-                parse_size(attrs.pop(k, "0")) for k in ("x1", "y1", "x2", "y2")
+                psize(attrs.pop(k, "0"), ax)
+                for k, ax in (("x1", "x"), ("y1", "y"), ("x2", "x"), ("y2", "y"))
             )
             attrs["d"] = f"M{x1},{y1} {x2},{y2}"
             group.extend(build_shape_scenes(attrs, ids, fg))
@@ -1224,10 +1275,10 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
             resource = load_image_resource(href, ids.get("\x00base")) if href else None
             if resource is not None:
                 kind_r, payload = resource
-                x = parse_size(attrs.get("x", "0")) or 0.0
-                y = parse_size(attrs.get("y", "0")) or 0.0
-                w = parse_size(attrs.get("width"))
-                h = parse_size(attrs.get("height"))
+                x = psize(attrs.get("x", "0"), "x") or 0.0
+                y = psize(attrs.get("y", "0"), "y") or 0.0
+                w = psize(attrs.get("width"), "x")
+                h = psize(attrs.get("height"), "y")
                 if kind_r == "raster":
                     # a rect filled by a single-cell Pattern whose sub-scene
                     # is the raster (rides every accelerated paint path).
@@ -1320,8 +1371,8 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
                 elif isinstance(target, tuple) and len(target) == 4 and target[0] == "symbol":
                     _kind, sym_scene, view_box, sym_par = target
                     if view_box:
-                        w = parse_size(attrs.get("width")) or view_box[2]
-                        h = parse_size(attrs.get("height")) or view_box[3]
+                        w = psize(attrs.get("width"), "x") or view_box[2]
+                        h = psize(attrs.get("height"), "y") or view_box[3]
                         sym_scene = sym_scene.transform(
                             viewbox_transform((0, 0, w, h), view_box, sym_par)
                         )

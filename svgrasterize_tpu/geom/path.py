@@ -328,6 +328,25 @@ class Path:
             idx += count
             return [float(v) for v in vals]
 
+        def take_flag() -> float:
+            # SVG 1.1 path grammar: an arc flag is a single '0'/'1' that
+            # needs no separator from the following number.  The float
+            # tokenizer greedily merges minified input like "a25 25 0 0175
+            # 25" — split the leading flag char off and leave the remainder
+            # in the stream.  (The reference documents that it breaks on
+            # this, /root/reference/svgrasterize.py:1372-1374.)
+            nonlocal idx
+            if idx >= n:
+                raise ValueError("unexpected end of path data")
+            tok = tokens[idx]
+            if tok in ("0", "1"):
+                idx += 1
+                return float(tok)
+            if tok[0] in "01":
+                tokens[idx] = tok[1:]
+                return float(tok[0])
+            raise ValueError(f"invalid arc flag: {tok!r}")
+
         def flush_open():
             nonlocal current
             if current:
@@ -413,7 +432,10 @@ class Path:
                 reflect_cubic = None
                 pos = p1
             elif low == "a":
-                rx, ry, rot, large, sweep, dx, dy = take(7)
+                rx, ry, rot = take(3)
+                large = take_flag()
+                sweep = take_flag()
+                dx, dy = take(2)
                 dst = absolute([dx, dy])
                 src = pos.copy()
                 pos = dst

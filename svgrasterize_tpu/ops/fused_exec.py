@@ -73,6 +73,22 @@ def _interpret() -> bool:
     return os.environ.get("SVGR_FUSED") == "interp"
 
 
+def fused_k() -> int:
+    """Items per main-kernel grid step (v2); 1 selects the v1 kernel."""
+    try:
+        return max(1, int(os.environ.get("SVGR_FUSED_K", "8")))
+    except ValueError:
+        return 8
+
+
+def prepass_k() -> int:
+    """Edge classes per prepass grid step."""
+    try:
+        return max(1, int(os.environ.get("SVGR_PREPASS_K", "8")))
+    except ValueError:
+        return 8
+
+
 def _clamp_antideriv(t):
     return jnp.where(t <= 0, 0.0, jnp.where(t >= 1, t - 0.5, 0.5 * t * t))
 
@@ -125,11 +141,13 @@ def _edge_params(lines, t_size: int):
     return ep, passes, n_pass
 
 
-def _winding_pass_body(edges_ref, rows, lane_col):
-    """The shared packed-lane winding inner loop (one pass = G edges)."""
+def _winding_pass_body(edge_at, rows, lane_col):
+    """The shared packed-lane winding inner loop (one pass = G edges).
+
+    edge_at(p) -> (8, 128) params pre-broadcast across lanes."""
 
     def body(p, acc):
-        e = edges_ref[0, p]  # (8, 128): params pre-broadcast across lanes
+        e = edge_at(p)
         sign = e[0:1, :]
         y_lo = e[1:2, :]
         y_hi = e[2:3, :]
@@ -168,7 +186,7 @@ def _fold_groups(acc, t_size: int):
 # --------------------------------------------------------------------------
 
 
-def _prepass_kernel_factory(t_size: int):
+def _prepass_kernel_factory(t_size: int, k_block: int):
     T = t_size
 
     def kernel(np_ref, edges_ref, out_ref):
@@ -177,13 +195,18 @@ def _prepass_kernel_factory(t_size: int):
         lane_col = (
             jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % T
         ).astype(f32)
-        acc = jax.lax.fori_loop(
-            0,
-            np_ref[0, 0, 0],
-            _winding_pass_body(edges_ref, rows, lane_col),
-            jnp.zeros((T, LANES), f32),
-        )
-        out_ref[0] = _fold_groups(acc, T)
+
+        def row(k, _):
+            acc = jax.lax.fori_loop(
+                0,
+                np_ref[k, 0, 0],
+                _winding_pass_body(lambda p: edges_ref[k, p], rows, lane_col),
+                jnp.zeros((T, LANES), f32),
+            )
+            out_ref[k] = _fold_groups(acc, T)
+            return 0
+
+        jax.lax.fori_loop(0, k_block, row, 0)
 
     return kernel
 
@@ -194,7 +217,9 @@ def prepass_winding(arrays, t_size: int):
     Drop-in replacement for batch_exec._prepass_winding: concatenates the
     per-class winding fields plus a trailing zeros scratch row.  The
     packed-lane kernel runs at full VPU width where the XLA formulation
-    pads T lanes up to 128.
+    pads T lanes up to 128.  K classes are rasterized per grid step (the
+    per-step overhead otherwise rivals the main kernel's on dense scenes
+    with many big/clip classes).
     """
     T = t_size
     winds = []
@@ -202,31 +227,40 @@ def prepass_winding(arrays, t_size: int):
         if arr is None or arr.shape[0] == 0:
             continue
         m = arr.shape[0]
+        kb = prepass_k()
+        m_pad = -(-m // kb) * kb
         edges, passes, n_pass = _edge_params(arr.astype(DEVICE_FLOAT), T)
+        if m_pad != m:
+            edges = jnp.concatenate(
+                [edges, jnp.zeros((m_pad - m,) + edges.shape[1:], edges.dtype)]
+            )
+            passes = jnp.concatenate(
+                [passes, jnp.zeros((m_pad - m,), passes.dtype)]
+            )
         wind = pl.pallas_call(
-            _prepass_kernel_factory(T),
+            _prepass_kernel_factory(T, kb),
             grid_spec=pl.GridSpec(
-                grid=(m,),
+                grid=(m_pad // kb,),
                 in_specs=[
-                    pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+                    pl.BlockSpec((kb, 1, 8), lambda i: (i, 0, 0),
                                  memory_space=pltpu.SMEM),
-                    pl.BlockSpec((1, n_pass, 8, LANES),
+                    pl.BlockSpec((kb, n_pass, 8, LANES),
                                  lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((1, T, T), lambda i: (i, 0, 0),
+                out_specs=pl.BlockSpec((kb, T, T), lambda i: (i, 0, 0),
                                        memory_space=pltpu.VMEM),
             ),
-            out_shape=jax.ShapeDtypeStruct((m, T, T), DEVICE_FLOAT),
+            out_shape=jax.ShapeDtypeStruct((m_pad, T, T), DEVICE_FLOAT),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
             interpret=_interpret(),
         )(
-            jnp.broadcast_to(passes[:, None, None], (m, 1, 8)),
+            jnp.broadcast_to(passes[:, None, None], (m_pad, 1, 8)),
             edges,
         )
-        winds.append(wind)
+        winds.append(wind[:m])
     if not winds:
         return None
     winds.append(jnp.zeros((1, T, T), DEVICE_FLOAT))
@@ -236,6 +270,129 @@ def prepass_winding(arrays, t_size: int):
 # --------------------------------------------------------------------------
 # main kernel
 # --------------------------------------------------------------------------
+
+
+def _item_compute(
+    T: int, k_stops: int, features: frozenset, rows, lane_col,
+    edge_at, ip, fp, carry_col, clip_col, color_row, stop_off, stop_row,
+    big_field, clip_field, tex_field, mask_field, pat_field,
+):
+    """One work item's premultiplied (rgba, alpha) planar tiles (T, 4T).
+
+    All per-item operands arrive as accessor callables / gathered values so
+    the single-item (v1) and K-items-per-step (v2) kernels share every line
+    of the winding / coverage / paint / mask math.  ip(j)/fp(j) read the
+    item's int/float scalar params; *_field are the pre-gathered stack rows
+    (or None when the feature is off).
+    """
+    f32 = DEVICE_FLOAT
+    has_grad = "grad" in features
+
+    # ---- inline winding: G edges per pass, full 128 lanes ----------
+    acc = jax.lax.fori_loop(
+        0,
+        ip(4),
+        _winding_pass_body(edge_at, rows, lane_col),
+        jnp.zeros((T, LANES), f32),
+    )
+    wind = _fold_groups(acc, T)
+
+    if big_field is not None:
+        wind = wind + big_field
+    wind = wind + carry_col
+    cov = _coverage(wind, ip(1))
+    if clip_field is not None:
+        cw = clip_field + clip_col
+        cov = cov * _coverage(cw, ip(2))
+    mask = cov * fp(16)
+    mask = jnp.where(mask < 1e-6, 0.0, mask)
+    mask128 = pltpu.repeat(mask, 4, axis=1)  # planar tile -> (T, 4T)
+
+    # ---- paint ------------------------------------------------------
+    paint = jnp.broadcast_to(color_row.reshape(1, 4 * T), (T, 4 * T))
+    if has_grad:
+        kind = ip(0)
+        r = rows + fp(17) + 0.5                                       # (T,1)
+        c = (jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(f32)
+             + fp(18) + 0.5)
+        gx = r * fp(0) + c * fp(1) + fp(2)                            # (T,T)
+        gy = r * fp(3) + c * fp(4) + fp(5)
+        vec0 = fp(8) - fp(6)
+        vec1 = fp(9) - fp(7)
+        denom = jnp.maximum(vec0 * vec0 + vec1 * vec1, 1e-30)
+        t_lin = ((gx - fp(6)) * vec0 + (gy - fp(7)) * vec1) / denom
+        cd0 = fp(10) - fp(12)
+        cd1 = fp(11) - fp(13)
+        pd0 = gx - fp(12)
+        pd1 = gy - fp(13)
+        radius = fp(14)
+        fradius = fp(15)
+        rd = radius - fradius
+        a_q = cd0 * cd0 + cd1 * cd1 - rd * rd
+        b_q = pd0 * cd0 + pd1 * cd1 + fradius * rd
+        c_q = pd0 * pd0 + pd1 * pd1 - fradius * fradius
+        det = b_q * b_q - a_q * c_q
+        sq = jnp.sqrt(jnp.maximum(det, 0.0))
+        a_safe = jnp.where(jnp.abs(a_q) > 1e-30, a_q, 1e-30)
+        t_rad = jnp.maximum((b_q + sq) / a_safe, (b_q - sq) / a_safe)
+        # f32 throughout: Mosaic cannot select on i1 vectors
+        rad_valid = (det >= 0).astype(f32)
+        lim = fradius / jnp.where(jnp.abs(rd) > 1e-12, fradius - radius, 1.0)
+        rad_valid = jnp.where(jnp.abs(rd) > 1e-12,
+                              rad_valid * (t_rad > lim).astype(f32), rad_valid)
+        t = jnp.where(kind == PAINT_LINEAR, t_lin, t_rad)
+        mode = ip(3)
+        repeat = t - jnp.trunc(t)
+        reflect = jnp.abs(jnp.remainder(t + 1.0, 2.0) - 1.0)
+        t = jnp.where(mode == 0, t, jnp.where(mode == 1, repeat, reflect))
+        t128 = pltpu.repeat(t, 4, axis=1)                           # (T,4T)
+        grad = jnp.broadcast_to(stop_row(0).reshape(1, 4 * T), (T, 4 * T))
+        for k in range(1, k_stops):
+            span = stop_off(k) - stop_off(k - 1)
+            ok = span > 1e-12
+            ratio = jnp.clip(
+                (t128 - stop_off(k - 1)) / jnp.where(ok, span, 1.0),
+                0.0, 1.0,
+            )
+            ratio = jnp.where(
+                ok, ratio, (t128 >= stop_off(k)).astype(f32)
+            )
+            grad = grad + ratio * (stop_row(k) - stop_row(k - 1)).reshape(
+                1, 4 * T
+            )
+        valid128 = pltpu.repeat(rad_valid, 4, axis=1)
+        grad = grad * jnp.where(kind == PAINT_RADIAL, valid128, 1.0)
+        paint = jnp.where(kind == PAINT_SOLID, paint, grad)
+    if pat_field is not None:
+        # pattern items' paint tiles are pre-rendered by the XLA paint
+        # path into a small planar pool (see execute_items_fused)
+        paint = jnp.where(ip(0) == PAINT_PATTERN, pat_field, paint)
+    if tex_field is not None:
+        paint = jnp.where(ip(5) >= 0, tex_field, paint)
+    if mask_field is not None:
+        # SVG mask value = luminance weights dotted with premultiplied
+        # rgb: weight per channel plane, then circular group-sum rolls
+        # (exact, unlike an MXU matmul)
+        grp = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * T), 1) // T
+        wv = jnp.where(
+            grp == 0, 0.2125,
+            jnp.where(grp == 1, 0.7154, jnp.where(grp == 2, 0.072, 0.0)),
+        ).astype(f32)
+        s = mask_field * wv
+        lum = s
+        for kk in (1, 2, 3):
+            lum = lum + pltpu.roll(s, 4 * T - kk * T, 1)
+        mask128 = mask128 * jnp.where(ip(6) >= 0, lum, 1.0)
+
+    rgba = mask128 * paint
+    asel = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 4 * T), 1) // T == 3
+    ).astype(f32)
+    s_a = rgba * asel
+    alpha = s_a
+    for kk in (1, 2, 3):
+        alpha = alpha + pltpu.roll(s_a, 4 * T - kk * T, 1)
+    return rgba, alpha
 
 
 def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
@@ -288,122 +445,187 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % T
         ).astype(f32)
 
-        # ---- inline winding: G edges per pass, full 128 lanes ----------
-        acc = jax.lax.fori_loop(
-            0,
-            iparams_ref[0, 0, 4],
-            _winding_pass_body(edges_ref, rows, lane_col),
-            jnp.zeros((T, LANES), f32),
+        rgba, alpha = _item_compute(
+            T, k_stops, features, rows, lane_col,
+            edge_at=lambda p: edges_ref[0, p],
+            ip=lambda j: iparams_ref[0, 0, j],
+            fp=lambda j: fparams_ref[0, 0, j],
+            carry_col=carries_ref[0, :, 0:1],
+            clip_col=carries_ref[0, :, 1:2] if has_clip else None,
+            color_row=color_ref[0, 0],
+            stop_off=(lambda k: stop_off_ref[0, 0, k]) if has_grad else None,
+            stop_row=(lambda k: stops_ref[0, k]) if has_grad else None,
+            big_field=big_ref[scalar_refs[s_slots["big"]][i]] if has_big else None,
+            clip_field=clip_ref[scalar_refs[s_slots["clip"]][i]] if has_clip else None,
+            tex_field=tex_ref[scalar_refs[s_slots["tex"]][i]] if has_tex else None,
+            mask_field=msk_ref[scalar_refs[s_slots["mask"]][i]] if has_mask else None,
+            pat_field=pat_ref[scalar_refs[s_slots["pat"]][i]] if has_pat else None,
         )
-        wind = _fold_groups(acc, T)
-
-        if has_big:
-            wind = wind + big_ref[scalar_refs[s_slots["big"]][i]]
-        wind = wind + carries_ref[0, :, 0:1]
-        cov = _coverage(wind, iparams_ref[0, 0, 1])
-        if has_clip:
-            cw = clip_ref[scalar_refs[s_slots["clip"]][i]] + carries_ref[0, :, 1:2]
-            cov = cov * _coverage(cw, iparams_ref[0, 0, 2])
-        mask = cov * fparams_ref[0, 0, 16]
-        mask = jnp.where(mask < 1e-6, 0.0, mask)
-        mask128 = pltpu.repeat(mask, 4, axis=1)  # planar tile -> (T, 4T)
-
-        # ---- paint ------------------------------------------------------
-        paint = jnp.broadcast_to(color_ref[0, 0].reshape(1, 4 * T), (T, 4 * T))
-        if has_grad:
-            kind = iparams_ref[0, 0, 0]
-            fp = fparams_ref
-            r = rows + fp[0, 0, 17] + 0.5                                 # (T,1)
-            c = (jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(f32)
-                 + fp[0, 0, 18] + 0.5)
-            gx = r * fp[0, 0, 0] + c * fp[0, 0, 1] + fp[0, 0, 2]          # (T,T)
-            gy = r * fp[0, 0, 3] + c * fp[0, 0, 4] + fp[0, 0, 5]
-            vec0 = fp[0, 0, 8] - fp[0, 0, 6]
-            vec1 = fp[0, 0, 9] - fp[0, 0, 7]
-            denom = jnp.maximum(vec0 * vec0 + vec1 * vec1, 1e-30)
-            t_lin = ((gx - fp[0, 0, 6]) * vec0 + (gy - fp[0, 0, 7]) * vec1) / denom
-            cd0 = fp[0, 0, 10] - fp[0, 0, 12]
-            cd1 = fp[0, 0, 11] - fp[0, 0, 13]
-            pd0 = gx - fp[0, 0, 12]
-            pd1 = gy - fp[0, 0, 13]
-            radius = fp[0, 0, 14]
-            fradius = fp[0, 0, 15]
-            rd = radius - fradius
-            a_q = cd0 * cd0 + cd1 * cd1 - rd * rd
-            b_q = pd0 * cd0 + pd1 * cd1 + fradius * rd
-            c_q = pd0 * pd0 + pd1 * pd1 - fradius * fradius
-            det = b_q * b_q - a_q * c_q
-            sq = jnp.sqrt(jnp.maximum(det, 0.0))
-            a_safe = jnp.where(jnp.abs(a_q) > 1e-30, a_q, 1e-30)
-            t_rad = jnp.maximum((b_q + sq) / a_safe, (b_q - sq) / a_safe)
-            # f32 throughout: Mosaic cannot select on i1 vectors
-            rad_valid = (det >= 0).astype(f32)
-            lim = fradius / jnp.where(jnp.abs(rd) > 1e-12, fradius - radius, 1.0)
-            rad_valid = jnp.where(jnp.abs(rd) > 1e-12,
-                                  rad_valid * (t_rad > lim).astype(f32), rad_valid)
-            t = jnp.where(kind == PAINT_LINEAR, t_lin, t_rad)
-            mode = iparams_ref[0, 0, 3]
-            repeat = t - jnp.trunc(t)
-            reflect = jnp.abs(jnp.remainder(t + 1.0, 2.0) - 1.0)
-            t = jnp.where(mode == 0, t, jnp.where(mode == 1, repeat, reflect))
-            t128 = pltpu.repeat(t, 4, axis=1)                           # (T,4T)
-            grad = jnp.broadcast_to(stops_ref[0, 0].reshape(1, 4 * T), (T, 4 * T))
-            for k in range(1, k_stops):
-                span = stop_off_ref[0, 0, k] - stop_off_ref[0, 0, k - 1]
-                ok = span > 1e-12
-                ratio = jnp.clip(
-                    (t128 - stop_off_ref[0, 0, k - 1]) / jnp.where(ok, span, 1.0),
-                    0.0, 1.0,
-                )
-                ratio = jnp.where(
-                    ok, ratio, (t128 >= stop_off_ref[0, 0, k]).astype(f32)
-                )
-                grad = grad + ratio * (stops_ref[0, k] - stops_ref[0, k - 1]).reshape(
-                    1, 4 * T
-                )
-            valid128 = pltpu.repeat(rad_valid, 4, axis=1)
-            grad = grad * jnp.where(kind == PAINT_RADIAL, valid128, 1.0)
-            paint = jnp.where(kind == PAINT_SOLID, paint, grad)
-        if has_pat:
-            # pattern items' paint tiles are pre-rendered by the XLA paint
-            # path into a small planar pool (see execute_items_fused)
-            paint = jnp.where(
-                iparams_ref[0, 0, 0] == PAINT_PATTERN,
-                pat_ref[scalar_refs[s_slots["pat"]][i]], paint,
-            )
-        if has_tex:
-            paint = jnp.where(
-                iparams_ref[0, 0, 5] >= 0,
-                tex_ref[scalar_refs[s_slots["tex"]][i]], paint,
-            )
-        if has_mask:
-            # SVG mask value = luminance weights dotted with premultiplied
-            # rgb: weight per channel plane, then circular group-sum rolls
-            # (exact, unlike an MXU matmul)
-            grp = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * T), 1) // T
-            wv = jnp.where(
-                grp == 0, 0.2125,
-                jnp.where(grp == 1, 0.7154, jnp.where(grp == 2, 0.072, 0.0)),
-            ).astype(f32)
-            s = msk_ref[scalar_refs[s_slots["mask"]][i]] * wv
-            lum = s
-            for kk in (1, 2, 3):
-                lum = lum + pltpu.roll(s, 4 * T - kk * T, 1)
-            mask128 = mask128 * jnp.where(iparams_ref[0, 0, 6] >= 0, lum, 1.0)
 
         # ---- Porter-Duff OVER into the revisited canvas block -----------
-        rgba = mask128 * paint
-        asel = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, 4 * T), 1) // T == 3
-        ).astype(f32)
-        s_a = rgba * asel
-        alpha = s_a
-        for kk in (1, 2, 3):
-            alpha = alpha + pltpu.roll(s_a, 4 * T - kk * T, 1)
         j = jnp.maximum(i - 1, 0)
         first = (i == 0) | (tile_ref[i] != tile_ref[j])
         prev = jnp.where(first, 0.0, out_ref[0])
         out_ref[0] = rgba + prev * (1.0 - alpha)
+
+    return kernel, s_slots, n_scalars
+
+
+RING = 8
+
+
+def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
+                      k_items: int):
+    """K-items-per-grid-step kernel with ring-buffer canvas flushes.
+
+    The v1 kernel's floor is per-grid-step overhead: one step per work item
+    means ~N pipelined block fetches of tiny per-item operands plus the
+    revisited-output-block bookkeeping — measured ~70% of a dense frame.
+    Here each grid step fetches K items' operands in one set of blocks and
+    loops over them in-kernel.  Composition no longer rides the revisited
+    output block (a step may span several tile runs): the running tile
+    accumulates in a ring of VMEM scratch tiles, and on each tile-run
+    boundary the finished (T, 4T) tile is flushed to its canvas row by a
+    manual async copy — HBM still sees exactly one write per touched tile,
+    and the ring (with per-slot DMA semaphores) keeps RING flushes in
+    flight so compute never stalls on the copies.  Cross-step state (flush
+    counter, current tile) lives in SMEM scratch, which persists across
+    the sequential TPU grid.
+    """
+    T = t_size
+    K = k_items
+
+    has_big = "big" in features
+    has_clip = "clip" in features
+    has_grad = "grad" in features
+    has_tex = "tex" in features
+    has_mask = "mask" in features
+    has_pat = "pat" in features
+
+    s_slots = {"tile": 0}
+    for name, on in (("big", has_big), ("clip", has_clip),
+                     ("tex", has_tex), ("mask", has_mask), ("pat", has_pat)):
+        if on:
+            s_slots[name] = len(s_slots)
+    n_scalars = len(s_slots)
+
+    def kernel(*refs):
+        scalar_refs = refs[:n_scalars]
+        tile_ref = scalar_refs[s_slots["tile"]]
+        it = iter(refs[n_scalars:])
+        edges_ref = next(it)     # (K, P, 8, 128) VMEM lane-broadcast params
+        carries_ref = next(it)   # (K, T, 2) VMEM
+        iparams_ref = next(it)   # (K, 1, 8) SMEM int32
+        fparams_ref = next(it)   # (K, 1, 24) SMEM f32
+        color_ref = next(it)     # (K, 1, 4T) VMEM (channel-planar)
+        if has_grad:
+            stop_off_ref = next(it)  # (K, 1, S) SMEM
+            stops_ref = next(it)     # (K, S, 4T) VMEM
+        if has_big:
+            big_ref = next(it)       # (M+1, T, T) VMEM-resident stack
+        if has_clip:
+            clip_ref = next(it)      # (U+1, T, T) VMEM-resident stack
+        if has_tex:
+            tex_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
+        if has_mask:
+            msk_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
+        if has_pat:
+            pat_ref = next(it)       # (Q+1, T, 4T) VMEM-resident pattern tiles
+        out_ref = next(it)           # (num_tiles+1, T, 4T) HBM, manual DMA
+        ring = next(it)              # (RING, T, 4T) VMEM scratch
+        state = next(it)             # (2,) SMEM scratch: flush count, cur tile
+        sems = next(it)              # (RING,) DMA semaphores
+
+        s = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+        f32 = DEVICE_FLOAT
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).astype(f32)
+        lane_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % T
+        ).astype(f32)
+
+        @pl.when(s == 0)
+        def _():
+            state[0] = 0
+            state[1] = tile_ref[0]
+
+        def start_flush():
+            fc = state[0]
+            slot = jax.lax.rem(fc, RING)
+            pltpu.make_async_copy(
+                ring.at[slot], out_ref.at[state[1]], sems.at[slot]
+            ).start()
+            state[0] = fc + 1
+
+        def flush():
+            # tile-run boundary: flush the finished tile, then clear the
+            # RING-ago flush before accumulating into its slot.  The
+            # semaphore accounting invariant: reuse-waits clear starts
+            # {0..F-9}, so exactly min(F, RING) starts stay outstanding —
+            # one per slot — for the end-of-kernel drain.  (The FINAL
+            # flush must NOT take this wait: it would leave one drained
+            # slot with no outstanding DMA and deadlock the drain loop —
+            # observed as a TPU watchdog kill on dense scenes.)
+            start_flush()
+            fc = state[0]
+            nslot = jax.lax.rem(fc, RING)
+
+            @pl.when(fc >= RING)
+            def _():
+                # a same-shape descriptor waits the same sem + byte count
+                pltpu.make_async_copy(
+                    ring.at[nslot], out_ref.at[0], sems.at[nslot]
+                ).wait()
+
+        def item(kq, _):
+            i = s * K + kq
+            tile = tile_ref[i]
+            changed = (i > 0) & (tile != state[1])
+
+            @pl.when(changed)
+            def _():
+                flush()
+
+            state[1] = tile
+
+            rgba, alpha = _item_compute(
+                T, k_stops, features, rows, lane_col,
+                edge_at=lambda p: edges_ref[kq, p],
+                ip=lambda j: iparams_ref[kq, 0, j],
+                fp=lambda j: fparams_ref[kq, 0, j],
+                carry_col=carries_ref[kq, :, 0:1],
+                clip_col=carries_ref[kq, :, 1:2] if has_clip else None,
+                color_row=color_ref[kq, 0],
+                stop_off=(lambda k: stop_off_ref[kq, 0, k]) if has_grad else None,
+                stop_row=(lambda k: stops_ref[kq, k]) if has_grad else None,
+                big_field=big_ref[scalar_refs[s_slots["big"]][i]]
+                if has_big else None,
+                clip_field=clip_ref[scalar_refs[s_slots["clip"]][i]]
+                if has_clip else None,
+                tex_field=tex_ref[scalar_refs[s_slots["tex"]][i]]
+                if has_tex else None,
+                mask_field=msk_ref[scalar_refs[s_slots["mask"]][i]]
+                if has_mask else None,
+                pat_field=pat_ref[scalar_refs[s_slots["pat"]][i]]
+                if has_pat else None,
+            )
+
+            slot = jax.lax.rem(state[0], RING)
+            prev = jnp.where(changed | (i == 0), 0.0, ring[slot])
+            ring[slot] = rgba + prev * (1.0 - alpha)
+            return 0
+
+        jax.lax.fori_loop(0, K, item, 0)
+
+        @pl.when(s == nsteps - 1)
+        def _():
+            start_flush()
+            for ss in range(RING):
+                @pl.when(ss < state[0])
+                def _():
+                    pltpu.make_async_copy(
+                        ring.at[ss], out_ref.at[0], sems.at[ss]
+                    ).wait()
 
     return kernel, s_slots, n_scalars
 
@@ -476,15 +698,20 @@ def execute_items_fused(
 
     tile_id = items["tile_id"].astype(jnp.int32)
 
+    # K items per grid step (v2); K=1 selects the single-item v1 kernel
+    kb = fused_k()
+    while kb > 1 and n % kb:
+        kb //= 2
+
     scalars = [tile_id]
     tensors = [edges, carries, ipar, fpar, colorv]
     in_specs = [
-        pl.BlockSpec((1, n_pass, 8, LANES), lambda i, *s: (i, 0, 0, 0),
+        pl.BlockSpec((kb, n_pass, 8, LANES), lambda i, *s: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T, 2), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 8), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 24), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 4 * T), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kb, T, 2), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kb, 1, 8), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((kb, 1, 24), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((kb, 1, 4 * T), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
 
     k_stops = int(items["stop_offsets"].shape[1])
@@ -494,9 +721,9 @@ def execute_items_fused(
         ).reshape(n, k_stops, 4 * T)
         tensors += [items["stop_offsets"].astype(f32)[:, None, :], stops]
         in_specs += [
-            pl.BlockSpec((1, 1, k_stops), lambda i, *s: (i, 0, 0),
+            pl.BlockSpec((kb, 1, k_stops), lambda i, *s: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, k_stops, 4 * T), lambda i, *s: (i, 0, 0),
+            pl.BlockSpec((kb, k_stops, 4 * T), lambda i, *s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
 
@@ -559,9 +786,6 @@ def execute_items_fused(
         tensors.append(pat_pool)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
-    kernel, _slots, n_scalars = _kernel_factory(T, k_stops, features)
-    assert n_scalars == len(scalars)
-
     # padding items (tile_id == num_tiles) sort last; the grid stops at the
     # real item count instead of burning steps on them (the XLA executor's
     # CHUNK_ITEMS padding is irrelevant here)
@@ -569,13 +793,29 @@ def execute_items_fused(
     for f in features:
         if isinstance(f, tuple) and f[0] == "nreal":
             n_real = max(1, min(int(f[1]), n))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_scalars,
-        grid=(n_real,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, T, 4 * T), _gather_map(0),
-                               memory_space=pltpu.VMEM),
-    )
+    if kb > 1:
+        kernel, _slots, n_scalars = _kernel_factory_k(T, k_stops, features, kb)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_scalars,
+            grid=(-(-n_real // kb),),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((RING, T, 4 * T), f32),
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SemaphoreType.DMA((RING,)),
+            ],
+        )
+    else:
+        kernel, _slots, n_scalars = _kernel_factory(T, k_stops, features)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_scalars,
+            grid=(n_real,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, T, 4 * T), _gather_map(0),
+                                   memory_space=pltpu.VMEM),
+        )
+    assert n_scalars == len(scalars)
     canvas128 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -586,6 +826,7 @@ def execute_items_fused(
             # VMEM-resident (dynamic per-item row reads beat per-step
             # block gathers by ~30x); raise the scoped limit accordingly
             vmem_limit_bytes=100 * 1024 * 1024,
+            has_side_effects=kb > 1,
         ),
         interpret=_interpret(),
     )(*scalars, *tensors)

@@ -1193,7 +1193,11 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
 
     from .ops.fused_exec import plan_features
 
-    mode = os.environ.get("SVGR_FUSED", "")
+    mode = (
+        os.environ.get("SVGR_FUSED", "")
+        + ":" + os.environ.get("SVGR_FUSED_K", "")
+        + ":" + os.environ.get("SVGR_PREPASS_K", "")
+    )
     cache = items.get("_device_cache")
     if cache is None or cache["mode"] != mode:
         features = plan_features(

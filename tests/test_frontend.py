@@ -492,3 +492,47 @@ def test_stroke_miterlimit():
     limited = area(base.replace("{ML}", " stroke-miterlimit='1'"))
     assert limited < default
     assert area(base.replace("{ML}", " stroke-miterlimit='20'")) >= default
+
+
+def test_percentage_lengths_viewport_relative():
+    """Viewport-relative % lengths (SVG 1.1 7.10) — the reference warns
+    and mis-scales these (svgrasterize.py:3546-3548)."""
+    import warnings as _w
+
+    from svgrasterize_tpu import scene_from_str
+
+    pct = """<svg xmlns='http://www.w3.org/2000/svg' width='200' height='100'>
+      <rect x='10%' y='20%' width='50%' height='30%' fill='red'/>
+      <circle cx='50%' cy='50%' r='10%' fill='blue'/>
+      <line x1='0%' y1='0%' x2='100%' y2='100%' stroke='black'/>
+    </svg>"""
+    import math
+
+    diag = math.hypot(200, 100) / math.sqrt(2)
+    explicit = f"""<svg xmlns='http://www.w3.org/2000/svg' width='200' height='100'>
+      <rect x='20' y='20' width='100' height='30' fill='red'/>
+      <circle cx='100' cy='50' r='{0.10 * diag}' fill='blue'/>
+      <line x1='0' y1='0' x2='200' y2='100' stroke='black'/>
+    </svg>"""
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # no "percentage" warnings allowed
+        scene_p, _ids, size_p = scene_from_str(pct)
+    scene_e, _ids, size_e = scene_from_str(explicit)
+    assert tuple(size_p) == tuple(size_e) == (200, 100)
+    assert repr(scene_p) == repr(scene_e)
+
+
+def test_percentage_root_svg_against_viewbox():
+    """width='100%' on a standalone root resolves against its viewBox
+    (rust.svg's header) instead of warning."""
+    import warnings as _w
+
+    from svgrasterize_tpu import scene_from_str
+
+    doc = """<svg xmlns='http://www.w3.org/2000/svg' width='100%' height='100%'
+      viewBox='0 0 400 300'><rect width='50%' height='50%' fill='green'/></svg>"""
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        scene, _ids, size = scene_from_str(doc)
+    assert tuple(size) == (400, 300)
+    assert scene is not None

@@ -159,3 +159,29 @@ def test_hull_bbox():
     assert len(hull.points) == 4
     x, y, w, h = hull.bbox(Transform())
     assert (x, y, w, h) == (0, 0, 10, 5)
+
+
+def test_parse_merged_arc_flags():
+    """SVG 1.1 grammar: arc flags are single [01] chars needing no
+    separator — minified "a25 25 0 0175 25" must parse (the reference
+    documents that it breaks here, svgrasterize.py:1372-1374)."""
+    from svgrasterize_tpu.geom.path import Path
+
+    spaced = Path.from_svg("M0 0 a25 25 0 0 1 75 25 Z")
+    merged = Path.from_svg("M0 0 a25 25 0 0175 25 Z")
+    assert repr(spaced) == repr(merged)
+
+    # both flags merged with the x coordinate
+    spaced2 = Path.from_svg("M10 10 A30 40 15 1 0 50 60")
+    merged2 = Path.from_svg("M10 10A30 40 15 1050 60")
+    assert repr(spaced2) == repr(merged2)
+
+    # flag merged with a fractional number: flag '0', then x = .5
+    spaced3 = Path.from_svg("M0 0 a5 5 0 0 0 .5 6")
+    merged3 = Path.from_svg("M0 0 a5 5 0 00.5 6")
+    assert repr(spaced3) == repr(merged3)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        Path.from_svg("M0 0 a5 5 0 2 0 10 10")  # flag must be 0/1

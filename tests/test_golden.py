@@ -68,6 +68,27 @@ def test_icon_matches_reference(reference, demo_dir, icon, tolerance):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         theirs = _render_reference(reference, path)
+    if ours.shape != theirs.shape:
+        # rust.svg declares width="100%" with a viewBox: the reference
+        # mis-parses the percentage as 100px and letterboxes the content
+        # into a square canvas (svgrasterize.py:3546-3548); we resolve it
+        # against the viewBox and keep the aspect.  Re-render the oracle
+        # with the root width/height stripped so it takes its own viewBox
+        # sizing path — identical geometry, no letterbox.
+        import re
+
+        text = open(path, encoding="utf-8").read()
+        text = re.sub(
+            r'(<svg\b[^>]*?)\s(?:width|height)="[^"]*"',
+            r"\1", re.sub(r'(<svg\b[^>]*?)\s(?:width|height)="[^"]*"', r"\1", text),
+        )
+        scene, _ids, size = reference.svg_scene_from_str(text, width=WIDTH)
+        w, h = int(size[0]), int(size[1])
+        tr = reference.Transform().matrix(0, 1, 0, 1, 0, 0)
+        layer, _hull = scene.render(tr, viewport=[0, 0, h, w], linear_rgb=False)
+        layer = layer.convert(pre_alpha=True, linear_rgb=False)
+        theirs = np.zeros((h, w, 4))
+        reference.canvas_merge_at(theirs, layer.image, layer.offset)
     assert ours.shape == theirs.shape
 
     diff = np.abs(ours - theirs).max(axis=-1)

@@ -1,0 +1,68 @@
+"""Demo-scale golden parity: the lowered pipeline vs the reference's PNGs.
+
+Renders the reference's three headline demos (material-design, icons,
+prompt — /root/reference/demo/) at native size through `render_fast` (the
+same path the CLI and serving use) and compares against the reference
+implementation's own committed golden PNGs.  Thresholds are the parity
+levels measured in round 1 (PARITY.md): any regression of the headline
+numbers fails here.
+
+Marked slow: a demo-scale render through the lowered pipeline is
+compile-heavy on the CPU test backend.  Run with `pytest -m slow`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import svgrasterize_tpu.render_plan as rp
+from svgrasterize_tpu import scene_from_filepath
+from svgrasterize_tpu.core.png import read_png
+from svgrasterize_tpu.core.transform import Transform
+from svgrasterize_tpu.text.fonts import DEFAULT_FONTS, FontsDB
+
+DEMO = "/root/reference/demo"
+
+# (svg, golden png, max allowed fraction of pixels with any channel
+# diff > 8/255, max allowed channel diff) — measured round-1 levels
+# (PARITY.md / VERDICT.md) plus a small margin
+CASES = [
+    ("material-design.svg", "material-design.png", 0.0080, 48),
+    ("icons.svg", "icons.png", 0.0030, 255),
+    ("prompt.svg", "prompt.png", 0.0040, 24),
+]
+
+
+@pytest.fixture(scope="module")
+def fonts_db():
+    db = FontsDB()
+    db.register_file(DEFAULT_FONTS)
+    return db
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("svg,golden,frac8,maxdiff", CASES)
+def test_demo_parity(svg, golden, frac8, maxdiff, fonts_db):
+    path = os.path.join(DEMO, svg)
+    if not os.path.isfile(path):
+        pytest.skip("reference demo assets not available")
+    scene, _ids, size = scene_from_filepath(path, fonts=fonts_db)
+    w, h = int(size[0]), int(size[1])
+    out = rp.render_fast(
+        scene, Transform().matrix(0, 1, 0, 1, 0, 0), (0, 0, h, w), False
+    )
+    layer, _hull = out
+    img = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)
+    img8 = np.clip(np.round(img * 255), 0, 255).astype(np.int16)
+
+    with open(os.path.join(DEMO, golden), "rb") as f:
+        gold = np.asarray(read_png(f), dtype=np.int16)
+    aligned = np.zeros_like(gold)
+    aligned[: img8.shape[0], : img8.shape[1]] = img8[: gold.shape[0], : gold.shape[1]]
+    diff = np.abs(aligned - gold).max(axis=-1)
+    frac = float((diff > 8).mean())
+    assert frac <= frac8, f"{svg}: {frac * 100:.3f}% pixels >8/255 (limit {frac8 * 100:.2f}%)"
+    assert diff.max() <= maxdiff, f"{svg}: max diff {diff.max()} (limit {maxdiff})"
