@@ -1,19 +1,28 @@
 """Headline benchmark: full-scene render throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
+The headline metric is the reference's own flagship demo
+(demo/material-design.svg, 1488x1488) rendered by the fused whole-scene
+executor; "configs" carries the rest of BASELINE.json's config matrix:
 
-Workload: the reference's own headline demo (demo/material-design.svg,
-1488x1488, ~1900 fills + 935 clip paths + gradients) rendered by the batched
-whole-scene executor (render_plan + ops/batch_exec) — the same scene the
-reference renders in 2.08s (1.06 Mpx/s) on this machine (BASELINE.md; the
-reference publishes no numbers of its own).  vs_baseline is the speedup of
-the device render over that measured reference throughput.
+  material_1488_mpx_s  raw fused-executor throughput (the headline)
+  material_3840_mpx_s  the same scene at 4K (3840x3840, tile 64)
+  icons_serve_ms       icons.svg (32 Gaussian blurs, 891 refs) per-call
+                       CompiledScene serving latency, dispatch included
+  prompt_serve_ms      prompt.svg (SVG-font text) serving latency
+  sprite_atlas_mpx_s   13-icon sprite atlas batch via CompiledScene
 
-Falls back to a synthetic fill-batch kernel benchmark when the demo asset is
-unavailable.  Timing is the SLOPE between 1 and K chained executions (each
-iteration data-depends on the previous), so dispatch latency, transfers, and
-compile time cancel — robust on remote-tunnel TPU setups where
-block_until_ready can return early.
+The reference renders material-design in 2.08s (1.06 Mpx/s) on this
+machine (BASELINE.md; it publishes no numbers of its own); vs_baseline is
+the speedup over that.  Timing is the SLOPE between 1 and K chained
+executions (each iteration data-depends on the previous), so dispatch
+latency, transfers, and compile time cancel — robust on remote-tunnel TPU
+setups where block_until_ready can return early.  Serving latencies use
+the per-call delta (t(n) - t(1)) / (n - 1) instead, which keeps the
+per-call dispatch cost in the number (that IS the serving metric).
+
+Falls back to a synthetic fill-batch kernel benchmark when the demo assets
+are unavailable.
 """
 
 from __future__ import annotations
@@ -25,24 +34,26 @@ import time
 
 REFERENCE_SCENE_MPX_S = 1.06  # BASELINE.md: material-design.svg native size
 REFERENCE_KERNEL_MPX_S = 1.34  # BASELINE.md: best measured reference rate
-DEMO = "/root/reference/demo/material-design.svg"
+DEMO_DIR = "/root/reference/demo"
+DEMO = os.path.join(DEMO_DIR, "material-design.svg")
 ITERS = 8
 
 
-def _slope_time(run_chain) -> float:
-    """min-of-3 slope between 1 and 1+ITERS chained executions.
+def _slope_time(run_chain, reps: int = 3) -> float:
+    """min-of-reps slope between 1 and 1+ITERS chained executions.
 
     The remote-tunnel TPU shows multi-ms per-call jitter; taking the min
-    of three slope estimates keeps the recorded metric stable."""
+    of several slope estimates keeps the recorded metric stable."""
     slopes = []
-    for _ in range(3):
+    for _ in range(reps):
         t1 = run_chain(1)
         tk = run_chain(1 + ITERS)
         slopes.append(max((tk - t1) / ITERS, 1e-9))
     return min(slopes)
 
 
-def bench_scene():
+def _material_throughput(width: int | None, reps: int):
+    """Raw fused-executor throughput on material-design, Mpx/s."""
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +63,7 @@ def bench_scene():
     from svgrasterize_tpu.ops.fused_exec import execute_items_fused, plan_features
     from svgrasterize_tpu.render_plan import lower_scene
 
-    scene, _ids, size = scene_from_filepath(DEMO)
+    scene, _ids, size = scene_from_filepath(DEMO, width=width)
     w, h = int(size[0]), int(size[1])
     tr = Transform().matrix(0, 1, 0, 1, 0, 0)
     t_lower = time.perf_counter()
@@ -90,18 +101,125 @@ def bench_scene():
         return time.perf_counter() - start
 
     run_chain(1)  # compile
-    per_render = _slope_time(run_chain)
+    per_render = _slope_time(run_chain, reps)
     mpx = h * w / 1e6
-    return {
-        "metric": "material_design_scene_render",
-        "value": round(mpx / per_render, 2),
-        "unit": "Mpx/s",
-        "vs_baseline": round(mpx / per_render / REFERENCE_SCENE_MPX_S, 1),
-    }, (
+    detail = (
         f"items={items['tile_id'].shape[0]} segs={items['lines'].shape[1]} "
         f"bigs={[b.shape for b in lowered.bigs]} clips={lowered.clips.shape} "
-        f"lower={t_lower:.2f}s per_render={per_render * 1e3:.1f}ms"
+        f"tile={lowered.tile} lower={t_lower:.2f}s per_render={per_render * 1e3:.1f}ms"
     )
+    return mpx / per_render, detail
+
+
+def _serve_latency(compiled, calls: int = 8, reps: int = 2) -> float:
+    """Per-call CompiledScene latency in seconds, dispatch included."""
+    import numpy as np
+
+    def run(n: int) -> float:
+        start = time.perf_counter()
+        for _ in range(n):
+            out = compiled.render_tiles()
+        float(np.asarray(out[0, 0, 0, 0]))  # force the tail call
+        return time.perf_counter() - start
+
+    run(1)  # compile
+    vals = []
+    for _ in range(reps):
+        t1 = run(1)
+        tn = run(1 + calls)
+        vals.append(max((tn - t1) / calls, 1e-9))
+    return min(vals)
+
+
+def bench_serve(path: str, with_fonts: bool):
+    from svgrasterize_tpu import scene_from_filepath
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.render_plan import compile_scene
+
+    fonts = None
+    if with_fonts:
+        from svgrasterize_tpu.text.fonts import DEFAULT_FONTS, FontsDB
+
+        fonts = FontsDB()
+        fonts.register_file(DEFAULT_FONTS)
+    scene, _ids, size = scene_from_filepath(path, fonts=fonts)
+    w, h = int(size[0]), int(size[1])
+    compiled = compile_scene(
+        scene, Transform().matrix(0, 1, 0, 1, 0, 0), (0, 0, h, w), False
+    )
+    assert compiled is not None, f"{path} must lower"
+    return _serve_latency(compiled)
+
+
+def bench_atlas():
+    """Sprite-atlas batch: the 13 demo icons served as one tiled plan."""
+    from svgrasterize_tpu import scene_from_filepath
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.parallel.atlas import atlas_scene
+    from svgrasterize_tpu.render_plan import compile_scene
+
+    icon_dir = os.path.join(DEMO_DIR, "icons")
+    docs = []
+    for name in sorted(os.listdir(icon_dir)):
+        if not name.endswith(".svg"):
+            continue
+        scene, _ids, size = scene_from_filepath(os.path.join(icon_dir, name))
+        if scene is not None:
+            docs.append((scene, (float(size[0]), float(size[1]))))
+    combined, (aw, ah) = atlas_scene(docs, cell=128)
+    compiled = compile_scene(
+        combined, Transform().matrix(0, 1, 0, 1, 0, 0), (0, 0, ah, aw), False
+    )
+    assert compiled is not None, "atlas must lower"
+    per_call = _serve_latency(compiled)
+    return len(docs), aw * ah / 1e6 / per_call
+
+
+def bench_scene():
+    # secondary configs respect a wall-clock budget: cold remote compiles
+    # on tunnel TPU setups cost minutes per program, and the headline
+    # metric must never be lost to a driver timeout
+    budget = float(os.environ.get("SVGR_BENCH_BUDGET", "480"))
+    t_start = time.perf_counter()
+
+    mpx_s, detail = _material_throughput(None, reps=3)
+    configs = {"material_1488_mpx_s": round(mpx_s, 2)}
+    errors = {}
+
+    def atlas_cfg():
+        n_docs, atlas_mpx_s = bench_atlas()
+        configs["sprite_atlas_docs"] = n_docs
+        return round(atlas_mpx_s, 2)
+
+    for key, fn in (
+        ("icons_serve_ms",
+         lambda: round(bench_serve(os.path.join(DEMO_DIR, "icons.svg"), False)
+                       * 1e3, 2)),
+        ("prompt_serve_ms",
+         lambda: round(bench_serve(os.path.join(DEMO_DIR, "prompt.svg"), True)
+                       * 1e3, 3)),
+        ("sprite_atlas_mpx_s", atlas_cfg),
+        ("material_3840_mpx_s",
+         lambda: round(_material_throughput(3840, reps=1)[0], 2)),
+    ):
+        if time.perf_counter() - t_start > budget:
+            errors[key] = "skipped: bench time budget exhausted"
+            continue
+        try:
+            configs[key] = fn()
+        except Exception as exc:  # record, never sink the headline
+            errors[key] = f"{type(exc).__name__}: {exc}"[:200]
+
+    result = {
+        "metric": "material_design_scene_render",
+        "value": round(mpx_s, 2),
+        "unit": "Mpx/s",
+        "vs_baseline": round(mpx_s / REFERENCE_SCENE_MPX_S, 1),
+        "configs": configs,
+    }
+    if errors:
+        result["errors"] = errors
+    return result, detail
 
 
 def bench_kernel():

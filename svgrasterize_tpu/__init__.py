@@ -20,8 +20,37 @@ def _setup_compile_cache() -> None:
 
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # write every entry: on remote-compile TPU tunnels even a "fast"
+        # compile costs a round trip, so any cross-process hit is a win
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - cache is best-effort
+        return
+    try:
+        # jax's persistent cache has a platform allowlist ("tpu", "gpu",
+        # "cpu", "neuron"); experimental PJRT plugin platforms like the
+        # remote-TPU tunnel ("axon") are silently refused, which costs
+        # minutes of recompilation per scene shape in every fresh serving
+        # process.  Opt such backends in when they support executable
+        # serialization — on failure jax falls back to recompiling, no
+        # worse than the cache being off.
+        from jax._src import compilation_cache as _cc
+
+        _orig_is_cache_used = _cc.is_cache_used
+
+        def _is_cache_used(backend):
+            if (
+                backend.platform not in ("tpu", "gpu", "cpu", "neuron")
+                and getattr(backend, "supports_executable_serialization", True)
+                and _cc._is_cache_enabled()
+            ):
+                with _cc._cache_initialized_mutex:
+                    _cc._cache_checked = True
+                    _cc._cache_used = True
+                return True
+            return _orig_is_cache_used(backend)
+
+        _cc.is_cache_used = _is_cache_used
+    except Exception:  # pragma: no cover - private-API patch, best-effort
         pass
 
 

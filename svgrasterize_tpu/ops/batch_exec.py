@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.constants import DEVICE_FLOAT
 from .coverage import winding_impl
@@ -157,8 +158,10 @@ def _paint_item(item, tile_r, tile_c, t_size: int, pat_tex=None):
 
 
 # SVG mask value = luminance x alpha; on premultiplied pixels that is just
-# the luminance weights dotted with the premultiplied rgb.
-_MASK_LUM = jnp.asarray([0.2125, 0.7154, 0.072], DEVICE_FLOAT)
+# the luminance weights dotted with the premultiplied rgb.  numpy (not jnp):
+# a module-level device constant would initialize the XLA backend at import,
+# breaking jax.distributed.initialize for multi-host runs.
+_MASK_LUM = np.asarray([0.2125, 0.7154, 0.072], DEVICE_FLOAT)
 
 
 def _raster_item(item, t_size: int):

@@ -104,11 +104,17 @@ def _edge_params(lines, t_size: int):
     """Packed winding params: lines (N, S, 4) -> (N, P, 8, 128).
 
     Row k of each pass holds parameter k (sign, y_lo, y_hi, x_lo, slope,
-    3 zero-pad rows) for the pass's G = 128//T edges, each pre-broadcast
-    across its T lanes by this device-side prep (HBM pays G*T/G = T x the
-    compact size, ~0.1ms of bandwidth for a dense scene, and the kernel's
-    inner loop needs no broadcast at all — an exact HIGHEST-precision MXU
-    broadcast matmul per pass measured ~25% of the whole render).  Also
+    band offset, 2 zero-pad rows) for the pass's G = 128//T edges, each
+    pre-broadcast across its T lanes by this device-side prep (HBM pays
+    G*T/G = T x the compact size, ~0.1ms of bandwidth for a dense scene,
+    and the kernel's inner loop needs no broadcast at all — an exact
+    HIGHEST-precision MXU broadcast matmul per pass measured ~25% of the
+    whole render).  Row 5 holds each edge's 8-row band offset (the host
+    packer band-splits edges, render_plan._band_split, so an edge lives
+    entirely inside band [band8, band8+8)); the kernel evaluates each
+    pass on an (8, LANES) register at that offset instead of the full
+    (T, LANES) — most edges span a row or two, so the unbanded
+    formulation wasted 3/4 of the VPU on provably-zero rows.  Also
     returns the per-row live pass count.
     """
     f32 = DEVICE_FLOAT
@@ -127,8 +133,9 @@ def _edge_params(lines, t_size: int):
     x_hi = jnp.where(a0 <= b0, b1, a1)
     dy = y_hi - y_lo
     slope = (x_hi - x_lo) / jnp.where(dy > 0, dy, 1.0)
+    band8 = jnp.clip(jnp.floor(y_lo / 8.0), 0, t_size // 8 - 1) * 8.0
     zero = jnp.zeros_like(sign)
-    ep = jnp.stack([sign, y_lo, y_hi, x_lo, slope, zero, zero, zero], axis=-1)
+    ep = jnp.stack([sign, y_lo, y_hi, x_lo, slope, band8, zero, zero], axis=-1)
     ep = ep.reshape(n, n_pass, g, 8).transpose(0, 1, 3, 2)  # (N, P, 8, G)
     ep = jnp.repeat(ep, t_size, axis=-1)                    # (N, P, 8, 128)
 
@@ -141,19 +148,28 @@ def _edge_params(lines, t_size: int):
     return ep, passes, n_pass
 
 
-def _winding_pass_body(edge_at, rows, lane_col):
-    """The shared packed-lane winding inner loop (one pass = G edges).
+def _winding_pass_body(edge_at, rows8, lane_col, n_bands: int):
+    """The shared packed-lane banded winding inner loop (one pass = G edges).
 
-    edge_at(p) -> (8, 128) params pre-broadcast across lanes."""
+    edge_at(p) -> (8, 128) params pre-broadcast across lanes; rows8 is the
+    (8, 1) in-band row iota.  Each pass evaluates its edges on the 8-row
+    band they live in (param row 5, host band-split) — (8, 128) vector ops
+    cost a quarter of the old (T, 128) formulation at tile 32 — and
+    lane-selects the result into that band's accumulator.  Rows outside an
+    edge's band contribute a hard zero in the unbanded form (the dy clamp),
+    so banded accumulation is bit-identical.
+    """
 
-    def body(p, acc):
+    def body(p, accs):
         e = edge_at(p)
         sign = e[0:1, :]
         y_lo = e[1:2, :]
         y_hi = e[2:3, :]
         x_lo = e[3:4, :]
         slope = e[4:5, :]
-        lo = jnp.maximum(y_lo, rows)          # (T, 128)
+        band8 = e[5:6, :]
+        rows = rows8 + band8                  # (8, 128)
+        lo = jnp.maximum(y_lo, rows)
         hi = jnp.minimum(y_hi, rows + 1.0)
         dy = jnp.maximum(hi - lo, 0.0)
         xs0 = x_lo + slope * (lo - y_lo)
@@ -168,17 +184,32 @@ def _winding_pass_body(edge_at, rows, lane_col):
             / jnp.where(safe, den, 1.0),
             jnp.clip(0.5 * (g0 + g1), 0.0, 1.0),
         )
-        return acc + sign * dy * mean
+        r = sign * dy * mean
+        return tuple(
+            a + jnp.where(band8 == b * 8.0, r, 0.0)
+            for b, a in enumerate(accs)
+        )
 
     return body
 
 
+def _winding_accs(n_bands: int):
+    return tuple(
+        jnp.zeros((8, LANES), DEVICE_FLOAT) for _ in range(n_bands)
+    )
+
+
 def _fold_groups(acc, t_size: int):
-    """Sum the G edge groups of a (T, 128) accumulator -> (T, T)."""
+    """Sum the G edge groups of an (R, 128) accumulator -> (R, T)."""
     wind = acc[:, 0:t_size]
     for g in range(1, LANES // t_size):
         wind = wind + acc[:, g * t_size : (g + 1) * t_size]
     return wind
+
+
+def _fold_bands(accs, t_size: int):
+    """Band accumulators (B x (8, 128)) -> the (T, T) winding field."""
+    return jnp.concatenate([_fold_groups(a, t_size) for a in accs], axis=0)
 
 
 # --------------------------------------------------------------------------
@@ -188,22 +219,25 @@ def _fold_groups(acc, t_size: int):
 
 def _prepass_kernel_factory(t_size: int, k_block: int):
     T = t_size
+    B = T // 8
 
     def kernel(np_ref, edges_ref, out_ref):
         f32 = DEVICE_FLOAT
-        rows = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).astype(f32)
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0).astype(f32)
         lane_col = (
             jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % T
         ).astype(f32)
 
         def row(k, _):
-            acc = jax.lax.fori_loop(
+            accs = jax.lax.fori_loop(
                 0,
                 np_ref[k, 0, 0],
-                _winding_pass_body(lambda p: edges_ref[k, p], rows, lane_col),
-                jnp.zeros((T, LANES), f32),
+                _winding_pass_body(
+                    lambda p: edges_ref[k, p], rows8, lane_col, B
+                ),
+                _winding_accs(B),
             )
-            out_ref[k] = _fold_groups(acc, T)
+            out_ref[k] = _fold_bands(accs, T)
             return 0
 
         jax.lax.fori_loop(0, k_block, row, 0)
@@ -273,7 +307,7 @@ def prepass_winding(arrays, t_size: int):
 
 
 def _item_compute(
-    T: int, k_stops: int, features: frozenset, rows, lane_col,
+    T: int, k_stops: int, features: frozenset, rows, rows8, lane_col,
     edge_at, ip, fp, carry_col, clip_col, color_row, stop_off, stop_row,
     big_field, clip_field, tex_field, mask_field, pat_field,
 ):
@@ -288,14 +322,14 @@ def _item_compute(
     f32 = DEVICE_FLOAT
     has_grad = "grad" in features
 
-    # ---- inline winding: G edges per pass, full 128 lanes ----------
-    acc = jax.lax.fori_loop(
+    # ---- inline winding: G edges per pass, banded (8, 128) registers ----
+    accs = jax.lax.fori_loop(
         0,
         ip(4),
-        _winding_pass_body(edge_at, rows, lane_col),
-        jnp.zeros((T, LANES), f32),
+        _winding_pass_body(edge_at, rows8, lane_col, T // 8),
+        _winding_accs(T // 8),
     )
-    wind = _fold_groups(acc, T)
+    wind = _fold_bands(accs, T)
 
     if big_field is not None:
         wind = wind + big_field
@@ -371,27 +405,22 @@ def _item_compute(
         paint = jnp.where(ip(5) >= 0, tex_field, paint)
     if mask_field is not None:
         # SVG mask value = luminance weights dotted with premultiplied
-        # rgb: weight per channel plane, then circular group-sum rolls
-        # (exact, unlike an MXU matmul)
-        grp = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * T), 1) // T
-        wv = jnp.where(
-            grp == 0, 0.2125,
-            jnp.where(grp == 1, 0.7154, jnp.where(grp == 2, 0.072, 0.0)),
-        ).astype(f32)
-        s = mask_field * wv
-        lum = s
-        for kk in (1, 2, 3):
-            lum = lum + pltpu.roll(s, 4 * T - kk * T, 1)
+        # rgb: channel-plane slices + one repeat (exact, unlike an MXU
+        # matmul, and quarter-width where the old roll reduction paid
+        # full lanes)
+        lum_tt = (
+            mask_field[:, 0:T] * 0.2125
+            + mask_field[:, T : 2 * T] * 0.7154
+            + mask_field[:, 2 * T : 3 * T] * 0.072
+        )
+        lum = pltpu.repeat(lum_tt, 4, axis=1)
         mask128 = mask128 * jnp.where(ip(6) >= 0, lum, 1.0)
 
     rgba = mask128 * paint
-    asel = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, 4 * T), 1) // T == 3
-    ).astype(f32)
-    s_a = rgba * asel
-    alpha = s_a
-    for kk in (1, 2, 3):
-        alpha = alpha + pltpu.roll(s_a, 4 * T - kk * T, 1)
+    # per-pixel alpha = rgba's alpha plane broadcast to all four planes;
+    # one quarter-width slice + repeat, bit-identical to the old
+    # asel-mask + 3-roll reduction
+    alpha = pltpu.repeat(rgba[:, 3 * T : 4 * T], 4, axis=1)
     return rgba, alpha
 
 
@@ -441,12 +470,13 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
         i = pl.program_id(0)
         f32 = DEVICE_FLOAT
         rows = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).astype(f32)
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0).astype(f32)
         lane_col = (
             jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % T
         ).astype(f32)
 
         rgba, alpha = _item_compute(
-            T, k_stops, features, rows, lane_col,
+            T, k_stops, features, rows, rows8, lane_col,
             edge_at=lambda p: edges_ref[0, p],
             ip=lambda j: iparams_ref[0, 0, j],
             fp=lambda j: fparams_ref[0, 0, j],
@@ -540,6 +570,7 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
         nsteps = pl.num_programs(0)
         f32 = DEVICE_FLOAT
         rows = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).astype(f32)
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0).astype(f32)
         lane_col = (
             jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % T
         ).astype(f32)
@@ -589,7 +620,7 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
             state[1] = tile
 
             rgba, alpha = _item_compute(
-                T, k_stops, features, rows, lane_col,
+                T, k_stops, features, rows, rows8, lane_col,
                 edge_at=lambda p: edges_ref[kq, p],
                 ip=lambda j: iparams_ref[kq, 0, j],
                 fp=lambda j: fparams_ref[kq, 0, j],
@@ -850,6 +881,21 @@ def _backend_is_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_FALLBACK_SEEN: set = set()
+
+
+def _fallback(reason: str):
+    """Log (once per distinct reason) why a plan left the fused path —
+    silently landing on the 2.4x-slower XLA executor is a debugging trap."""
+    import warnings
+
+    if reason not in _FALLBACK_SEEN:
+        _FALLBACK_SEEN.add(reason)
+        warnings.warn(f"fused executor unavailable: {reason}; "
+                      "using the XLA executor")
+    return None
+
+
 def plan_features(items, bigs, clips, pool, patterns, t_size: int,
                   num_tiles: int | None = None):
     """Host-side: the static feature set for the fused path, or None when
@@ -859,16 +905,16 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
     trailing pads."""
     mode = os.environ.get("SVGR_FUSED", "")
     if mode == "0":
-        return None
+        return None  # explicit opt-out, not worth a warning
     if LANES % t_size != 0 or 4 * t_size < LANES:
         # 4T must fill whole 128-lane registers: the circular alpha /
         # luminance rolls would wrap at the padded lane count otherwise
-        return None
+        return _fallback(f"tile {t_size} does not pack 128 lanes")
+    if mode not in ("1", "interp") and not _backend_is_tpu():
+        return None  # CPU/GPU backends: the XLA executor is the design
     n_pat = int((items["pat_idx"] >= 0).sum())
     if n_pat and patterns is None:
-        return None
-    if mode not in ("1", "interp") and not _backend_is_tpu():
-        return None
+        return _fallback("pattern paints without a pattern atlas")
     f = []
     resident = 0
     if bigs is not None and any(b is not None and b.shape[0] for b in bigs):
@@ -890,7 +936,10 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
         f.append("pat")
         resident += (n_pat + 1) * 4
     if (resident + 2) * t_size * t_size * 4 > VMEM_BUDGET:
-        return None
+        return _fallback(
+            f"resident stacks ({resident} tiles of {t_size}x{t_size}) "
+            f"exceed the {VMEM_BUDGET >> 20} MB VMEM budget"
+        )
     if num_tiles is not None:
         # padding items carry the scratch tile id (== num_tiles), sorted last
         n_real = int((items["tile_id"] < num_tiles).sum())

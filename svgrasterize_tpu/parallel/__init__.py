@@ -7,12 +7,15 @@ a second axis (partial winding + psum), and composed canvases ride ICI
 collectives instead of a host loop.
 
 Multi-host: every entry point takes a jax.sharding.Mesh, so a multi-host
-deployment only changes mesh construction — initialize jax.distributed,
-build the mesh over jax.devices() spanning hosts, and keep the tile/"data"
-axis within each host's ICI domain (documents/tile ranges then shard across
-DCN, per-tile work across ICI).  The virtual-device test suite exercises
-the same code paths via xla_force_host_platform_device_count.
+deployment only changes mesh construction.  distributed.py is the runnable
+wiring — jax.distributed initialization, the global "data" mesh spanning
+hosts (documents/tile ranges shard across DCN, per-tile work across ICI),
+and a dryrun that spawns real coordinator-connected OS processes on virtual
+CPU devices (tests/test_multihost.py runs it in CI):
+
+    python -m svgrasterize_tpu.parallel.distributed --processes 2
 """
 
 from .mesh import make_mesh
 from .batch import fill_batch, sharded_fill_batch, sharded_render_step
+from .distributed import global_mesh, initialize, spawn_local

@@ -79,7 +79,15 @@ def _default_tile() -> int:
         return 64
 
 
-TILE = _default_tile()
+_TILE_CACHE: list = []
+
+
+def default_tile() -> int:
+    """Lazy, cached _default_tile: querying the backend at import time
+    would initialize XLA before jax.distributed.initialize can run."""
+    if not _TILE_CACHE:
+        _TILE_CACHE.append(_default_tile())
+    return _TILE_CACHE[0]
 
 
 def _pick_tile(viewport) -> int:
@@ -95,8 +103,8 @@ def _pick_tile(viewport) -> int:
 
     if os.environ.get("SVGR_TILE"):
         return int(os.environ["SVGR_TILE"])
-    if TILE != 32:
-        return TILE
+    if default_tile() != 32:
+        return default_tile()
     _v0, _v1, h, w = viewport
     tile = 32
     while tile < 128 and math.ceil(h / tile) * math.ceil(w / tile) > 4096:
@@ -376,6 +384,42 @@ def _tile_local_edges(lines, r_lo, r_hi, c_lo, c_hi, ti: int, tj: int, tile: int
     edges[:, 3] -= tj * tile
     carry = _row_carry(lines[fully_left], ti, tile) if fully_left.any() else zero_carry
     return edges, carry
+
+
+def _band_split(edges: np.ndarray, tile: int) -> np.ndarray:
+    """Split tile-local edges at 8-row band boundaries.
+
+    The fused kernel evaluates each winding pass on an (8, LANES) register
+    covering only the 8-row band the pass's edges live in — a 4x VPU
+    saving at tile 32, since a flattened curve edge typically spans a row
+    or two while the unbanded formulation paid for all 32 rows per edge.
+    That layout requires every edge to sit inside one band.  Splitting is
+    semantically exact: split points land on row boundaries, so each
+    row's coverage comes entirely from one piece (the other contributes a
+    hard zero), identical to the unsplit edge up to fp rounding of the
+    split x.  Components: [:, 0]/[:, 2] are row coords, [:, 1]/[:, 3]
+    columns (see _edge_params / _row_carry).
+    """
+    if edges.shape[0] == 0:
+        return edges
+    cur = edges
+    for c in range(8, tile, 8):
+        y0 = cur[:, 0]
+        y1 = cur[:, 2]
+        cross = (np.minimum(y0, y1) < c) & (np.maximum(y0, y1) > c)
+        if not cross.any():
+            continue
+        sp = cur[cross]
+        t = (c - sp[:, 0]) / (sp[:, 2] - sp[:, 0])
+        xc = sp[:, 1] + t * (sp[:, 3] - sp[:, 1])
+        first = sp.copy()
+        first[:, 2] = c
+        first[:, 3] = xc
+        second = sp.copy()
+        second[:, 0] = c
+        second[:, 1] = xc
+        cur = np.concatenate([cur[~cross], first, second])
+    return cur
 
 
 def _edge_extents(lines):
@@ -847,16 +891,28 @@ class _Builder:
         else:
             n_pad = _round_count(n, CHUNK_ITEMS)
 
+        # band-split every edge list so the fused kernel's 8-row banded
+        # winding passes apply (see _band_split); dedup caches keep shared
+        # arrays (clip scenes reuse one ndarray across records) split once
+        band_cache: dict[int, np.ndarray] = {}
+
+        def banded(arr: np.ndarray) -> np.ndarray:
+            out = band_cache.get(id(arr))
+            if out is None:
+                out = _band_split(arr, self.tile)
+                band_cache[id(arr)] = out
+            return out
+
         # segment-class scheduling: the inline budget adapts to the scene's
         # MEDIAN edge count (winding cost is linear in the padded width, so
         # a handful of complex tiles must not tax the typical item); heavier
         # edge lists group into per-width class arrays for the pre-pass
-        seg_counts = np.array([r[2].shape[0] for r in records])
+        seg_counts = np.array([banded(r[2]).shape[0] for r in records])
         median = int(np.median(seg_counts[seg_counts > 0])) if (seg_counts > 0).any() else 0
         s_bucket = min(_bucket(max(median, 1), 8), SMALL_SEGS)
         widths = sorted(
-            {_bucket(r[2].shape[0], 2 * s_bucket) for r in records
-             if r[2].shape[0] > s_bucket}
+            {_bucket(banded(r[2]).shape[0], 2 * s_bucket) for r in records
+             if banded(r[2]).shape[0] > s_bucket}
         )
         class_of_width = {w: c for c, w in enumerate(widths)}
         class_rows: list[list] = [[] for _ in widths]
@@ -873,11 +929,11 @@ class _Builder:
                 continue
             key = clip_key_of.get(id(clip_edges))
             if key is None:
-                key = clip_edges.tobytes()
+                key = banded(clip_edges).tobytes()
                 clip_key_of[id(clip_edges)] = key
             if key not in clip_index:
                 clip_index[key] = len(clip_arrays)
-                clip_arrays.append(clip_edges)
+                clip_arrays.append(banded(clip_edges))
         if clip_arrays:
             c_bucket = _bucket(max(a.shape[0] for a in clip_arrays))
             u = len(clip_arrays)
@@ -928,6 +984,7 @@ class _Builder:
         }
         for i, (tile_id, _z, edges, carry, clip_edges, clip_carry, clip_rule, params,
                 rule, opacity, tr_origin, tc_origin, tex_idx, mask_idx) in enumerate(records):
+            edges = banded(edges)
             if edges.shape[0] > s_bucket:
                 cls = class_of_width[_bucket(edges.shape[0], 2 * s_bucket)]
                 class_rows[cls].append((i, edges))

@@ -44,3 +44,39 @@ def test_font_transform_roundtrip(tmp_path):
     assert main(["scale(2)", str(src), str(dst)]) == 0
     text = dst.read_text()
     assert "M0,0" in text.replace(" ", "") or "200" in text
+
+
+def test_specimen_sheet(tmp_path):
+    from svgrasterize_tpu.tools.specimen import main, plan_sheet, specimen
+    from svgrasterize_tpu.text.fonts import FontsDB
+
+    src = tmp_path / "font.svg"
+    src.write_text(
+        '<svg xmlns="http://www.w3.org/2000/svg"><defs>'
+        '<font id="f"><font-face font-family="Tiny" units-per-em="1000"/>'
+        '<glyph unicode="a" horiz-adv-x="500" d="M100 0 L400 0 L400 600 L100 600 Z"/>'
+        '<glyph unicode="b" horiz-adv-x="500" d="M100 0 L400 0 L250 700 Z"/>'
+        '<glyph unicode="!" horiz-adv-x="300" d="M100 0 L200 0 L150 500 Z"/>'
+        "</font></defs></svg>"
+    )
+
+    db = FontsDB()
+    db.register_file(str(src))
+    db.resolve("")
+    font = db.all_fonts()[0]
+
+    # pure layout: 'a'/'b' (Ll) and '!' (Po) form two sections
+    sections, rows = plan_sheet(font, cols=2)
+    assert [s.name for s in sections] == ["Ll", "Po"]
+    assert rows == 5  # title + 2 * (header + one glyph row)
+    assert [(c.row, c.col) for c in sections[0].cells] == [(2, 0), (2, 1)]
+
+    path, (w, h) = specimen(font, size=16.0, cols=2)
+    assert path.subpaths and (w, h) == (32.0, 80.0)
+
+    out_png = str(tmp_path / "sheet.png")
+    assert main([str(src), out_png, "-s", "16", "--cols", "2"]) == 0
+    img = np.asarray(read_png(open(out_png, "rb")))
+    assert img.shape[:2] == (80, 32)
+    # black ink present on the white background
+    assert (img[..., :3].min(-1) < 0.5).sum() > 20
