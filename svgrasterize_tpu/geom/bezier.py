@@ -68,11 +68,80 @@ def wang_segments(curves, tolerance: float) -> np.ndarray:
     return np.maximum(n, 1).astype(np.int64)
 
 
-def flatten_cubics(curves, tolerance: float) -> np.ndarray:
-    """Flatten a batch of cubics (N, 4, 2) into line segments (M, 2, 2).
+def flatten_cubics_counts(curves, tolerance: float):
+    """Adaptively flatten cubics (N, 4, 2) -> (lines (M, 2, 2), counts (N,)).
 
-    Work is exactly sum of per-curve Wang counts; generation is a single
-    vectorized evaluation over a repeated index array (no Python loop).
+    Half-splitting against the control-point flatness criterion
+    max(ux^2, uy^2) + max(vx^2, vy^2) < 16 tol^2 with u = 3p1 - 2p0 - p3,
+    v = 3p2 - p0 - 2p3 (font-rs lineage; NOTE the max groups per
+    DEVIATION VECTOR — the reference's code does the same even though its
+    own docstring says per-coordinate, and matching it is what removes the
+    prompt.svg text parity tail measured against uniform Wang
+    subdivision; /root/reference/svgrasterize.py:2071-2098).  Each level
+    splits the whole not-yet-flat batch at t=1/2, so the loop runs
+    O(max depth) numpy passes, not per-curve; segments come out grouped
+    by source curve (stable, not arc-ordered — fills are order-free).
+    """
+    curves = np.asarray(curves, dtype=FLOAT).reshape(-1, 4, 2)
+    n = len(curves)
+    if curves.size == 0:
+        return np.zeros((0, 2, 2), dtype=FLOAT), np.zeros(n, np.int64)
+    limit = 16.0 * tolerance * tolerance
+    owner = np.arange(n)
+    t0 = np.zeros(n, dtype=FLOAT)   # parametric start of each piece
+    dt = np.ones(n, dtype=FLOAT)
+    out_lines = []
+    out_owner = []
+    out_t0 = []
+    while curves.size:
+        u = 3.0 * curves[:, 1] - 2.0 * curves[:, 0] - curves[:, 3]
+        v = 3.0 * curves[:, 2] - curves[:, 0] - 2.0 * curves[:, 3]
+        err = np.maximum(u[:, 0] ** 2, u[:, 1] ** 2) + np.maximum(
+            v[:, 0] ** 2, v[:, 1] ** 2
+        )
+        flat = err < limit
+        if flat.any():
+            out_lines.append(curves[flat][:, [0, 3]])
+            out_owner.append(owner[flat])
+            out_t0.append(t0[flat])
+        rest = curves[~flat]
+        owner = owner[~flat]
+        t0 = t0[~flat]
+        dt = dt[~flat]
+        if rest.size == 0:
+            break
+        m01 = (rest[:, 0] + rest[:, 1]) / 2
+        m12 = (rest[:, 1] + rest[:, 2]) / 2
+        m23 = (rest[:, 2] + rest[:, 3]) / 2
+        m012 = (m01 + m12) / 2
+        m123 = (m12 + m23) / 2
+        mid = (m012 + m123) / 2
+        left = np.stack([rest[:, 0], m01, m012, mid], axis=1)
+        right = np.stack([mid, m123, m23, rest[:, 3]], axis=1)
+        curves = np.concatenate([left, right])
+        dt = dt / 2
+        owner = np.concatenate([owner, owner])
+        t0 = np.concatenate([t0, t0 + dt])
+        dt = np.concatenate([dt, dt])
+    lines = np.concatenate(out_lines)
+    owners = np.concatenate(out_owner)
+    starts = np.concatenate(out_t0)
+    # per-curve, in parametric order: polyline consumers (dash, markers)
+    # rely on head-to-tail chains
+    order = np.lexsort((starts, owners))
+    return lines[order], np.bincount(owners, minlength=n).astype(np.int64)
+
+
+def flatten_cubics(curves, tolerance: float) -> np.ndarray:
+    """Flatten a batch of cubics (N, 4, 2) into line segments (M, 2, 2)."""
+    return flatten_cubics_counts(curves, tolerance)[0]
+
+
+def flatten_cubics_uniform(curves, tolerance: float) -> np.ndarray:
+    """Uniform-count flattening via Wang's bound (one-shot, loop-free).
+
+    Kept for fixed-shape device-side flattening experiments; the default
+    host path uses the adaptive variant above for reference parity.
     """
     curves = np.asarray(curves, dtype=FLOAT).reshape(-1, 4, 2)
     if curves.size == 0:

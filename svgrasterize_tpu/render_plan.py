@@ -775,9 +775,9 @@ class _Builder:
         if cubic_parts:
             counts = np.array([c.shape[0] for c in cubic_parts])
             stacked = np.concatenate(cubic_parts, axis=0)
-            per_curve = bezier.wang_segments(stacked, FLATNESS)
-            flat = bezier.flatten_cubics(stacked, FLATNESS)
-            # split the flattened stream back into per-draw chunks
+            flat, per_curve = bezier.flatten_cubics_counts(stacked, FLATNESS)
+            # split the flattened stream back into per-draw chunks (the
+            # flatten returns segments grouped by source curve)
             per_draw = np.add.reduceat(per_curve, np.concatenate([[0], np.cumsum(counts)[:-1]]))
             splits = np.cumsum(per_draw)[:-1]
             pieces = np.split(flat, splits)

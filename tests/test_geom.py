@@ -102,13 +102,17 @@ def test_flatten_within_tolerance():
     np.testing.assert_allclose(lines[0, 0], [0, 0])
     np.testing.assert_allclose(lines[-1, 1], [100, 0])
     np.testing.assert_allclose(lines[1:, 0], lines[:-1, 1])
-    # every chord midpoint stays within tolerance of the curve
+    # every chord midpoint stays within tolerance of the curve (the
+    # adaptive flatten subdivides non-uniformly in t, so measure against a
+    # dense sampling of the curve rather than assuming uniform chords)
     n = len(lines)
-    ts = (np.arange(n) + 0.5) / n
-    on_curve = bezier.cubic_eval(np.broadcast_to(curve, (n, 4, 2)), ts)
+    ts = np.linspace(0.0, 1.0, 4096)
+    on_curve = bezier.cubic_eval(np.broadcast_to(curve, (len(ts), 4, 2)), ts)
     chord_mid = lines.mean(axis=1)
-    dist = np.linalg.norm(on_curve - chord_mid, axis=-1)
-    assert dist.max() <= tol + 1e-9
+    dist = np.linalg.norm(
+        on_curve[None, :, :] - chord_mid[:, None, :], axis=-1
+    ).min(axis=1)
+    assert dist.max() <= tol + 1e-2  # sampling granularity slack
 
 
 def test_quad_to_cubic_exact():

@@ -27,12 +27,13 @@ from svgrasterize_tpu.text.fonts import DEFAULT_FONTS, FontsDB
 DEMO = "/root/reference/demo"
 
 # (svg, golden png, max allowed fraction of pixels with any channel
-# diff > 8/255, max allowed channel diff) — measured round-1 levels
-# (PARITY.md / VERDICT.md) plus a small margin
+# diff > 8/255, max allowed channel diff) — round-2 measured levels
+# (adaptive reference-matched flattening: prompt 0 px / max 1, material
+# 2 px / max 9, icons 29 px / max 187) plus margin
 CASES = [
-    ("material-design.svg", "material-design.png", 0.0080, 48),
-    ("icons.svg", "icons.png", 0.0030, 255),
-    ("prompt.svg", "prompt.png", 0.0040, 24),
+    ("material-design.svg", "material-design.png", 0.0001, 24),
+    ("icons.svg", "icons.png", 0.0005, 255),
+    ("prompt.svg", "prompt.png", 0.0001, 8),
 ]
 
 
