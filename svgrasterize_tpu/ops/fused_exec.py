@@ -65,8 +65,16 @@ PAINT_LINEAR = 1
 PAINT_RADIAL = 2
 PAINT_PATTERN = 3
 
-# fall back to the XLA executor when the resident stacks would not fit
+# fall back / chunk when the resident stacks would not fit (bytes;
+# SVGR_VMEM_BUDGET overrides — tests use a tiny budget to force chunking)
 VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def vmem_budget() -> int:
+    try:
+        return int(os.environ.get("SVGR_VMEM_BUDGET", VMEM_BUDGET))
+    except ValueError:
+        return VMEM_BUDGET
 
 
 def _interpret() -> bool:
@@ -886,18 +894,27 @@ def _backend_is_tpu() -> bool:
 
 
 _FALLBACK_SEEN: set = set()
+_LAST_REASON: list = [None]
 
 
-def _fallback(reason: str):
+def _fallback(reason: str, kind: str = "other"):
     """Log (once per distinct reason) why a plan left the fused path —
-    silently landing on the 2.4x-slower XLA executor is a debugging trap."""
+    silently landing on the 2.4x-slower XLA executor is a debugging trap.
+    The structured `kind` is kept for callers that can recover (the
+    render plan chunks over-budget stacks into several fused launches)."""
     import warnings
 
+    _LAST_REASON[0] = kind
     if reason not in _FALLBACK_SEEN:
         _FALLBACK_SEEN.add(reason)
         warnings.warn(f"fused executor unavailable: {reason}; "
                       "using the XLA executor")
     return None
+
+
+def last_fallback_kind():
+    """The structured reason of the most recent plan_features rejection."""
+    return _LAST_REASON[0]
 
 
 def plan_features(items, bigs, clips, pool, patterns, t_size: int,
@@ -908,6 +925,7 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
     the real (non-padding) item count so the kernel grid skips the
     trailing pads."""
     mode = os.environ.get("SVGR_FUSED", "")
+    _LAST_REASON[0] = None
     if mode == "0":
         return None  # explicit opt-out, not worth a warning
     if LANES % t_size != 0 or 4 * t_size < LANES:
@@ -939,10 +957,11 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
     if n_pat:
         f.append("pat")
         resident += (n_pat + 1) * 4
-    if (resident + 2) * t_size * t_size * 4 > VMEM_BUDGET:
+    if (resident + 2) * t_size * t_size * 4 > vmem_budget():
         return _fallback(
             f"resident stacks ({resident} tiles of {t_size}x{t_size}) "
-            f"exceed the {VMEM_BUDGET >> 20} MB VMEM budget"
+            f"exceed the {vmem_budget() >> 20} MB VMEM budget",
+            kind="vmem",
         )
     if num_tiles is not None:
         # padding items carry the scratch tile id (== num_tiles), sorted last

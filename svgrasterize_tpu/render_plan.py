@@ -1276,17 +1276,167 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
             "clips": jnp.asarray(clips) if clips.shape[0] else None,
             "features": features,
         }
+        if features is None and num_tiles is not None:
+            from .ops.fused_exec import last_fallback_kind
+
+            if last_fallback_kind() == "vmem":
+                cache["chunks"] = _chunk_fused_plan(
+                    items, bigs, clips, t_size, num_tiles
+                )
         items["_device_cache"] = cache
     return cache
+
+
+def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
+    """Host: partition the tile range into chunks whose referenced stacks
+    fit the fused executor's VMEM budget.
+
+    A plan whose big/clip/pool stacks exceed the resident budget used to
+    fall back to the XLA executor wholesale; tile runs are independent
+    (z-order is per tile), so instead the item stream splits at tile
+    boundaries into several fused launches, each with only the stack rows
+    its own items reference (indices remapped chunk-locally).  Returns a
+    list of chunk dicts, or None when chunking does not apply (pattern
+    paints, or a single tile alone over budget).
+    """
+    from .ops.fused_exec import plan_features, vmem_budget
+    from .parallel.scene import _flatten_big_classes
+
+    if (items["pat_idx"] >= 0).any():
+        return None
+    tile_id = items["tile_id"]
+    n_real = int((tile_id < num_tiles).sum())
+    if n_real == 0:
+        return None
+    budget_rows = vmem_budget() // (t_size * t_size * 4) - 2
+    flat_big = _flatten_big_classes(bigs)
+
+    # walk tile runs, greedily accumulating referenced stack rows
+    run_starts = np.concatenate(
+        [[0], 1 + np.nonzero(np.diff(tile_id[:n_real]))[0], [n_real]]
+    )
+    chunks_ix: list = []  # (i0, i1, t0, t1)
+    cur_i0 = 0
+    cur_t0 = 0
+    cur_big: set = set()
+    cur_clip: set = set()
+    cur_pool: set = set()
+
+    def cost():
+        return len(cur_big) + len(cur_clip) + 4 * len(cur_pool)
+
+    for r in range(len(run_starts) - 1):
+        i0, i1 = int(run_starts[r]), int(run_starts[r + 1])
+        nb = set(items["big_idx"][i0:i1][items["big_idx"][i0:i1] >= 0].tolist())
+        nc = set(items["clip_idx"][i0:i1][items["clip_idx"][i0:i1] >= 0].tolist())
+        np_ = set(items["tex_idx"][i0:i1][items["tex_idx"][i0:i1] >= 0].tolist())
+        np_ |= set(items["mask_idx"][i0:i1][items["mask_idx"][i0:i1] >= 0].tolist())
+        trial = (
+            len(cur_big | nb) + len(cur_clip | nc) + 4 * len(cur_pool | np_)
+        )
+        if trial > budget_rows and i0 > cur_i0:
+            chunks_ix.append((cur_i0, i0, cur_t0, int(tile_id[i0])))
+            cur_i0, cur_t0 = i0, int(tile_id[i0])
+            cur_big, cur_clip, cur_pool = nb, nc, np_
+            if cost() > budget_rows:
+                return None  # one tile run alone exceeds the budget
+        else:
+            cur_big |= nb
+            cur_clip |= nc
+            cur_pool |= np_
+    chunks_ix.append((cur_i0, n_real, cur_t0, num_tiles))
+    if len(chunks_ix) < 2:
+        return None
+
+    import jax.numpy as jnp
+
+    chunks = []
+    for i0, i1, t0, t1 in chunks_ix:
+        cnt = i1 - i0
+        npad = 16
+        while npad < cnt:
+            npad *= 2
+        sub = {}
+        for k, v in items.items():
+            if k.startswith("_"):
+                continue
+            arr = np.zeros((npad, *v.shape[1:]), v.dtype)
+            arr[:cnt] = v[i0:i1]
+            sub[k] = arr
+        chunk_tiles = t1 - t0
+        sub["tile_id"][:cnt] -= t0
+        sub["tile_id"][cnt:] = chunk_tiles
+        sub["stop_offsets"][cnt:] = 1.0
+        for key in ("big_idx", "clip_idx", "tex_idx", "mask_idx", "pat_idx"):
+            sub[key][cnt:] = -1
+
+        def remap(idx_key, rows_all):
+            rows = np.unique(sub[idx_key][:cnt][sub[idx_key][:cnt] >= 0])
+            lut = np.full(rows_all + 1, -1, np.int32)
+            lut[rows] = np.arange(len(rows), dtype=np.int32)
+            col = sub[idx_key]
+            sub[idx_key] = lut[np.where(col >= 0, col, rows_all)]
+            return rows
+
+        big_rows = remap("big_idx", flat_big.shape[0]) if flat_big.shape[0] else np.zeros(0, np.int64)
+        clip_rows = remap("clip_idx", clips.shape[0]) if clips.shape[0] else np.zeros(0, np.int64)
+        pool_rows = np.unique(np.concatenate([
+            sub["tex_idx"][:cnt][sub["tex_idx"][:cnt] >= 0],
+            sub["mask_idx"][:cnt][sub["mask_idx"][:cnt] >= 0],
+        ]))
+        if len(pool_rows):
+            cap = int(pool_rows.max()) + 1
+            lut = np.full(cap + 1, -1, np.int32)
+            lut[pool_rows] = np.arange(len(pool_rows), dtype=np.int32)
+            for key in ("tex_idx", "mask_idx"):
+                col = sub[key]
+                sub[key] = lut[np.where(col >= 0, np.minimum(col, cap), cap)]
+
+        sub_big = flat_big[big_rows] if len(big_rows) else np.zeros((0, 0, 4), DEVICE_FLOAT)
+        sub_clips = clips[clip_rows] if len(clip_rows) else np.zeros((0, 0, 4), DEVICE_FLOAT)
+        features = plan_features(
+            sub, (sub_big,) if sub_big.shape[0] else (),
+            sub_clips if sub_clips.shape[0] else None,
+            _PoolShape(len(pool_rows)) if len(pool_rows) else None,
+            None, t_size, chunk_tiles,
+        )
+        chunks.append({
+            "items": {k: jnp.asarray(v) for k, v in sub.items()},
+            "bigs": (jnp.asarray(sub_big),) if sub_big.shape[0] else (),
+            "clips": jnp.asarray(sub_clips) if sub_clips.shape[0] else None,
+            "pool_rows": jnp.asarray(pool_rows.astype(np.int32)) if len(pool_rows) else None,
+            "num_tiles": chunk_tiles,
+            "features": features,
+            "n_items": cnt,
+        })
+    return chunks
 
 
 def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
     """Single-device plan executor (one jitted program).
 
     On TPU, plans run through the fully-fused Pallas executor
-    (ops/fused_exec.py) when _device_plan's capability set allows it.
+    (ops/fused_exec.py) when _device_plan's capability set allows it;
+    plans whose stacks exceed the VMEM budget run as several fused
+    launches over tile ranges (_chunk_fused_plan) before falling back to
+    the XLA executor.
     """
+    import jax.numpy as jnp
+
     cache = _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles)
+    if cache["features"] is None and cache.get("chunks"):
+        canvases = []
+        for ch in cache["chunks"]:
+            sub_pool = (
+                pool[ch["pool_rows"]]
+                if (pool is not None and ch["pool_rows"] is not None)
+                else None
+            )
+            canvases.append(batch_exec.execute_plan(
+                ch["items"], t_size, ch["num_tiles"], ch["bigs"], sub_pool,
+                None, ch["clips"], features=ch["features"],
+            ))
+        return jnp.concatenate(canvases, axis=0)
     return batch_exec.execute_plan(
         cache["items"],
         t_size,

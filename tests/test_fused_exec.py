@@ -191,3 +191,52 @@ def test_random_scene_equivalence(seed):
         + "</svg>"
     )
     _compare(svg, (0, 0, 64, 96))
+
+
+def test_vmem_chunked_execution():
+    """Over-budget stacks split into several fused launches over tile
+    ranges instead of falling back to the XLA executor wholesale."""
+    rng = np.random.default_rng(7)
+    parts = []
+    for i in range(8):
+        cx, cy = 20 + i * 40, 32
+        pts = []
+        for k in range(40):
+            ang = 2 * np.pi * k / 40
+            r = 14 + 6 * rng.random()
+            pts.append(f"{cx + r * np.cos(ang):.2f} {cy + r * np.sin(ang):.2f}")
+        parts.append(
+            f"<path d='M{' L'.join(pts)} Z' fill='#2060c0' opacity='0.8'/>"
+        )
+    svg = (
+        "<svg xmlns='http://www.w3.org/2000/svg' width='336' height='64'>"
+        + "".join(parts) + "</svg>"
+    )
+    scene, _ids, _size = scene_from_str(svg)
+    viewport = (0, 0, 64, 336)
+    lowered = rp.lower_scene(scene, TR, viewport, False, tile=32)
+    assert lowered is not None
+    assert any(b.shape[0] for b in lowered.bigs), "paths must form big classes"
+
+    prev = {k: os.environ.get(k) for k in ("SVGR_FUSED", "SVGR_VMEM_BUDGET")}
+    try:
+        os.environ["SVGR_FUSED"] = "0"
+        ref = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        os.environ["SVGR_FUSED"] = "interp"
+        # budget admits only a few resident rows -> the plan must chunk
+        os.environ["SVGR_VMEM_BUDGET"] = str((8 + 2) * 32 * 32 * 4)
+        got = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        cache = lowered.items["_device_cache"]
+        assert cache["features"] is None, "whole plan must be over budget"
+        chunks = cache.get("chunks")
+        assert chunks and len(chunks) >= 2, "plan should split into chunks"
+        fused_items = sum(c["n_items"] for c in chunks if c["features"] is not None)
+        total_items = sum(c["n_items"] for c in chunks)
+        assert fused_items / total_items >= 0.8, (fused_items, total_items)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert np.abs(ref - got).max() <= 1e-5
