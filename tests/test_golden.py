@@ -16,21 +16,23 @@ from svgrasterize_tpu.core.transform import Transform
 WIDTH = 96
 
 # (icon, allowed fraction of pixels with channel diff > 16/255) —
-# the full demo/icons suite
+# the full demo/icons suite.  With reference-matched adaptive curve
+# flattening every icon measures 0.000% (stroke-heavy rust/tiger
+# included); the small budgets below only absorb fp-order noise.
 ICONS = [
-    ("python.svg", 0.02),
-    ("fontforge.svg", 0.02),
-    ("format-fill-color.svg", 0.02),
-    ("gamepad.svg", 0.02),
-    ("rust.svg", 0.035),  # stroke-heavy: join heuristics differ more
-    ("tiger.svg", 0.035),
-    ("firefox-2019.svg", 0.01),
-    ("firefox.svg", 0.005),
-    ("games-solve.svg", 0.005),
-    ("inkscape.svg", 0.005),
-    ("kde.svg", 0.005),
-    ("office.svg", 0.005),
-    ("present.svg", 0.005),
+    ("python.svg", 0.002),
+    ("fontforge.svg", 0.002),
+    ("format-fill-color.svg", 0.002),
+    ("gamepad.svg", 0.002),
+    ("rust.svg", 0.002),
+    ("tiger.svg", 0.002),
+    ("firefox-2019.svg", 0.002),
+    ("firefox.svg", 0.002),
+    ("games-solve.svg", 0.002),
+    ("inkscape.svg", 0.002),
+    ("kde.svg", 0.002),
+    ("office.svg", 0.002),
+    ("present.svg", 0.002),
 ]
 
 
