@@ -849,10 +849,14 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
     """Lay glyphs along a referenced path (SVG 1.1 10.13.2).
 
     Beyond both the reference (textPath listed as not supported,
-    /root/reference/svgrasterize.py:9-13) and SVG Tiny: each glyph is
-    rotated to the path tangent at the point where its advance midpoint
-    lands; glyphs whose midpoints fall off the path are not rendered.
-    startOffset supports user units and %-of-path-length.
+    /root/reference/svgrasterize.py:9-13) and SVG Tiny: method="align"
+    (default) rotates each glyph rigidly to the path tangent at its
+    advance midpoint; method="stretch" warps every glyph outline point
+    along the path (arc-length position + normal offset), so glyphs bend
+    with the curve.  Glyphs whose midpoints fall off the path are not
+    rendered.  startOffset supports user units and %-of-path-length;
+    spacing is parsed ("auto" renders like the default "exact", which the
+    spec permits).
     """
     import math
 
@@ -899,12 +903,51 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
     scale = size / font.units_per_em
     placed, _advance = font.shape(text)
     glyph_scale = Transform().scale(scale, -scale)
+    stretch = element.get("method", attrs.get("method", "align")) == "stretch"
+
+    safe_len = np.where(seg_len > 1e-12, seg_len, 1.0)
+    unit = seg_vec / safe_len[:, None]                     # (S, 2) tangents
+
+    def warp(pts: np.ndarray) -> np.ndarray:
+        """Map glyph-space points (x = arc length along the path, y =
+        signed normal offset) onto the path."""
+        s = np.clip(pts[:, 0], 0.0, total)
+        seg = np.clip(np.searchsorted(cum, s, side="right") - 1, 0, len(seg_len) - 1)
+        frac = (s - cum[seg]) / safe_len[seg]
+        pos = points[seg] + seg_vec[seg] * frac[:, None]
+        t = unit[seg]
+        normal = np.stack([-t[:, 1], t[:, 0]], axis=1)
+        return pos + normal * pts[:, 1:2]
+
     subpaths: list = []
     for pen, glyph in placed:
         width = glyph.advance * scale
-        mid = start_offset + pen * scale + width / 2
+        base = start_offset + pen * scale
+        mid = base + width / 2
         if mid < 0 or mid > total:
             continue  # off-path glyphs are not rendered (spec)
+        if stretch:
+            # x-advance becomes arc length: warp every outline point
+            # (curve control points included — the standard approximation;
+            # arcs expand to cubics first, their params are not points)
+            from ..geom import arc as arc_ops
+            from ..geom.path import PATH_ARC, PATH_CUBIC
+
+            flat = glyph.path.transform(
+                Transform().translate(base, 0.0) @ glyph_scale
+            )
+            for sub in flat.subpaths:
+                warped = []
+                for kind, payload in sub:
+                    if kind == PATH_ARC:
+                        for cub in arc_ops.to_cubics(*payload):
+                            pts = warp(np.asarray(cub, dtype=FLOAT))
+                            warped.append((PATH_CUBIC, pts.tolist()))
+                    else:
+                        pts = warp(np.asarray(payload, dtype=FLOAT))
+                        warped.append((kind, pts.tolist()))
+                subpaths.append(warped)
+            continue
         seg = min(np.searchsorted(cum, mid, side="right") - 1, len(seg_len) - 1)
         if seg_len[seg] <= 1e-12:
             continue

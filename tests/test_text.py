@@ -170,3 +170,41 @@ def test_random_text_matches_reference(db, ref_db, reference, seed):
 
     bad = np.abs(img[..., 3] - ref_img[..., 3]) > 16 / 255
     assert bad.mean() < 0.001, f"{bad.sum()} px differ (seed {seed})"
+
+
+def test_text_path_stretch(db):
+    """method="stretch" warps glyph outlines along the path instead of
+    rigid per-glyph rotation; both methods must put ink on the curve."""
+    import io
+
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.frontend.svg import scene_from_xml
+
+    base = """<svg xmlns='http://www.w3.org/2000/svg' width='200' height='120'>
+    <defs><path id='curve' d='M 20 100 C 60 20, 140 20, 180 100'/></defs>
+    <text font-size='16' fill='black'>
+      <textPath href='#curve' method='METHOD' spacing='auto'>Wavy words</textPath>
+    </text></svg>"""
+    imgs = {}
+    for method in ("align", "stretch"):
+        svg = base.replace("METHOD", method)
+        scene, _ids, _size = scene_from_xml(io.StringIO(svg), fonts=db)
+        assert scene is not None, method
+        layer, _ = scene.render(
+            Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 120, 200)
+        )
+        img = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)
+        cov = img[..., 3] > 0.3
+        assert cov.sum() > 200, method
+        ys, xs = np.nonzero(cov)
+        xs = xs + layer.y
+        ys = ys + layer.x
+        # ink follows the curve: the left end sits lower than the middle
+        lo, hi = xs.min(), xs.max()
+        left = ys[xs < lo + (hi - lo) / 4].mean()
+        mid = ys[np.abs(xs - (lo + hi) / 2) < (hi - lo) / 6].mean()
+        assert left > mid + 8, (method, left, mid)
+        imgs[method] = cov
+    # the two methods are genuinely different renderings
+    a, b = imgs["align"], imgs["stretch"]
+    assert a.shape != b.shape or (a != b).any()
