@@ -65,9 +65,12 @@ PAINT_LINEAR = 1
 PAINT_RADIAL = 2
 PAINT_PATTERN = 3
 
-# fall back / chunk when the resident stacks would not fit (bytes;
-# SVGR_VMEM_BUDGET overrides — tests use a tiny budget to force chunking)
-VMEM_BUDGET = 64 * 1024 * 1024
+# fall back / chunk when the resident stacks would not fit (bytes of
+# LANE-PADDED VMEM: a (T, T) winding tile at T == 32 occupies full
+# 128-lane rows, 4x its logical size — a 52 MB stack compiled to 200 MB
+# and OOM'd the 128 MB chip before the padding entered the accounting).
+# SVGR_VMEM_BUDGET overrides — tests use a tiny budget to force chunking.
+VMEM_BUDGET = 88 * 1024 * 1024
 
 
 def vmem_budget() -> int:
@@ -75,6 +78,15 @@ def vmem_budget() -> int:
         return int(os.environ.get("SVGR_VMEM_BUDGET", VMEM_BUDGET))
     except ValueError:
         return VMEM_BUDGET
+
+
+def stack_bytes(tt_rows: int, pool_rows: int, t_size: int) -> int:
+    """Padded VMEM bytes of resident stacks: tt_rows (T, T) winding tiles
+    (lane-padded to 128) + pool_rows channel-planar (T, 4T) rows."""
+    return (
+        tt_rows * t_size * max(t_size, LANES) * 4
+        + pool_rows * t_size * max(4 * t_size, LANES) * 4
+    )
 
 
 def _interpret() -> bool:
@@ -673,6 +685,11 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
     return kernel, s_slots, n_scalars
 
 
+
+def _resident_spec(arr):
+    """Whole-array VMEM spec for a resident stack (kept as one buffer)."""
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
 def _gather_map(pos):
     return lambda i, *s: (s[pos][i], 0, 0)
 
@@ -778,14 +795,14 @@ def execute_items_fused(
         big_idx = items["big_idx"].astype(jnp.int32)
         scalars.append(jnp.where(big_idx >= 0, big_idx, m))
         tensors.append(big_wind)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(_resident_spec(big_wind))
     if "clip" in features:
         clip_wind = prepass_winding((clip_lines,), T)           # (U+1, T, T)
         u = clip_wind.shape[0] - 1
         clip_idx = items["clip_idx"].astype(jnp.int32)
         scalars.append(jnp.where(clip_idx >= 0, clip_idx, u))
         tensors.append(clip_wind)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(_resident_spec(clip_wind))
     if "tex" in features or "mask" in features:
         pool128 = jnp.concatenate(
             [pool.astype(f32), jnp.zeros((1, T, T, 4), f32)], axis=0
@@ -795,12 +812,12 @@ def execute_items_fused(
         tex_idx = items["tex_idx"].astype(jnp.int32)
         scalars.append(jnp.where(tex_idx >= 0, tex_idx, p_rows))
         tensors.append(pool128)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(_resident_spec(pool128))
     if "mask" in features:
         mask_idx = items["mask_idx"].astype(jnp.int32)
         scalars.append(jnp.where(mask_idx >= 0, mask_idx, p_rows))
         tensors.append(pool128)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(_resident_spec(pool128))
     if "pat" in features:
         # pre-render the Q pattern items' paint tiles with the XLA paint
         # path (exact same modular-gather semantics, batch_exec._paint_item)
@@ -827,7 +844,7 @@ def execute_items_fused(
             jnp.minimum(items["pat_pos"].astype(jnp.int32), q_rows)
         )
         tensors.append(pat_pool)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(_resident_spec(pat_pool))
 
     # padding items (tile_id == num_tiles) sort last; the grid stops at the
     # real item count instead of burning steps on them (the XLA executor's
@@ -938,13 +955,14 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
     if n_pat and patterns is None:
         return _fallback("pattern paints without a pattern atlas")
     f = []
-    resident = 0
+    tt_rows = 2  # scratch rows
+    pool_rows = 0
     if bigs is not None and any(b is not None and b.shape[0] for b in bigs):
         f.append("big")
-        resident += sum(b.shape[0] for b in bigs if b is not None)
+        tt_rows += sum(b.shape[0] for b in bigs if b is not None)
     if clips is not None and clips.shape[0]:
         f.append("clip")
-        resident += clips.shape[0]
+        tt_rows += clips.shape[0]
     kinds = items["kind"]
     if ((kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)).any():
         f.append("grad")
@@ -953,14 +971,15 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
     if pool is not None and (items["mask_idx"] >= 0).any():
         f.append("mask")
     if ("tex" in f or "mask" in f) and pool is not None:
-        resident += pool.shape[0] * 4
+        pool_rows += pool.shape[0]
     if n_pat:
         f.append("pat")
-        resident += (n_pat + 1) * 4
-    if (resident + 2) * t_size * t_size * 4 > vmem_budget():
+        pool_rows += n_pat + 1
+    if stack_bytes(tt_rows, pool_rows, t_size) > vmem_budget():
         return _fallback(
-            f"resident stacks ({resident} tiles of {t_size}x{t_size}) "
-            f"exceed the {vmem_budget() >> 20} MB VMEM budget",
+            f"resident stacks ({tt_rows} winding tiles + {pool_rows} pool "
+            f"rows at tile {t_size}) exceed the {vmem_budget() >> 20} MB "
+            "VMEM budget",
             kind="vmem",
         )
     if num_tiles is not None:

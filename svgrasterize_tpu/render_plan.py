@@ -1327,7 +1327,7 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
     list of chunk dicts, or None when chunking does not apply (pattern
     paints, or a single tile alone over budget).
     """
-    from .ops.fused_exec import plan_features, vmem_budget
+    from .ops.fused_exec import plan_features, stack_bytes, vmem_budget
     from .parallel.scene import _flatten_big_classes
 
     if (items["pat_idx"] >= 0).any():
@@ -1336,7 +1336,7 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
     n_real = int((tile_id < num_tiles).sum())
     if n_real == 0:
         return None
-    budget_rows = vmem_budget() // (t_size * t_size * 4) - 2
+    budget = vmem_budget()
     flat_big = _flatten_big_classes(bigs)
 
     # walk tile runs, greedily accumulating referenced stack rows
@@ -1351,7 +1351,9 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
     cur_pool: set = set()
 
     def cost():
-        return len(cur_big) + len(cur_clip) + 4 * len(cur_pool)
+        return stack_bytes(
+            len(cur_big) + len(cur_clip) + 2, len(cur_pool), t_size
+        )
 
     for r in range(len(run_starts) - 1):
         i0, i1 = int(run_starts[r]), int(run_starts[r + 1])
@@ -1359,14 +1361,15 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
         nc = set(items["clip_idx"][i0:i1][items["clip_idx"][i0:i1] >= 0].tolist())
         np_ = set(items["tex_idx"][i0:i1][items["tex_idx"][i0:i1] >= 0].tolist())
         np_ |= set(items["mask_idx"][i0:i1][items["mask_idx"][i0:i1] >= 0].tolist())
-        trial = (
-            len(cur_big | nb) + len(cur_clip | nc) + 4 * len(cur_pool | np_)
+        trial = stack_bytes(
+            len(cur_big | nb) + len(cur_clip | nc) + 2,
+            len(cur_pool | np_), t_size,
         )
-        if trial > budget_rows and i0 > cur_i0:
+        if trial > budget and i0 > cur_i0:
             chunks_ix.append((cur_i0, i0, cur_t0, int(tile_id[i0])))
             cur_i0, cur_t0 = i0, int(tile_id[i0])
             cur_big, cur_clip, cur_pool = nb, nc, np_
-            if cost() > budget_rows:
+            if cost() > budget:
                 return None  # one tile run alone exceeds the budget
         else:
             cur_big |= nb

@@ -224,7 +224,8 @@ def test_vmem_chunked_execution():
         ref = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
         os.environ["SVGR_FUSED"] = "interp"
         # budget admits only a few resident rows -> the plan must chunk
-        os.environ["SVGR_VMEM_BUDGET"] = str((8 + 2) * 32 * 32 * 4)
+        # (rows are lane-padded to 128 in the accounting)
+        os.environ["SVGR_VMEM_BUDGET"] = str((8 + 2) * 32 * 128 * 4)
         got = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
         cache = lowered.items["_device_cache"]
         assert cache["features"] is None, "whole plan must be over budget"
