@@ -100,27 +100,31 @@ class Layer:
         image = compose_ops.over(jnp.asarray(bg_color, DEVICE_FLOAT)[None, None, :], layer.image)
         return Layer(image, layer.offset, True, True)
 
-    def color_matrix(self, matrix) -> "Layer":
-        """Apply a 4x5 affine color matrix (feColorMatrix semantics)."""
+    def color_matrix(self, matrix, linear_rgb: bool = True) -> "Layer":
+        """Apply a 4x5 affine color matrix (feColorMatrix semantics).
+
+        linear_rgb selects the operating space (the filter chain's
+        color-interpolation-filters)."""
         matrix = np.asarray(matrix)
         if matrix.shape != (4, 5):
             raise ValueError("expected 4x5 color matrix")
-        layer = self.convert(pre_alpha=False, linear_rgb=True)
+        layer = self.convert(pre_alpha=False, linear_rgb=linear_rgb)
         m = jnp.asarray(matrix[:, :4], DEVICE_FLOAT)
         b = jnp.asarray(matrix[:, 4], DEVICE_FLOAT)
         image = jnp.clip(layer.image @ m.T + b, 0, 1)
-        return Layer(image, layer.offset, False, True)
+        return Layer(image, layer.offset, False, linear_rgb)
 
-    def convolve(self, kernel) -> "Layer":
+    def convolve(self, kernel, linear_rgb: bool = True) -> "Layer":
         """Full 2D convolution of every channel with `kernel` (feGaussianBlur).
 
         Rank-1 kernels (axis-aligned blurs) run as two 1D passes —
-        kh + kw taps per pixel instead of kh * kw."""
+        kh + kw taps per pixel instead of kh * kw.  linear_rgb selects the
+        operating space (color-interpolation-filters)."""
         import numpy as np
 
         from ..ops import blur
 
-        layer = self.convert(pre_alpha=False, linear_rgb=True)
+        layer = self.convert(pre_alpha=False, linear_rgb=linear_rgb)
         kh, kw = kernel.shape
         uv = blur.separate_kernel(np.asarray(kernel)) if min(kh, kw) > 1 else None
         if uv is not None:
@@ -135,14 +139,15 @@ class Layer:
         # by one pixel whenever x > k/2; reproduced bit-for-bit (callers feed
         # bbox-tight layers so the same x reaches this formula)
         offset = (int(layer.x - kh / 2), int(layer.y - kw / 2))
-        return Layer(image, offset, False, True)
+        return Layer(image, offset, False, linear_rgb)
 
-    def morphology(self, size0: int, size1: int, method: str) -> "Layer":
+    def morphology(self, size0: int, size1: int, method: str,
+                   linear_rgb: bool = True) -> "Layer":
         from ..ops import morphology
 
-        layer = self.convert(pre_alpha=True, linear_rgb=True)
+        layer = self.convert(pre_alpha=True, linear_rgb=linear_rgb)
         image = morphology.pooling(layer.image, (size0, size1), stride=(1, 1), method=method)
-        return Layer(image, layer.offset, True, True)
+        return Layer(image, layer.offset, True, linear_rgb)
 
     # --- composition -----------------------------------------------------------
     @staticmethod

@@ -78,10 +78,14 @@ class Filter(NamedTuple):
     names: dict  # result name -> stack index
     filters: list  # [(kind, attrs, input indices)]
     regions: tuple = ()  # per-primitive subregion (x, y, w, h) | None
+    # operating color space (SVG color-interpolation-filters): True =
+    # linearRGB (the spec default, and the only space the reference
+    # supports); False = sRGB, which Inkscape exports set routinely
+    linear: bool = True
 
     @classmethod
-    def empty(cls) -> "Filter":
-        return cls({FE_SOURCE_ALPHA: 0, FE_SOURCE_GRAPHIC: 1}, [], ())
+    def empty(cls, linear: bool = True) -> "Filter":
+        return cls({FE_SOURCE_ALPHA: 0, FE_SOURCE_GRAPHIC: 1}, [], (), linear)
 
     def add_filter(self, kind, attrs, inputs, result) -> "Filter":
         names = self.names.copy()
@@ -100,7 +104,7 @@ class Filter(NamedTuple):
         if result is not None:
             names[result] = len(filters) + 2
         filters.append((kind, attrs, args))
-        return Filter(names, filters, (*self.regions, None))
+        return Filter(names, filters, (*self.regions, None), self.linear)
 
     def set_region(self, region) -> "Filter":
         """Attach an x/y/width/height primitive subregion (SVG 15.7.5) to
@@ -108,7 +112,8 @@ class Filter(NamedTuple):
         region.  The reference ignores subregions entirely."""
         if region is None or not self.filters:
             return self
-        return Filter(self.names, self.filters, (*self.regions[:-1], region))
+        return Filter(self.names, self.filters, (*self.regions[:-1], region),
+                      self.linear)
 
     # builder helpers ------------------------------------------------------
     def offset(self, dx, dy, input=None, result=None):
@@ -210,24 +215,26 @@ class Filter(NamedTuple):
 
     # interpreter ------------------------------------------------------------
     def __call__(self, transform: Transform, source: Layer) -> Layer:
+        linear = self.linear
         alpha = Layer(
             source.image[..., -1:] * jnp.asarray([0.0, 0.0, 0.0, 1.0], source.image.dtype),
             source.offset,
             pre_alpha=True,
-            linear_rgb=True,
+            linear_rgb=linear,
         )
-        stack = [alpha, source.convert(pre_alpha=False, linear_rgb=True)]
+        stack = [alpha, source.convert(pre_alpha=False, linear_rgb=linear)]
         regions = (*self.regions, *([None] * (len(self.filters) - len(self.regions))))
         for (kind, attrs, inputs), region in zip(self.filters, regions):
             args = [stack[i] for i in inputs]
-            out = _apply(kind, attrs, args, transform)
+            out = _apply(kind, attrs, args, transform, linear)
             if region is not None:
                 out = _crop_to_region(out, region, transform)
             stack.append(out)
         return stack[-1]
 
 
-def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer:
+def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform,
+           linear: bool = True) -> Layer:
     if kind == FE_OFFSET:
         dx, dy = attrs
         (layer,) = inputs
@@ -236,7 +243,7 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
         return layer.translate(int(tx) - x, int(ty) - y)
 
     if kind == FE_MERGE:
-        return Layer.compose(inputs, linear_rgb=True)
+        return Layer.compose(inputs, linear_rgb=linear)
 
     if kind == FE_BLEND:
         from .ops.compose import BLEND_MODES
@@ -244,16 +251,16 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
         (mode,) = attrs
         in1, in2 = inputs
         if mode is None or mode == "normal":
-            return Layer.compose([in2, in1], linear_rgb=True)
+            return Layer.compose([in2, in1], linear_rgb=linear)
         if mode in BLEND_MODES:
-            return Layer.compose([in2, in1], mode, linear_rgb=True)
+            return Layer.compose([in2, in1], mode, linear_rgb=linear)
         warnings.warn(f"unsupported blend mode {mode!r}; using OVER")
-        return Layer.compose([in2, in1], linear_rgb=True)
+        return Layer.compose([in2, in1], linear_rgb=linear)
 
     if kind == FE_COMPOSITE:
         (mode,) = attrs
         in1, in2 = inputs
-        return Layer.compose([in2, in1], mode, linear_rgb=True)
+        return Layer.compose([in2, in1], mode, linear_rgb=linear)
 
     if kind == FE_GAUSSIAN_BLUR:
         std_x, std_y = attrs
@@ -262,7 +269,7 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
         kernel = blur_ops.gaussian_kernel(transform, (std_x, std_y))
         if kernel is None:
             return layer
-        return layer.convolve(kernel)
+        return layer.convolve(kernel, linear)
 
     if kind == FE_COLOR_MATRIX:
         (matrix,) = attrs
@@ -270,7 +277,7 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
         if not isinstance(matrix, np.ndarray) or matrix.shape != (4, 5):
             warnings.warn(f"invalid color matrix: {matrix}")
             return layer
-        return layer.color_matrix(matrix)
+        return layer.color_matrix(matrix, linear)
 
     if kind == FE_MORPHOLOGY:
         rx, ry, method = attrs
@@ -281,14 +288,14 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
         size1 = int(np.linalg.norm(unit[1]) * 2)
         if size0 < 1 or size1 < 1:
             return layer
-        return layer.morphology(size0, size1, method)
+        return layer.morphology(size0, size1, method, linear)
 
     if kind == FE_FLOOD:
         color, region = attrs
         (source,) = inputs
         offset, (h, w) = _output_region(region, source, transform)
         image = jnp.broadcast_to(jnp.asarray(color, source.image.dtype), (h, w, 4))
-        return Layer(image, offset, pre_alpha=False, linear_rgb=True)
+        return Layer(image, offset, pre_alpha=False, linear_rgb=linear)
 
     if kind == FE_TILE:
         tile, source = inputs
@@ -302,13 +309,13 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
     if kind == FE_COMPONENT_TRANSFER:
         (funcs,) = attrs
         (layer,) = inputs
-        layer = layer.convert(pre_alpha=False, linear_rgb=True)
+        layer = layer.convert(pre_alpha=False, linear_rgb=linear)
         chans = [
             _transfer_channel(layer.image[..., c], funcs.get(c)) for c in range(4)
         ]
         return Layer(
             jnp.clip(jnp.stack(chans, axis=-1), 0.0, 1.0),
-            layer.offset, pre_alpha=False, linear_rgb=True,
+            layer.offset, pre_alpha=False, linear_rgb=linear,
         )
 
     if kind == FE_TURBULENCE:
@@ -330,29 +337,29 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
             jnp.asarray(selector), jnp.asarray(gradient), ux, uy,
             base_fx, base_fy, max(octaves, 1), bool(fractal),
         )
-        return Layer(image, offset, pre_alpha=False, linear_rgb=True)
+        return Layer(image, offset, pre_alpha=False, linear_rgb=linear)
 
     if kind == FE_DROP_SHADOW:
         dx, dy, std, color = attrs
         (layer,) = inputs
-        alpha = layer.convert(pre_alpha=False, linear_rgb=True).image[..., -1:]
+        alpha = layer.convert(pre_alpha=False, linear_rgb=linear).image[..., -1:]
         zeros_rgb = jnp.zeros((*alpha.shape[:2], 3), alpha.dtype)
         shadow = Layer(
             jnp.concatenate([zeros_rgb, alpha], axis=-1),
-            layer.offset, pre_alpha=False, linear_rgb=True,
+            layer.offset, pre_alpha=False, linear_rgb=linear,
         )
         kernel = blur_ops.gaussian_kernel(transform, (std, std))
         if kernel is not None:
-            shadow = shadow.convolve(kernel)
+            shadow = shadow.convolve(kernel, linear)
         shadow = _apply(FE_OFFSET, (dx, dy), [shadow], transform)
         rgb = jnp.broadcast_to(
             jnp.asarray(color[:3], shadow.image.dtype), (*shadow.image.shape[:2], 3)
         )
         tinted = Layer(
             jnp.concatenate([rgb, shadow.image[..., -1:] * color[3]], axis=-1),
-            shadow.offset, pre_alpha=False, linear_rgb=True,
+            shadow.offset, pre_alpha=False, linear_rgb=linear,
         )
-        return Layer.compose([tinted, layer], linear_rgb=True)
+        return Layer.compose([tinted, layer], linear_rgb=linear)
 
     if kind == FE_CONVOLVE_MATRIX:
         kernel, divisor, bias, preserve_alpha = attrs
@@ -360,18 +367,18 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
         # the spec convolves premultiplied pixels (unless preserveAlpha);
         # kernelMatrix is applied rotated 180deg, i.e. a true convolution.
         # Edge mode: zero fill ('none'); 'duplicate'/'wrap' degrade to it.
-        pre = layer.convert(pre_alpha=not preserve_alpha, linear_rgb=True)
+        pre = layer.convert(pre_alpha=not preserve_alpha, linear_rgb=linear)
         image = _convolve_same(pre.image, np.asarray(kernel, np.float64) / divisor)
         image = image + bias
         if preserve_alpha:
             image = jnp.concatenate([image[..., :3], pre.image[..., -1:]], axis=-1)
-        return Layer(image, pre.offset, pre_alpha=not preserve_alpha, linear_rgb=True)
+        return Layer(image, pre.offset, pre_alpha=not preserve_alpha, linear_rgb=linear)
 
     if kind == FE_DISPLACEMENT_MAP:
         scale, x_chan, y_chan = attrs
         in1, in2 = inputs
-        src = in1.convert(pre_alpha=False, linear_rgb=True)
-        dmap = in2.convert(pre_alpha=False, linear_rgb=True)
+        src = in1.convert(pre_alpha=False, linear_rgb=linear)
+        dmap = in2.convert(pre_alpha=False, linear_rgb=linear)
         h, w = src.height, src.width
         rows = jnp.arange(h)[:, None] + jnp.zeros((1, w), jnp.int32)
         cols = jnp.arange(w)[None, :] + jnp.zeros((h, 1), jnp.int32)
@@ -397,7 +404,7 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
             & (jnp.round(cols + d1) >= 0) & (jnp.round(cols + d1) < w)
         )
         image = jnp.where(valid[..., None], src.image[sr, sc], 0.0)
-        return Layer(image, src.offset, pre_alpha=False, linear_rgb=True)
+        return Layer(image, src.offset, pre_alpha=False, linear_rgb=linear)
 
     if kind == FE_IMAGE:
         scene, region = attrs
@@ -416,24 +423,24 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
                 jnp.asarray(raster, source.image.dtype), (h, w, 4), method="linear"
             )
             layer = Layer(image, offset, pre_alpha=False, linear_rgb=False)
-            return layer.convert(pre_alpha=False, linear_rgb=True)
+            return layer.convert(pre_alpha=False, linear_rgb=linear)
         tr = transform
         if region is not None:
             tr = transform @ Transform().translate(region[0], region[1])
-        result = scene.render(tr, linear_rgb=True)
+        result = scene.render(tr, linear_rgb=linear)
         if result is None:
             offset, (h, w) = _output_region(None, source, transform)
             return Layer(
                 jnp.zeros((h, w, 4), source.image.dtype), offset,
-                pre_alpha=True, linear_rgb=True,
+                pre_alpha=True, linear_rgb=linear,
             )
         layer, _hull = result
-        return layer.convert(pre_alpha=False, linear_rgb=True)
+        return layer.convert(pre_alpha=False, linear_rgb=linear)
 
     if kind in (FE_DIFFUSE_LIGHTING, FE_SPECULAR_LIGHTING):
         surface_scale, k, exponent, color, light = attrs
         (layer,) = inputs
-        a = layer.convert(pre_alpha=False, linear_rgb=True).image[..., 3]
+        a = layer.convert(pre_alpha=False, linear_rgb=linear).image[..., 3]
         # surface normal from the alpha height map (spec 15.14; the Sobel
         # factors are the spec's interior-pixel kernels, computed here in
         # device axes with kernelUnitLength = 1 device pixel)
@@ -461,7 +468,7 @@ def _apply(kind: int, attrs: tuple, inputs: list, transform: Transform) -> Layer
             rgb = jnp.clip(value[..., None] * color, 0.0, 1.0)
             alpha = rgb.max(axis=-1, keepdims=True)
             out = jnp.concatenate([rgb, alpha], axis=-1)
-        return Layer(jnp.clip(out, 0.0, 1.0), layer.offset, pre_alpha=False, linear_rgb=True)
+        return Layer(jnp.clip(out, 0.0, 1.0), layer.offset, pre_alpha=False, linear_rgb=linear)
 
     raise ValueError(f"unsupported filter kind: {kind}")
 

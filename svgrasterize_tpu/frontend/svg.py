@@ -503,8 +503,12 @@ def build_filter(element, ids: dict) -> Filter:
     """Parse a <filter> element into the SSA-style Filter op list.
 
     ids: the document id registry (feImage resolves #fragments against it).
+    color-interpolation-filters selects the operating space (the spec
+    default is linearRGB; Inkscape exports routinely set sRGB — the
+    reference supports only linearRGB).
     """
-    flt = Filter.empty()
+    interp = cascade_attrs(element.attrib).get("color-interpolation-filters", "")
+    flt = Filter.empty(linear=interp != "sRGB")
     for child in element:
         tag = _local_tag(child)
         attrs = child.attrib

@@ -327,3 +327,42 @@ def test_primitive_subregion_clips_result():
     )
     assert img[6, 10, 3] > 0.05   # blur halo inside the subregion
     assert img[6, 50, 3] < 0.01   # no halo where the subregion clipped it
+
+
+def test_color_interpolation_filters_srgb():
+    """color-interpolation-filters="sRGB" runs the filter chain in sRGB
+    space (Inkscape's default export; the reference only does linearRGB):
+    a blur between saturated colors mixes darker in sRGB than in linear."""
+    import numpy as np
+
+    from svgrasterize_tpu import scene_from_str
+    from svgrasterize_tpu.core.layer import merge_at
+    from svgrasterize_tpu.core.transform import Transform
+
+    base = """<svg xmlns='http://www.w3.org/2000/svg' width='64' height='32'>
+    <defs><filter id='b'{attr}><feGaussianBlur stdDeviation='3'/></filter></defs>
+    <g filter='url(#b)'>
+      <rect x='0' y='0' width='32' height='32' fill='#ff0000'/>
+      <rect x='32' y='0' width='32' height='32' fill='#00ff00'/>
+    </g></svg>"""
+
+    def render(attr):
+        scene, _i, _s = scene_from_str(base.format(attr=attr))
+        layer, _ = scene.render(
+            Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 32, 64)
+        )
+        canvas = np.zeros((32, 64, 4), np.float32)
+        li = layer.convert(pre_alpha=False, linear_rgb=False)
+        return np.asarray(merge_at(canvas, li.image, li.offset))
+
+    lin = render("")
+    srgb = render(" color-interpolation-filters='sRGB'")
+    # at the seam both channels mix 50/50; linear-space mixing then
+    # converting to sRGB gives ~0.735 per channel, sRGB-space gives 0.5
+    seam_lin = lin[16, 31:33, :2].mean()
+    seam_srgb = srgb[16, 31:33, :2].mean()
+    assert seam_lin > 0.65, seam_lin
+    assert seam_srgb < 0.60, seam_srgb
+    # in the interior (away from the seam AND the outer alpha ramp) the
+    # halves are identical in both modes
+    assert np.abs(lin[16, 16] - srgb[16, 16]).max() < 1e-3
