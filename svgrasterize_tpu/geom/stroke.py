@@ -261,10 +261,28 @@ def stroke_path(path, width: float, linecap: str | None = None, linejoin: str | 
                 chain.append(curve)
             return chain
 
+        def sealed(chain):
+            """Exactly-closed contour: snap each curve's start to the previous
+            curve's end and the last end to the first start.  Joins/caps skip
+            the bridge when endpoints are allclose (rtol leaves ~1e-4 gaps at
+            typical coordinates), and any net-dy gap in a contour leaks that
+            much winding to every pixel right of it — visible as stray
+            almost-transparent pixels outside the stroke."""
+            out = []
+            prev_end = None
+            for curve in chain:
+                c = np.array(curve, dtype=FLOAT)
+                if prev_end is not None:
+                    c[0] = prev_end
+                prev_end = c[-1]
+                out.append(c)
+            out[-1][-1] = out[0][0]
+            return out
+
         chain = stitched(forward)
         if closed:
             chain.extend(join_between(chain[-1], chain[0], linejoin))
-            outputs.append([(kind_by_len[len(c)], np.asarray(c)) for c in chain])
+            outputs.append([(kind_by_len[len(c)], c) for c in sealed(chain)])
             chain = []
         else:
             chain.extend(cap_between(chain[-1][-1], backward[-1][-1], linecap))
@@ -278,6 +296,6 @@ def stroke_path(path, width: float, linecap: str | None = None, linejoin: str | 
             chain.extend(join_between(chain[-1], chain[0], linejoin))
         else:
             chain.extend(cap_between(chain[-1][-1], chain[0][0], linecap))
-        outputs.append([(kind_by_len[len(c)], np.asarray(c)) for c in chain])
+        outputs.append([(kind_by_len[len(c)], c) for c in sealed(chain)])
 
     return Path(outputs)

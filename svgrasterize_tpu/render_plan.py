@@ -199,7 +199,18 @@ def _collect_draws(scene, transform: Transform, opacity: float, clip, out: list)
             if len(hull.raw_points) == 0:
                 return  # target renders nothing (interpreter returns None)
             clip_tr = hull.bbox_transform(transform)
-        _collect_draws(target, transform, opacity, (clip_scene, clip_tr), out)
+        # group-level clip semantics (reference svgrasterize.py:698-715):
+        # the subtree composes in isolation FIRST, then multiplies by the
+        # clip coverage once.  A single record is identical either way, so
+        # it keeps the cheap per-item multiply; several records diverge on
+        # clip AA edges wherever they overlap, so those isolate as a pass
+        # whose texture items carry the clip.
+        sub: list = []
+        _collect_draws(target, transform, opacity, (clip_scene, clip_tr), sub)
+        if len(sub) > 1:
+            out.append(("pass", target, transform, opacity, (clip_scene, clip_tr)))
+        else:
+            out.extend(sub)
     elif kind == RENDER_MASK:
         target, mask_scene, bbox_units = args
         mask_tr = transform

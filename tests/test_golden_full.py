@@ -26,14 +26,20 @@ from svgrasterize_tpu.text.fonts import DEFAULT_FONTS, FontsDB
 
 DEMO = "/root/reference/demo"
 
-# (svg, golden png, max allowed fraction of pixels with any channel
-# diff > 8/255, max allowed channel diff) — round-2 measured levels
-# (adaptive reference-matched flattening: prompt 0 px / max 1, material
-# 2 px / max 9, icons 29 px / max 187) plus margin
+# (svg, golden png, max allowed count of pixels with any channel diff > 8,
+# max allowed channel diff) on images COMPOSITED OVER WHITE — round-2
+# measured levels (adaptive reference-matched flattening + group-level clip
+# passes + sealed stroke contours: prompt 0 px / max 1, material 2 px /
+# max 9, icons 0 px / max 1) plus margin.  Over-white, not raw channels:
+# the reference's stroke outlines do not close exactly, which leaks ~1e-3
+# winding rightward; its golden PNGs store that as de-premultiplied RGB
+# garbage on alpha<=2/255 pixels (icons.png rows 248/92).  Our outlines
+# seal exactly (geom/stroke.py), so those invisible pixels differ by up to
+# 187/255 raw while the composited image matches to 1/255.
 CASES = [
-    ("material-design.svg", "material-design.png", 0.0001, 24),
-    ("icons.svg", "icons.png", 0.0005, 255),
-    ("prompt.svg", "prompt.png", 0.0001, 8),
+    ("material-design.svg", "material-design.png", 8, 16),
+    ("icons.svg", "icons.png", 8, 8),
+    ("prompt.svg", "prompt.png", 8, 8),
 ]
 
 
@@ -44,9 +50,15 @@ def fonts_db():
     return db
 
 
+def _over_white(img8: np.ndarray) -> np.ndarray:
+    """Straight-alpha RGBA (int16, 0..255) composited over opaque white."""
+    alpha = img8[..., 3:].astype(np.float64) / 255.0
+    return img8[..., :3].astype(np.float64) * alpha + 255.0 * (1.0 - alpha)
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("svg,golden,frac8,maxdiff", CASES)
-def test_demo_parity(svg, golden, frac8, maxdiff, fonts_db):
+@pytest.mark.parametrize("svg,golden,npx8,maxdiff", CASES)
+def test_demo_parity(svg, golden, npx8, maxdiff, fonts_db):
     path = os.path.join(DEMO, svg)
     if not os.path.isfile(path):
         pytest.skip("reference demo assets not available")
@@ -63,7 +75,7 @@ def test_demo_parity(svg, golden, frac8, maxdiff, fonts_db):
         gold = np.asarray(read_png(f), dtype=np.int16)
     aligned = np.zeros_like(gold)
     aligned[: img8.shape[0], : img8.shape[1]] = img8[: gold.shape[0], : gold.shape[1]]
-    diff = np.abs(aligned - gold).max(axis=-1)
-    frac = float((diff > 8).mean())
-    assert frac <= frac8, f"{svg}: {frac * 100:.3f}% pixels >8/255 (limit {frac8 * 100:.2f}%)"
-    assert diff.max() <= maxdiff, f"{svg}: max diff {diff.max()} (limit {maxdiff})"
+    diff = np.abs(_over_white(aligned) - _over_white(gold)).max(axis=-1)
+    count = int((diff > 8).sum())
+    assert count <= npx8, f"{svg}: {count} pixels >8/255 over white (limit {npx8})"
+    assert diff.max() <= maxdiff, f"{svg}: max diff {diff.max():.1f} (limit {maxdiff})"
