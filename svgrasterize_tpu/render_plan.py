@@ -201,13 +201,14 @@ def _collect_draws(scene, transform: Transform, opacity: float, clip, out: list)
             clip_tr = hull.bbox_transform(transform)
         # group-level clip semantics (reference svgrasterize.py:698-715):
         # the subtree composes in isolation FIRST, then multiplies by the
-        # clip coverage once.  A single record is identical either way, so
-        # it keeps the cheap per-item multiply; several records diverge on
-        # clip AA edges wherever they overlap, so those isolate as a pass
-        # whose texture items carry the clip.
+        # clip coverage once.  A single record is identical either way, and
+        # a BINARY clip (exact 0/1 coverage everywhere) distributes over
+        # composition, so both keep the cheap per-item multiply; several
+        # records under a clip with AA edges diverge wherever they overlap,
+        # so those isolate as a pass whose texture items carry the clip.
         sub: list = []
         _collect_draws(target, transform, opacity, (clip_scene, clip_tr), sub)
-        if len(sub) > 1:
+        if len(sub) > 1 and not _clip_is_binary(clip_scene, clip_tr):
             out.append(("pass", target, transform, opacity, (clip_scene, clip_tr)))
         else:
             out.extend(sub)
@@ -269,6 +270,23 @@ def _clip_edges(clip_scene, transform: Transform, cache: dict):
     edges = np.concatenate(parts, axis=0)
     cache[key] = (edges, rule)
     return edges, rule
+
+
+def _clip_is_binary(clip_scene, clip_tr: Transform) -> bool:
+    """True when the clip's coverage is exactly 0/1 at every pixel: all
+    flattened edges axis-aligned on integer pixel boundaries (viewport
+    clips of nested <svg>/<symbol>/<marker> are the common case).  A
+    binary clip multiplied into each draw equals the reference's
+    group-layer COMPOSE_IN exactly, so such clips skip the isolation pass
+    (material-design: 936 nested-svg viewport clips stay one program)."""
+    try:
+        edges, _rule = _clip_edges(clip_scene, clip_tr, {})
+    except _Unsupported:
+        return False  # the normal path re-raises with context
+    if edges.shape[0] == 0:
+        return True
+    axis_aligned = (edges[:, 0] == edges[:, 2]) | (edges[:, 1] == edges[:, 3])
+    return bool(axis_aligned.all()) and bool(np.all(edges == np.round(edges)))
 
 
 def _paint_params(paint, hull: ConvexHull, transform: Transform, linear_rgb: bool):
