@@ -98,8 +98,45 @@ def test_clip_matches_interpreter():
           <rect x="40" y="40" width="80" height="30" fill="blue" clip-path="url(#cp)"/>
         </svg>
         """,
-        atol=0.02,  # per-draw clipping differs from group clipping on AA edges
+        # single-record clips keep the per-item multiply, which is exact
     )
+
+
+def test_group_clip_aa_isolates_as_pass():
+    """Overlapping translucent draws under ONE clip with AA edges: the
+    reference composes the subtree first, then clips once (group-level,
+    svgrasterize.py:698-715); the lowered plan must isolate it as a pass
+    to match the interpreter exactly."""
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="96" height="96">
+      <defs><clipPath id="cp"><circle cx="48" cy="48" r="30.3"/></clipPath></defs>
+      <g clip-path="url(#cp)">
+        <rect x="10" y="10" width="60" height="60" fill="#884422"/>
+        <circle cx="50" cy="50" r="28" fill="blue" fill-opacity="0.5"/>
+      </g>
+    </svg>"""
+    _compare(doc)
+    scene, _ids, _size = scene_from_str(doc)
+    lowered = lower_scene(scene, TR, (0, 0, 96, 96), False)
+    assert len(lowered.groups) == 1
+
+
+def test_binary_clip_stays_single_program():
+    """An integer axis-aligned clip rect has exactly 0/1 coverage, which
+    distributes over composition: no isolation pass, one device program
+    (material-design's 936 nested-svg viewport clips rely on this)."""
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="96" height="96">
+      <defs><clipPath id="cp"><rect x="16" y="16" width="64" height="64"/></clipPath></defs>
+      <g clip-path="url(#cp)">
+        <rect x="10" y="10" width="60" height="60" fill="#884422"/>
+        <circle cx="50" cy="50" r="28" fill="blue" fill-opacity="0.5"/>
+      </g>
+    </svg>"""
+    _compare(doc)
+    scene, _ids, _size = scene_from_str(doc)
+    lowered = lower_scene(scene, TR, (0, 0, 96, 96), False)
+    assert len(lowered.groups) == 0
 
 
 def test_evenodd_fill_rule():
