@@ -1329,10 +1329,10 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
                 if kind_r == "raster":
                     # a rect filled by a single-cell Pattern whose sub-scene
                     # is the raster (rides every accelerated paint path).
-                    # Pattern grids anchor in the translation-free frame
-                    # (reference parity, svgrasterize.py:1051/1073), so the
-                    # element's own x/y is folded into the cell anchor;
-                    # scaling maps through paint.transform
+                    # anchored=True keeps the draw transform's translation
+                    # in the tiling frame, so rotated placements stay
+                    # content-aligned; the element's own x/y folds into the
+                    # cell anchor, scaling maps through paint.transform
                     # (preserveAspectRatio=none behavior).
                     ih, iw = payload.shape[:2]
                     w = float(iw) if w is None else w
@@ -1341,7 +1341,7 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
                     paint = Pattern(
                         RasterImage(payload), False, None,
                         x / sx, y / sy, float(iw), float(ih),
-                        Transform().scale(sx, sy), False,
+                        Transform().scale(sx, sy), False, anchored=True,
                     )
                     rect = Path.from_svg(rect_path_data(x, y, w, h))
                     group.append(Scene.fill(rect, paint))

@@ -48,6 +48,13 @@ class Pattern(NamedTuple):
     height: float
     transform: Transform
     bbox_units: bool
+    # real <pattern> grids anchor in the translation-free frame (reference
+    # parity quirk, svgrasterize.py:1051/1073); anchored=True keeps the
+    # draw transform's translation in the tiling frame instead, so
+    # single-cell <image> placements stay content-aligned under rotation
+    # (a rotation about a point is linear + translation — stripping the
+    # translation shifts the cell modularly)
+    anchored: bool = False
 
     def bbox(self):
         return (self.x, self.y, self.width, self.height)
@@ -58,8 +65,11 @@ class RasterImage:
     sub-scene).
 
     Wraps a straight-alpha sRGB uint8 (H, W, 4) array; render() maps the
-    (0, 0, W, H) user box through the transform axis-aligned (rotated
-    placements degrade to their bounding box) with bilinear resampling.
+    (0, 0, W, H) user box through the transform with bilinear resampling:
+    positive axis-aligned (or axis-swapped) placements run as one
+    jax.image.resize, anything else (rotation, skew, flips) as an
+    inverse-mapped bilinear gather at output pixel centers — edge pixels
+    clamp, the enclosing rect geometry supplies the AA boundary.
     An <image> element lowers to a rect filled by a single-cell Pattern
     whose sub-scene is this object, so raster drawing rides the ordinary
     pattern paths (interpreter, batched executor, fused kernel) without a
@@ -88,7 +98,36 @@ class RasterImage:
         if rows <= 0 or cols <= 0:
             return None
         img = jnp.asarray(self.array, DEVICE_FLOAT) / 255.0
-        img = jax.image.resize(img, (rows, cols, 4), method="linear")
+        m = transform.m
+        simple = (
+            (transform.is_axis_aligned and m[0, 0] > 0 and m[1, 1] > 0)
+            or (transform.is_swap_axis_aligned and m[0, 1] > 0 and m[1, 0] > 0)
+        )
+        if simple:
+            img = jax.image.resize(img, (rows, cols, 4), method="linear")
+        else:
+            inv = transform.invert.m
+            pr = (jax.lax.broadcasted_iota(DEVICE_FLOAT, (rows, cols), 0)
+                  + (lo[0] + 0.5))
+            pc = (jax.lax.broadcasted_iota(DEVICE_FLOAT, (rows, cols), 1)
+                  + (lo[1] + 0.5))
+            # user dim0 spans the array's W columns, dim1 its H rows
+            fc = inv[0, 0] * pr + inv[0, 1] * pc + inv[0, 2] - 0.5
+            fr = inv[1, 0] * pr + inv[1, 1] * pc + inv[1, 2] - 0.5
+            fr = jnp.clip(fr, 0.0, float(h - 1))
+            fc = jnp.clip(fc, 0.0, float(w - 1))
+            r0 = jnp.floor(fr).astype(jnp.int32)
+            c0 = jnp.floor(fc).astype(jnp.int32)
+            r1 = jnp.minimum(r0 + 1, h - 1)
+            c1 = jnp.minimum(c0 + 1, w - 1)
+            wr = (fr - r0)[..., None]
+            wc = (fc - c0)[..., None]
+            img = (
+                img[r0, c0] * (1 - wr) * (1 - wc)
+                + img[r0, c1] * (1 - wr) * wc
+                + img[r1, c0] * wr * (1 - wc)
+                + img[r1, c1] * wr * wc
+            )
         layer = Layer(img, (int(lo[0]), int(lo[1])), pre_alpha=False,
                       linear_rgb=False)
         layer = layer.convert(pre_alpha=True, linear_rgb=linear_rgb)

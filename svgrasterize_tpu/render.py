@@ -146,7 +146,7 @@ def pattern_texture(paint: Pattern, hull, transform: Transform, linear_rgb: bool
     """
     from .frontend.svg import viewbox_transform
 
-    pat_tr = transform.no_translate()
+    pat_tr = transform if paint.anchored else transform.no_translate()
     if paint.scene_view_box:
         if paint.bbox_units:
             px, py, pw, ph = paint.bbox()
@@ -166,7 +166,9 @@ def pattern_texture(paint: Pattern, hull, transform: Transform, linear_rgb: bool
     repeat_tr = transform
     if paint.bbox_units:
         repeat_tr = hull.bbox_transform(repeat_tr)
-    repeat_tr = (repeat_tr @ paint.transform).no_translate()
+    repeat_tr = repeat_tr @ paint.transform
+    if not paint.anchored:
+        repeat_tr = repeat_tr.no_translate()
 
     corners = repeat_tr(
         [[0, 0], [paint.width, 0], [0, paint.height], [paint.width, paint.height]]

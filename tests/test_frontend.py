@@ -412,6 +412,52 @@ def test_image_element_raster():
     assert np.abs(img2[:64, :64] - full).max() < 0.02
 
 
+def test_image_element_rotated():
+    """A rotated <image> must rotate its CONTENT: the raster samples by
+    inverse-mapped bilinear gather and the single-cell pattern anchors
+    with the full transform (anchored=True keeps the translation a
+    rotation-about-a-point carries; the translation-free quirk is for
+    real <pattern> grids only)."""
+    import base64
+    import io
+
+    import numpy as np
+
+    import svgrasterize_tpu.render_plan as rp
+    from svgrasterize_tpu.core.png import write_png
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.frontend.svg import scene_from_xml
+
+    tile = np.zeros((4, 4, 4), np.uint8)
+    tile[:, :, 3] = 255
+    tile[:2, :2] = [255, 0, 0, 255]   # png top-left red
+    tile[:2, 2:] = [0, 255, 0, 255]   # top-right green
+    tile[2:, :] = [0, 0, 255, 255]    # bottom blue
+    uri = "data:image/png;base64," + base64.b64encode(
+        write_png(tile).getvalue()
+    ).decode()
+    svg = (
+        "<svg xmlns='http://www.w3.org/2000/svg' width='64' height='64'>"
+        "<g transform='rotate(90 24 24)'>"
+        f"<image href='{uri}' x='8' y='8' width='32' height='32'/></g></svg>"
+    )
+    scene, _ids, _size = scene_from_xml(io.StringIO(svg))
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    out = rp.render_fast(scene, tr, (0, 0, 64, 64), False)
+    assert out is not None
+    layer = out[0]
+    img = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)
+    full = np.zeros((64, 64, 4), np.float32)
+    full[layer.x : layer.x + img.shape[0], layer.y : layer.y + img.shape[1]] = (
+        img[: 64 - layer.x, : 64 - layer.y]
+    )
+    # +90deg screen rotation about the box center: old BL -> TL, TL -> TR
+    assert full[14, 14, 2] > 0.7   # TL blue (was bottom-left)
+    assert full[14, 34, 0] > 0.7   # TR red (was top-left)
+    assert full[34, 14, 2] > 0.7   # BL blue
+    assert full[34, 34, 1] > 0.7   # BR green (was top-right)
+
+
 def test_dash_closure_join():
     # SVG 11.4: on a closed subpath the trailing dash wraps the seam and
     # joins the leading dash instead of taking two caps
