@@ -186,6 +186,12 @@ class Scene(tuple):
             if result is None:
                 return None
             image, hull = result
+            # crop the source to the reference's layer extent (floor(min)-1
+            # .. ceil(max)+1 of the geometry, svgrasterize.py:966-967):
+            # valid-mode morphology pooling makes the layer EXTENT part of
+            # the semantics (the window anchors at the layer corner), so a
+            # bucketing-padded source diverges from the reference there
+            image = _crop_to_content(image, hull)
             return flt(transform, image), hull
 
         raise ValueError(f"unhandled scene kind: {kind}")
@@ -222,6 +228,25 @@ class Scene(tuple):
         out = io.StringIO()
         _repr_rec(self, out, 0)
         return out.getvalue()[:-1]
+
+
+def _crop_to_content(layer: Layer, hull: ConvexHull) -> Layer:
+    """Crop a layer to the reference's mask-extent convention:
+    floor(min)-1 .. ceil(max)+1 of the subtree geometry, intersected with
+    the layer's own extent (which is already viewport-clamped)."""
+    pts = hull.raw_points
+    if len(pts) == 0:
+        return layer
+    r0 = max(int(np.floor(pts[:, 0].min())) - 1, layer.x)
+    c0 = max(int(np.floor(pts[:, 1].min())) - 1, layer.y)
+    r1 = min(int(np.ceil(pts[:, 0].max())) + 1, layer.x + layer.height)
+    c1 = min(int(np.ceil(pts[:, 1].max())) + 1, layer.y + layer.width)
+    if r1 <= r0 or c1 <= c0:
+        return layer
+    if (r0, c0) == (layer.x, layer.y) and (r1 - r0, c1 - c0) == (layer.height, layer.width):
+        return layer
+    image = layer.image[r0 - layer.x : r1 - layer.x, c0 - layer.y : c1 - layer.y]
+    return Layer(image, (r0, c0), layer.pre_alpha, layer.linear_rgb)
 
 
 def _format_paint(paint: Any) -> str:

@@ -242,7 +242,7 @@ def test_random_patterns_masks_match_reference(reference, seed):
     assert bad.mean() < 0.006, f"{bad.sum()} px differ (seed {seed})"
 
 
-@pytest.mark.parametrize("seed", range(300, 308))
+@pytest.mark.parametrize("seed", [*range(300, 308), 308])
 def test_random_filter_chains_match_reference(reference, seed):
     """Random chains of the reference-executed filter primitives (blur,
     offset, colorMatrix, morphology, composite, merge).  Budget 2%:
