@@ -89,6 +89,11 @@ def stack_bytes(tt_rows: int, pool_rows: int, t_size: int) -> int:
     )
 
 
+def canvas_bytes(num_tiles: int, t_size: int) -> int:
+    """VMEM bytes of a resident channel-planar canvas (num_tiles+1 rows)."""
+    return (num_tiles + 1) * t_size * max(4 * t_size, LANES) * 4
+
+
 def _interpret() -> bool:
     return os.environ.get("SVGR_FUSED") == "interp"
 
@@ -103,6 +108,11 @@ def fused_k() -> int:
         return max(1, int(os.environ.get("SVGR_FUSED_K", "16")))
     except ValueError:
         return 16
+
+
+def fused_vout() -> bool:
+    """Resident-canvas (v3) kernel opt-out, for A/B measurement."""
+    return os.environ.get("SVGR_FUSED_VOUT", "1") != "0"
 
 
 def prepass_k() -> int:
@@ -545,10 +555,20 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
     flight so compute never stalls on the copies.  Cross-step state (flush
     counter, current tile) lives in SMEM scratch, which persists across
     the sequential TPU grid.
+
+    With the "vout" feature (v3) the ring machinery disappears entirely:
+    the WHOLE canvas is a VMEM-resident output (plan_features admits
+    "vout" only when stacks + canvas fit the budget) and each item
+    read-modify-writes its tile's row by dynamic index — the same
+    dynamic-row access the resident stacks already use.  Pallas copies
+    the canvas to HBM once after the last step, replacing the ~one flush
+    DMA per tile run (descriptor start + semaphore wait each, measured
+    half the frame on dense scenes) with a single bulk copy.
     """
     T = t_size
     K = k_items
 
+    vout = "vout" in features
     has_big = "big" in features
     has_clip = "clip" in features
     has_grad = "grad" in features
@@ -585,10 +605,11 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
             msk_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
         if has_pat:
             pat_ref = next(it)       # (Q+1, T, 4T) VMEM-resident pattern tiles
-        out_ref = next(it)           # (num_tiles+1, T, 4T) HBM, manual DMA
-        ring = next(it)              # (RING, T, 4T) VMEM scratch
-        state = next(it)             # (2,) SMEM scratch: flush count, cur tile
-        sems = next(it)              # (RING,) DMA semaphores
+        out_ref = next(it)           # (num_tiles+1, T, 4T): vout = VMEM
+        if not vout:                 # else HBM + manual ring DMA
+            ring = next(it)          # (RING, T, 4T) VMEM scratch
+            state = next(it)         # (2,) SMEM: flush count, cur tile
+            sems = next(it)          # (RING,) DMA semaphores
 
         s = pl.program_id(0)
         nsteps = pl.num_programs(0)
@@ -598,6 +619,45 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
         lane_col = (
             jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % T
         ).astype(f32)
+
+        def compute(kq, i):
+            return _item_compute(
+                T, k_stops, features, rows, rows8, lane_col,
+                edge_at=lambda p: edges_ref[kq, p],
+                ip=lambda j: iparams_ref[kq, 0, j],
+                fp=lambda j: fparams_ref[kq, 0, j],
+                carry_col=carries_ref[kq, :, 0:1],
+                clip_col=carries_ref[kq, :, 1:2] if has_clip else None,
+                color_row=color_ref[kq, 0],
+                stop_off=(lambda k: stop_off_ref[kq, 0, k]) if has_grad else None,
+                stop_row=(lambda k: stops_ref[kq, k]) if has_grad else None,
+                big_field=big_ref[scalar_refs[s_slots["big"]][i]]
+                if has_big else None,
+                clip_field=clip_ref[scalar_refs[s_slots["clip"]][i]]
+                if has_clip else None,
+                tex_field=tex_ref[scalar_refs[s_slots["tex"]][i]]
+                if has_tex else None,
+                mask_field=msk_ref[scalar_refs[s_slots["mask"]][i]]
+                if has_mask else None,
+                pat_field=pat_ref[scalar_refs[s_slots["pat"]][i]]
+                if has_pat else None,
+            )
+
+        if vout:
+            # v3: dynamic-row RMW straight into the VMEM-resident canvas;
+            # no ring, no semaphores, no per-run flushes
+            def item_vout(kq, _):
+                i = s * K + kq
+                tile = tile_ref[i]
+                rgba, alpha = compute(kq, i)
+                j = jnp.maximum(i - 1, 0)
+                first = (i == 0) | (tile != tile_ref[j])
+                prev = jnp.where(first, 0.0, out_ref[tile])
+                out_ref[tile] = rgba + prev * (1.0 - alpha)
+                return 0
+
+            jax.lax.fori_loop(0, K, item_vout, 0)
+            return
 
         @pl.when(s == 0)
         def _():
@@ -643,27 +703,7 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
 
             state[1] = tile
 
-            rgba, alpha = _item_compute(
-                T, k_stops, features, rows, rows8, lane_col,
-                edge_at=lambda p: edges_ref[kq, p],
-                ip=lambda j: iparams_ref[kq, 0, j],
-                fp=lambda j: fparams_ref[kq, 0, j],
-                carry_col=carries_ref[kq, :, 0:1],
-                clip_col=carries_ref[kq, :, 1:2] if has_clip else None,
-                color_row=color_ref[kq, 0],
-                stop_off=(lambda k: stop_off_ref[kq, 0, k]) if has_grad else None,
-                stop_row=(lambda k: stops_ref[kq, k]) if has_grad else None,
-                big_field=big_ref[scalar_refs[s_slots["big"]][i]]
-                if has_big else None,
-                clip_field=clip_ref[scalar_refs[s_slots["clip"]][i]]
-                if has_clip else None,
-                tex_field=tex_ref[scalar_refs[s_slots["tex"]][i]]
-                if has_tex else None,
-                mask_field=msk_ref[scalar_refs[s_slots["mask"]][i]]
-                if has_mask else None,
-                pat_field=pat_ref[scalar_refs[s_slots["pat"]][i]]
-                if has_pat else None,
-            )
+            rgba, alpha = compute(kq, i)
 
             slot = jax.lax.rem(state[0], RING)
             prev = jnp.where(changed | (i == 0), 0.0, ring[slot])
@@ -853,19 +893,30 @@ def execute_items_fused(
     for f in features:
         if isinstance(f, tuple) and f[0] == "nreal":
             n_real = max(1, min(int(f[1]), n))
+    use_vout = "vout" in features and kb > 1
     if kb > 1:
         kernel, _slots, n_scalars = _kernel_factory_k(T, k_stops, features, kb)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=n_scalars,
-            grid=(-(-n_real // kb),),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((RING, T, 4 * T), f32),
-                pltpu.SMEM((2,), jnp.int32),
-                pltpu.SemaphoreType.DMA((RING,)),
-            ],
-        )
+        if use_vout:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=n_scalars,
+                grid=(-(-n_real // kb),),
+                in_specs=in_specs,
+                # whole canvas VMEM-resident across the grid, one bulk
+                # copy-out after the last step
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=n_scalars,
+                grid=(-(-n_real // kb),),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                scratch_shapes=[
+                    pltpu.VMEM((RING, T, 4 * T), f32),
+                    pltpu.SMEM((2,), jnp.int32),
+                    pltpu.SemaphoreType.DMA((RING,)),
+                ],
+            )
     else:
         kernel, _slots, n_scalars = _kernel_factory(T, k_stops, features)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -885,8 +936,8 @@ def execute_items_fused(
             # the pre-pass winding stacks and the isolation pool stay
             # VMEM-resident (dynamic per-item row reads beat per-step
             # block gathers by ~30x); raise the scoped limit accordingly
-            vmem_limit_bytes=100 * 1024 * 1024,
-            has_side_effects=kb > 1,
+            vmem_limit_bytes=(120 if use_vout else 100) * 1024 * 1024,
+            has_side_effects=kb > 1 and not use_vout,
         ),
         interpret=_interpret(),
     )(*scalars, *tensors)
@@ -986,6 +1037,12 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
         # padding items carry the scratch tile id (== num_tiles), sorted last
         n_real = int((items["tile_id"] < num_tiles).sum())
         f.append(("nreal", max(n_real, 1)))
+        if fused_vout() and (
+            stack_bytes(tt_rows, pool_rows, t_size)
+            + canvas_bytes(num_tiles, t_size)
+            <= vmem_budget()
+        ):
+            f.append("vout")
     return frozenset(f)
 
 

@@ -1311,6 +1311,8 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         os.environ.get("SVGR_FUSED", "")
         + ":" + os.environ.get("SVGR_FUSED_K", "")
         + ":" + os.environ.get("SVGR_PREPASS_K", "")
+        + ":" + os.environ.get("SVGR_FUSED_VOUT", "")
+        + ":" + os.environ.get("SVGR_VMEM_BUDGET", "")
     )
     cache = items.get("_device_cache")
     if cache is None or cache["mode"] != mode:

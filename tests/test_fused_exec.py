@@ -21,21 +21,26 @@ from svgrasterize_tpu.core.transform import Transform
 TR = Transform().matrix(0, 1, 0, 1, 0, 0)
 
 
-def _compare(svg: str, viewport, tol=1e-5, tile=None):
+def _compare(svg: str, viewport, tol=1e-5, tile=None, vout=True):
     scene, _ids, _size = scene_from_str(svg)
     lowered = rp.lower_scene(scene, TR, viewport, False, tile=tile)
     assert lowered is not None, "scene must lower"
-    prev = os.environ.get("SVGR_FUSED")
+    prev = {k: os.environ.get(k) for k in ("SVGR_FUSED", "SVGR_FUSED_VOUT")}
     try:
         os.environ["SVGR_FUSED"] = "0"
         ref = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
         os.environ["SVGR_FUSED"] = "interp"
+        if not vout:
+            os.environ["SVGR_FUSED_VOUT"] = "0"
         got = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        feats = lowered.items["_device_cache"]["features"]
+        assert feats is not None and ("vout" in feats) == vout, feats
     finally:
-        if prev is None:
-            os.environ.pop("SVGR_FUSED", None)
-        else:
-            os.environ["SVGR_FUSED"] = prev
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     assert np.abs(ref - got).max() <= tol, (
         f"fused executor diverges: {np.abs(ref - got).max()}"
     )
@@ -69,6 +74,24 @@ def test_gradients_clips_carries():
         <path d='M2 2 C 90 0, 4 60, 94 62 L 94 2 Z' fill='#208040' opacity='0.5'/>
         </svg>""",
         (0, 0, 64, 96),
+    )
+
+
+def test_ring_kernel_gradients_clips_carries():
+    """SVGR_FUSED_VOUT=0 keeps the ring-flush (v2) kernel covered now that
+    small canvases default to the resident-canvas (v3) path."""
+    _compare(
+        """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <defs>
+        <linearGradient id='lg' x1='0' y1='0' x2='1' y2='1'>
+        <stop offset='0' stop-color='#ff0000'/><stop offset='1' stop-color='#0000ff'/>
+        </linearGradient>
+        <clipPath id='c'><circle cx='30' cy='30' r='22'/></clipPath></defs>
+        <rect x='4' y='4' width='50' height='40' fill='url(#lg)' clip-path='url(#c)'/>
+        <path d='M2 2 C 90 0, 4 60, 94 62 L 94 2 Z' fill='#208040' opacity='0.5'/>
+        </svg>""",
+        (0, 0, 64, 96),
+        vout=False,
     )
 
 
