@@ -1090,12 +1090,25 @@ def _plan_groups(builder: "_Builder") -> list:
     A pass depends only on pool rows written by passes emitted before it, so
     leveling by referenced owners gives a correct topological batching: every
     level is one packed program over a *virtual row space* (the concatenation
-    of its passes' output/source tiles), followed by one pool scatter (plus
+    of its passes' output/source tiles), followed by one pool update (plus
     host-coordinated filter post-ops for filter passes).
+
+    Pool rows are RENUMBERED into the post stage's EMISSION order — level
+    by level, per-part outputs first, then each batched-blur chunk's
+    (ops/filter_batch) — so each level's outputs form one contiguous,
+    already-ordered block ("pool_lo" + "pool_n" on the group): the
+    level's pool update is then a single dynamic_update_slice with no
+    row permutation.  (A static row scatter lowers to one sequential
+    per-row update on TPU, ~3.3 ms of icons.svg's 7.2 ms serve; a
+    device-side whole-row permutation gather costs ~2.5 ms of the same.)
+    Returns (groups, lut) where lut maps emission-order pool rows to the
+    new order; the caller remaps the main stream's tex/mask references.
     """
+    from .ops import filter_batch
+
     passes = builder.passes
     if not passes:
-        return []
+        return [], None
     owner = np.zeros(builder.pool_size, np.int32)
     for i, p in enumerate(passes):
         owner[p.pool_base : p.pool_base + len(p.out_tiles)] = i
@@ -1104,9 +1117,12 @@ def _plan_groups(builder: "_Builder") -> list:
         if p.refs:
             level[i] = 1 + max(level[int(owner[r])] for r in p.refs)
 
+    lut = np.zeros(max(builder.pool_size, 1), np.int32)
+    new_row = 0
     groups = []
     for lev in range(max(level) + 1):
         members = [p for i, p in enumerate(passes) if level[i] == lev]
+        pool_lo = new_row
         row = 0
         merged: list = []
         parts: list = []
@@ -1124,12 +1140,37 @@ def _plan_groups(builder: "_Builder") -> list:
                     "src_tiles": p.src_tiles,
                     "out_tiles": p.out_tiles,
                     "post": p.post,
-                    "pool_base": p.pool_base,
+                    "pool_base": None,  # assigned below, in emission order
                 }
             )
             row += len(row_tiles)
+
+        chunk_groups, batched = filter_batch.plan_level(
+            parts, builder.grid_w, (builder.v0, builder.v1), builder.tile
+        )
+
+        def assign(pi):
+            nonlocal new_row
+            n = len(members[pi].out_tiles)
+            parts[pi]["pool_base"] = new_row
+            base = members[pi].pool_base
+            lut[base : base + n] = np.arange(new_row, new_row + n)
+            new_row += n
+
+        for pi in range(len(parts)):
+            if pi not in batched:
+                assign(pi)
+        for grp, _lin in chunk_groups:
+            for pi, spec in grp:
+                assign(pi)
+                spec["pool_base"] = parts[pi]["pool_base"]
+        chunks = filter_batch.build_chunks(chunk_groups, builder.grid_w, builder.tile)
+
         merged.sort(key=lambda r: (r[0], r[1]))
         items, bigs, clips = builder._pack(merged, pad_tile=row)
+        for key in ("tex_idx", "mask_idx"):
+            arr = items[key]
+            items[key] = np.where(arr >= 0, lut[np.maximum(arr, 0)], arr)
         groups.append(
             {
                 "items": items,
@@ -1137,10 +1178,13 @@ def _plan_groups(builder: "_Builder") -> list:
                 "clips": clips,
                 "rows": row,
                 "parts": parts,
+                "pool_lo": pool_lo,
+                "pool_n": new_row - pool_lo,
+                "_blur_batch": (chunks, batched),
                 "needs_pool": any(p.refs for p in members),
             }
         )
-    return groups
+    return groups, lut
 
 
 class Lowered(NamedTuple):
@@ -1178,7 +1222,11 @@ def lower_scene(scene, transform: Transform, viewport, linear_rgb: bool, tile: i
         hull = ConvexHull(np.concatenate(builder.all_points, axis=0))
     else:
         hull = ConvexHull(np.zeros((0, 2)))
-    groups = _plan_groups(builder)
+    groups, pool_lut = _plan_groups(builder)
+    if pool_lut is not None:
+        for key in ("tex_idx", "mask_idx"):
+            arr = items[key]
+            items[key] = np.where(arr >= 0, pool_lut[np.maximum(arr, 0)], arr)
     if builder.patterns:
         p_h = _bucket(max(t.shape[0] for t in builder.patterns), minimum=8)
         p_w = _bucket(max(t.shape[1] for t in builder.patterns), minimum=8)
@@ -1221,20 +1269,51 @@ def _group_post_program(group, grid_w, viewport, linear_rgb, t_size):
 
 
 def _apply_group_post(canvas, pool, group, grid_w, viewport, linear_rgb, t_size):
-    """Traceable post-op stage for one group: (canvas, pool) -> pool."""
-    import jax.numpy as jnp
+    """Traceable post-op stage for one group: (canvas, pool) -> pool.
 
-    idx: list = []
+    Single-blur filter parts (the dominant population in filter-heavy
+    scenes) execute in a few batched-matmul chunks instead of one op
+    chain per part — see ops/filter_batch.  The batch plan is host
+    metadata, computed once and cached on the group dict."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .ops import filter_batch
+
+    plan = group.get("_blur_batch")
+    if plan is None:
+        plan = group["_blur_batch"] = filter_batch.plan_level_batches(
+            group["parts"], grid_w, viewport, t_size
+        )
+    chunks, batched = plan
+
+    # _plan_groups numbers each level's pool rows contiguously, so the
+    # update is ONE dynamic-update-slice at pool_lo — never a row scatter
+    # (a static scatter lowers to a sequential per-row update on TPU;
+    # measured ~3.3 ms of icons.svg's 7.2 ms serve)
+    lo = group["pool_lo"]
+    pos: list = []
     outs: list = []
-    for p in group["parts"]:
+    for pi, p in enumerate(group["parts"]):
+        if pi in batched:
+            continue
         if p["post"] is None:
-            idx.extend(range(p["pool_base"], p["pool_base"] + p["n_rows"]))
             outs.append(canvas[p["row_start"] : p["row_start"] + p["n_rows"]])
+            n = p["n_rows"]
         else:
-            out = _apply_part_filter(canvas, p, grid_w, viewport, linear_rgb, t_size)
-            idx.extend(range(p["pool_base"], p["pool_base"] + len(p["out_tiles"])))
-            outs.append(out)
-    return pool.at[jnp.asarray(idx, jnp.int32)].set(jnp.concatenate(outs, axis=0))
+            outs.append(_apply_part_filter(canvas, p, grid_w, viewport, linear_rgb, t_size))
+            n = len(p["out_tiles"])
+        pos.extend(range(p["pool_base"] - lo, p["pool_base"] - lo + n))
+    for ck in chunks:
+        pos.extend(i - lo for i in ck["pool_idx"])
+        outs.append(filter_batch.apply_chunk(canvas, ck, t_size, linear_rgb))
+    new_rows = jnp.concatenate(outs, axis=0)
+    if pos != list(range(len(pos))):
+        # batched chunks emit out of pool order: one whole-row permutation
+        perm = np.empty(len(pos), np.int64)
+        perm[np.asarray(pos)] = np.arange(len(pos))
+        new_rows = new_rows[jnp.asarray(perm, jnp.int32)]
+    return lax.dynamic_update_slice_in_dim(pool, new_rows, lo, axis=0)
 
 
 def _apply_part_filter(canvas, part, grid_w, viewport, linear_rgb, t_size):

@@ -1,0 +1,80 @@
+"""Batched blur-part execution (ops/filter_batch) vs the per-part path.
+
+The batched path replaces each single-feGaussianBlur isolation part's op
+chain with chunked batched band matmuls; it must match the per-part path
+to float precision on every part shape it admits (separable blurs,
+sub-pixel identity blurs, SourceAlpha inputs, both colorspaces) and must
+leave inadmissible parts (non-separable kernels, multi-primitive chains)
+to the per-part path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import svgrasterize_tpu.render_plan as rp
+from svgrasterize_tpu.core.transform import Transform
+from svgrasterize_tpu.frontend.svg import scene_from_str
+
+TR = Transform().matrix(0, 1, 0, 1, 0, 0)
+
+BLURS = """<svg xmlns='http://www.w3.org/2000/svg' width='200' height='150'>
+<defs>
+ <filter id='b1'><feGaussianBlur stdDeviation='3'/></filter>
+ <filter id='b2'><feGaussianBlur stdDeviation='1.5 4'/></filter>
+ <filter id='b3'><feGaussianBlur stdDeviation='0.1'/></filter>
+ <filter id='ba'><feGaussianBlur in='SourceAlpha' stdDeviation='2'/></filter>
+</defs>
+<rect x='10' y='10' width='60' height='40' fill='#c03030' filter='url(#b1)'/>
+<circle cx='120' cy='40' r='25' fill='#3060c0' opacity='0.7' filter='url(#b2)'/>
+<rect x='30' y='80' width='40' height='30' fill='#30a050' filter='url(#b3)'/>
+<ellipse cx='140' cy='100' rx='30' ry='18' fill='#a050a0' filter='url(#ba)'/>
+<rect x='80' y='120' width='100' height='20' fill='#806020' filter='url(#b1)'/>
+</svg>"""
+
+MIXED = """<svg xmlns='http://www.w3.org/2000/svg' width='160' height='120'>
+<defs>
+ <filter id='b'><feGaussianBlur stdDeviation='2'/></filter>
+ <filter id='sh'><feDropShadow dx='3' dy='3' stdDeviation='2'/></filter>
+</defs>
+<rect x='10' y='10' width='50' height='40' fill='#c03030' filter='url(#b)'/>
+<rect x='80' y='20' width='50' height='40' fill='#3060c0' filter='url(#sh)'/>
+<circle cx='50' cy='90' r='20' fill='#108030' filter='url(#b)'/>
+</svg>"""
+
+
+def _render(doc: str, batch: bool, linear: bool = False):
+    scene, _ids, size = scene_from_str(doc)
+    viewport = (0, 0, int(size[1]), int(size[0]))
+    prev = os.environ.get("SVGR_BLUR_BATCH")
+    try:
+        os.environ["SVGR_BLUR_BATCH"] = "1" if batch else "0"
+        lowered = rp.lower_scene(scene, TR, viewport, linear)
+        assert lowered is not None
+        out = np.asarray(rp.execute_lowered(lowered, viewport[:2], linear))
+    finally:
+        if prev is None:
+            os.environ.pop("SVGR_BLUR_BATCH", None)
+        else:
+            os.environ["SVGR_BLUR_BATCH"] = prev
+    n_batched = sum(
+        len(g.get("_blur_batch", ((), set()))[1]) for g in lowered.groups
+    )
+    return out, n_batched
+
+
+@pytest.mark.parametrize("linear", [False, True], ids=["srgb", "linear"])
+def test_batched_blurs_match_per_part(linear):
+    ref, n0 = _render(BLURS, batch=False, linear=linear)
+    got, n1 = _render(BLURS, batch=True, linear=linear)
+    assert n0 == 0 and n1 == 5, (n0, n1)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_mixed_chains_partition():
+    """Drop-shadow chains stay per-part; lone blurs batch; results agree."""
+    ref, _ = _render(MIXED, batch=False)
+    got, n1 = _render(MIXED, batch=True)
+    assert n1 == 2, n1
+    np.testing.assert_allclose(got, ref, atol=1e-5)
