@@ -114,7 +114,12 @@ def _material_throughput(width: int | None, reps: int):
 def _call_latency(fn, calls: int = 8, reps: int = 2) -> float:
     """Amortized per-call latency of fn() in seconds, dispatch included:
     delta between 1 and 1+calls pipelined invocations (only the tail
-    forces), so the per-call figure matches serving throughput."""
+    forces), so the per-call figure matches serving throughput.
+
+    The chain must be long enough that the delta clears the tunnel's
+    dispatch-timing noise (several ms between two chained forces): for
+    sub-ms scenes the call count auto-scales until the measured chain
+    spans >= ~30 ms, else the delta can go negative and clamp to zero."""
     import numpy as np
 
     def run(n: int) -> float:
@@ -125,11 +130,15 @@ def _call_latency(fn, calls: int = 8, reps: int = 2) -> float:
         return time.perf_counter() - start
 
     run(1)  # compile
-    vals = []
-    for _ in range(reps):
-        t1 = run(1)
-        tn = run(1 + calls)
-        vals.append(max((tn - t1) / calls, 1e-9))
+    for _ in range(4):
+        vals = []
+        for _ in range(reps):
+            t1 = run(1)
+            tn = run(1 + calls)
+            vals.append(max((tn - t1) / calls, 1e-9))
+        if min(vals) * calls >= 0.03 or calls >= 512:
+            return min(vals)
+        calls *= 8
     return min(vals)
 
 
