@@ -123,6 +123,18 @@ def prepass_k() -> int:
         return 8
 
 
+def _ablate() -> str:
+    """Measurement hook: skip kernel stages to attribute frame time.
+    '' (off) | 'stub' | 'nowind' | 'nocov'."""
+    return os.environ.get("SVGR_ABLATE", "")
+
+
+def fused_unroll() -> bool:
+    """Unroll the K-item loop in the resident-canvas kernel (static item
+    index -> static operand-block offsets, cross-item software pipelining)."""
+    return os.environ.get("SVGR_FUSED_UNROLL", "0") == "1"
+
+
 def _clamp_antideriv(t):
     return jnp.where(t <= 0, 0.0, jnp.where(t >= 1, t - 0.5, 0.5 * t * t))
 
@@ -355,25 +367,39 @@ def _item_compute(
     """
     f32 = DEVICE_FLOAT
     has_grad = "grad" in features
+    ablate = _ablate()
+
+    if ablate.startswith("stub"):
+        if color_row is None:
+            rgba = jnp.full((T, 4 * T), 0.5, f32)
+        else:
+            rgba = jnp.broadcast_to(color_row.reshape(1, 4 * T), (T, 4 * T))
+        return rgba, pltpu.repeat(rgba[:, 3 * T : 4 * T], 4, axis=1)
 
     # ---- inline winding: G edges per pass, banded (8, 128) registers ----
-    accs = jax.lax.fori_loop(
-        0,
-        ip(4),
-        _winding_pass_body(edge_at, rows8, lane_col, T // 8),
-        _winding_accs(T // 8),
-    )
-    wind = _fold_bands(accs, T)
+    if ablate == "nowind":
+        wind = jnp.zeros((T, T), f32)
+    else:
+        accs = jax.lax.fori_loop(
+            0,
+            ip(4),
+            _winding_pass_body(edge_at, rows8, lane_col, T // 8),
+            _winding_accs(T // 8),
+        )
+        wind = _fold_bands(accs, T)
 
     if big_field is not None:
         wind = wind + big_field
     wind = wind + carry_col
-    cov = _coverage(wind, ip(1))
-    if clip_field is not None:
-        cw = clip_field + clip_col
-        cov = cov * _coverage(cw, ip(2))
-    mask = cov * fp(16)
-    mask = jnp.where(mask < 1e-6, 0.0, mask)
+    if ablate == "nocov":
+        mask = wind
+    else:
+        cov = _coverage(wind, ip(1))
+        if clip_field is not None:
+            cw = clip_field + clip_col
+            cov = cov * _coverage(cw, ip(2))
+        mask = cov * fp(16)
+        mask = jnp.where(mask < 1e-6, 0.0, mask)
     mask128 = pltpu.repeat(mask, 4, axis=1)  # planar tile -> (T, 4T)
 
     # ---- paint ------------------------------------------------------
@@ -583,6 +609,8 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
             s_slots[name] = len(s_slots)
     n_scalars = len(s_slots)
 
+    ablate = _ablate()
+
     def kernel(*refs):
         scalar_refs = refs[:n_scalars]
         tile_ref = scalar_refs[s_slots["tile"]]
@@ -644,19 +672,44 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
             )
 
         if vout:
-            # v3: dynamic-row RMW straight into the VMEM-resident canvas;
-            # no ring, no semaphores, no per-run flushes
-            def item_vout(kq, _):
+            # v3: compose into the VMEM-resident canvas; no ring, no
+            # semaphores.  tile_id is sorted, so each tile is ONE
+            # contiguous run: the running tile accumulates in a register
+            # and touches its canvas row only at run boundaries (a fresh
+            # run always starts from zero; a run continuing across the
+            # step boundary is re-read once by the peeled first item,
+            # matching the end-of-step flush below).  A dynamic-index
+            # VMEM read-modify-write per ITEM was the single largest
+            # line item of the stub-kernel floor.
+            i0 = s * K
+            tile0 = tile_ref[i0]
+            rgba, alpha = compute(0, i0)
+            j0 = jnp.maximum(i0 - 1, 0)
+            first = (i0 == 0) | (tile0 != tile_ref[j0])
+            prev = jnp.where(first, 0.0, out_ref[tile0])
+            carry = (rgba + prev * (1.0 - alpha), tile0)
+
+            def item_vout(kq, carry):
+                acc, cur = carry
                 i = s * K + kq
                 tile = tile_ref[i]
                 rgba, alpha = compute(kq, i)
-                j = jnp.maximum(i - 1, 0)
-                first = (i == 0) | (tile != tile_ref[j])
-                prev = jnp.where(first, 0.0, out_ref[tile])
-                out_ref[tile] = rgba + prev * (1.0 - alpha)
-                return 0
+                changed = tile != cur
 
-            jax.lax.fori_loop(0, K, item_vout, 0)
+                @pl.when(changed)
+                def _():
+                    out_ref[cur] = acc
+
+                acc = jnp.where(changed, rgba, rgba + acc * (1.0 - alpha))
+                return acc, tile
+
+            if fused_unroll():
+                for kq in range(1, K):
+                    carry = item_vout(kq, carry)
+            else:
+                carry = jax.lax.fori_loop(1, K, item_vout, carry)
+            acc, cur = carry
+            out_ref[cur] = acc
             return
 
         @pl.when(s == 0)
