@@ -135,6 +135,14 @@ def fused_unroll() -> bool:
     return os.environ.get("SVGR_FUSED_UNROLL", "0") == "1"
 
 
+def static_passes() -> bool:
+    """Run every item's winding loop to the static maximum pass count
+    instead of its own dynamic count (padding edges contribute exactly
+    zero, so the result is identical).  Trades ~2.6x more pass
+    iterations for a statically-bounded (unrollable) inner loop."""
+    return os.environ.get("SVGR_STATIC_PASSES", "0") == "1"
+
+
 def _clamp_antideriv(t):
     return jnp.where(t <= 0, 0.0, jnp.where(t >= 1, t - 0.5, 0.5 * t * t))
 
@@ -356,6 +364,7 @@ def _item_compute(
     T: int, k_stops: int, features: frozenset, rows, rows8, lane_col,
     edge_at, ip, fp, carry_col, clip_col, color_row, stop_off, stop_row,
     big_field, clip_field, tex_field, mask_field, pat_field,
+    n_pass: int | None = None,
 ):
     """One work item's premultiplied (rgba, alpha) planar tiles (T, 4T).
 
@@ -379,6 +388,12 @@ def _item_compute(
     # ---- inline winding: G edges per pass, banded (8, 128) registers ----
     if ablate == "nowind":
         wind = jnp.zeros((T, T), f32)
+    elif static_passes() and n_pass is not None:
+        body = _winding_pass_body(edge_at, rows8, lane_col, T // 8)
+        accs = _winding_accs(T // 8)
+        for p in range(n_pass):
+            accs = body(p, accs)
+        wind = _fold_bands(accs, T)
     else:
         accs = jax.lax.fori_loop(
             0,
@@ -550,6 +565,7 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             tex_field=tex_ref[scalar_refs[s_slots["tex"]][i]] if has_tex else None,
             mask_field=msk_ref[scalar_refs[s_slots["mask"]][i]] if has_mask else None,
             pat_field=pat_ref[scalar_refs[s_slots["pat"]][i]] if has_pat else None,
+            n_pass=edges_ref.shape[1],
         )
 
         # ---- Porter-Duff OVER into the revisited canvas block -----------
@@ -669,6 +685,7 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
                 if has_mask else None,
                 pat_field=pat_ref[scalar_refs[s_slots["pat"]][i]]
                 if has_pat else None,
+                n_pass=edges_ref.shape[1],
             )
 
         if vout:
@@ -806,7 +823,13 @@ def execute_items_fused(
     # big items REPLACE their winding with the pre-pass field in the XLA
     # executor (their inline lines are not guaranteed empty) — skip their
     # inline passes so add == replace
-    passes = jnp.where(items["big_idx"].astype(jnp.int32) >= 0, 0, passes)
+    big_item = items["big_idx"].astype(jnp.int32) >= 0
+    passes = jnp.where(big_item, 0, passes)
+    if static_passes():
+        # the kernel runs every pass unconditionally; zeroed params make
+        # a padding edge contribute exactly 0, so zero big items' inline
+        # edges instead of relying on the dynamic pass count
+        edges = jnp.where(big_item[:, None, None, None], 0.0, edges)
 
     carries = jnp.stack(
         [items["carry"].astype(f32), items["clip_carry"].astype(f32)], axis=-1
