@@ -54,14 +54,7 @@ def main(argv=None) -> int:
     if opts.platform:
         jax.config.update("jax_platforms", opts.platform)
     cache_dir = os.environ.get("SVGR_COMPILE_CACHE", "/tmp/jax_cache")
-    # CPU is excluded: XLA:CPU AOT artifacts stamp pseudo machine features
-    # (+prefer-no-scatter/-gather) that fail the loader's host check even on
-    # the machine that wrote them, so the cache never reloads cross-process
-    # and every warm run spams cpu_aot_loader errors.  Remote/TPU platforms
-    # are where entries cost minutes and reload fine.
-    if opts.platform == "cpu":
-        jax.config.update("jax_compilation_cache_dir", None)  # undo import-time setup
-    elif cache_dir and cache_dir != "0":
+    if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
