@@ -860,7 +860,11 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
     with the curve.  Glyphs whose midpoints fall off the path are not
     rendered.  startOffset supports user units and %-of-path-length;
     spacing is parsed ("auto" renders like the default "exact", which the
-    spec permits).
+    spec permits).  <tspan> children are styled runs: each run cascades
+    its own fill/font-* attributes (plus dx, an extra shift along the
+    path) and continues the pen from the previous run's arc position;
+    x/y repositioning inside a textPath is ignored (glyph placement is
+    arc-length driven).
     """
     import math
 
@@ -886,16 +890,24 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
     if total <= 0:
         return []
 
-    text = " ".join("".join(element.itertext()).split())
-    if not text:
-        return []
-    size = parse_float(attrs.get("font-size", str(DEFAULT_FONT_SIZE)))
-    font = fonts.resolve(
-        attrs.get("font-family"),
-        font_weight(attrs.get("font-weight")),
-        attrs.get("font-style"),
-    )
-    if font is None:
+    # styled runs: the textPath's own text, then tspan children (with the
+    # usual attribute cascade), tails in the parent's style — document order
+    runs: list = []
+
+    def _collect(node, node_attrs):
+        if node.text:
+            runs.append((node.text, node_attrs))
+        for child in node:
+            if _local_tag(child) == "tspan":
+                child_attrs = cascade_attrs(
+                    child.attrib, node_attrs, ids.get("\x00css"), "tspan"
+                )
+                _collect(child, child_attrs)
+            if child.tail:
+                runs.append((child.tail, node_attrs))
+
+    _collect(element, attrs)
+    if not runs:
         return []
 
     start = attrs.get("startOffset", "0")
@@ -904,9 +916,6 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
     else:
         start_offset = parse_size(start) or 0.0
 
-    scale = size / font.units_per_em
-    placed, _advance = font.shape(text)
-    glyph_scale = Transform().scale(scale, -scale)
     stretch = element.get("method", attrs.get("method", "align")) == "stretch"
 
     safe_len = np.where(seg_len > 1e-12, seg_len, 1.0)
@@ -923,52 +932,90 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
         normal = np.stack([-t[:, 1], t[:, 0]], axis=1)
         return pos + normal * pts[:, 1:2]
 
-    subpaths: list = []
-    for pen, glyph in placed:
-        width = glyph.advance * scale
-        base = start_offset + pen * scale
-        mid = base + width / 2
-        if mid < 0 or mid > total:
-            continue  # off-path glyphs are not rendered (spec)
-        if stretch:
-            # x-advance becomes arc length: warp every outline point
-            # (curve control points included — the standard approximation;
-            # arcs expand to cubics first, their params are not points)
-            from ..geom import arc as arc_ops
-            from ..geom.path import PATH_ARC, PATH_CUBIC
-
-            flat = glyph.path.transform(
-                Transform().translate(base, 0.0) @ glyph_scale
-            )
-            for sub in flat.subpaths:
-                warped = []
-                for kind, payload in sub:
-                    if kind == PATH_ARC:
-                        for cub in arc_ops.to_cubics(*payload):
-                            pts = warp(np.asarray(cub, dtype=FLOAT))
-                            warped.append((PATH_CUBIC, pts.tolist()))
-                    else:
-                        pts = warp(np.asarray(payload, dtype=FLOAT))
-                        warped.append((kind, pts.tolist()))
-                subpaths.append(warped)
-            continue
-        seg = min(np.searchsorted(cum, mid, side="right") - 1, len(seg_len) - 1)
-        if seg_len[seg] <= 1e-12:
-            continue
-        frac = (mid - cum[seg]) / seg_len[seg]
-        point = points[seg] + seg_vec[seg] * frac
-        angle = math.atan2(seg_vec[seg][1], seg_vec[seg][0])
-        tr = (
-            Transform()
-            .translate(point[0], point[1])
-            .rotate(angle)
-            .translate(-width / 2, 0.0)
-            @ glyph_scale
+    def place_run(text, run_attrs, pen_u):
+        """Lay one styled run starting at arc position pen_u (user units).
+        Returns (subpaths, next pen_u)."""
+        size = parse_float(run_attrs.get("font-size", str(DEFAULT_FONT_SIZE)))
+        font = fonts.resolve(
+            run_attrs.get("font-family"),
+            font_weight(run_attrs.get("font-weight")),
+            run_attrs.get("font-style"),
         )
-        subpaths.extend(glyph.path.transform(tr).subpaths)
-    if not subpaths:
-        return []
-    return build_shape_scenes(dict(attrs), ids, fg, Path(subpaths))
+        if font is None:
+            return [], pen_u
+        scale = size / font.units_per_em
+        glyph_scale = Transform().scale(scale, -scale)
+        placed, advance = font.shape(text)
+
+        subpaths: list = []
+        for pen, glyph in placed:
+            width = glyph.advance * scale
+            base = pen_u + pen * scale
+            mid = base + width / 2
+            if mid < 0 or mid > total:
+                continue  # off-path glyphs are not rendered (spec)
+            if stretch:
+                # x-advance becomes arc length: warp every outline point
+                # (curve control points included — the standard
+                # approximation; arcs expand to cubics first, their params
+                # are not points)
+                from ..geom import arc as arc_ops
+                from ..geom.path import PATH_ARC, PATH_CUBIC
+
+                flat = glyph.path.transform(
+                    Transform().translate(base, 0.0) @ glyph_scale
+                )
+                for sub in flat.subpaths:
+                    warped = []
+                    for kind, payload in sub:
+                        if kind == PATH_ARC:
+                            for cub in arc_ops.to_cubics(*payload):
+                                pts = warp(np.asarray(cub, dtype=FLOAT))
+                                warped.append((PATH_CUBIC, pts.tolist()))
+                        else:
+                            pts = warp(np.asarray(payload, dtype=FLOAT))
+                            warped.append((kind, pts.tolist()))
+                    subpaths.append(warped)
+                continue
+            seg = min(np.searchsorted(cum, mid, side="right") - 1, len(seg_len) - 1)
+            if seg_len[seg] <= 1e-12:
+                continue
+            frac = (mid - cum[seg]) / seg_len[seg]
+            point = points[seg] + seg_vec[seg] * frac
+            angle = math.atan2(seg_vec[seg][1], seg_vec[seg][0])
+            tr = (
+                Transform()
+                .translate(point[0], point[1])
+                .rotate(angle)
+                .translate(-width / 2, 0.0)
+                @ glyph_scale
+            )
+            subpaths.extend(glyph.path.transform(tr).subpaths)
+        return subpaths, pen_u + advance * scale
+
+    scenes: list = []
+    pen_u = start_offset
+    prev_space = True  # leading whitespace never renders
+    for raw, run_attrs in runs:
+        text = raw.replace("\n", " ")
+        lead = " " if text[0] in " \t" and not prev_space else ""
+        trail = " " if text[-1] in " \t" else ""
+        collapsed = " ".join(filter(None, text.strip().split()))
+        if not collapsed:
+            if not lead:
+                continue
+            collapsed = " "  # whitespace-only run: one inter-run space
+        else:
+            collapsed = lead + collapsed + trail
+        prev_space = bool(trail) or not collapsed.strip()
+        run_attrs = dict(run_attrs)
+        dx = parse_size(run_attrs.pop("dx", None))
+        if dx is not None:
+            pen_u += dx
+        subpaths, pen_u = place_run(collapsed, run_attrs, pen_u)
+        if subpaths:
+            scenes.extend(build_shape_scenes(run_attrs, ids, fg, Path(subpaths)))
+    return scenes
 
 
 def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:

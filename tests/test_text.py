@@ -208,3 +208,33 @@ def test_text_path_stretch(db):
     # the two methods are genuinely different renderings
     a, b = imgs["align"], imgs["stretch"]
     assert a.shape != b.shape or (a != b).any()
+
+
+def test_text_path_styled_tspans(db):
+    """tspan children of a textPath are styled runs: each cascades its
+    own fill/font-size and continues the pen along the arc (beyond the
+    reference, which does not support textPath at all)."""
+    import io
+
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.frontend.svg import scene_from_xml
+
+    svg = """<svg xmlns='http://www.w3.org/2000/svg' width='200' height='80'>
+    <defs><path id='c' d='M10 60 Q100 0 190 60'/></defs>
+    <text font-size='16'><textPath href='#c'>Red <tspan fill='red'
+    font-size='24'>BIG</tspan> tail</textPath></text></svg>"""
+    scene, _ids, _size = scene_from_xml(io.StringIO(svg), fonts=db)
+    assert scene is not None
+    layer, _ = scene.render(
+        Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 80, 200)
+    )
+    img = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)
+    red = (img[..., 3] > 0.3) & (img[..., 0] > 0.5) & (img[..., 1] < 0.2)
+    black = (img[..., 3] > 0.3) & (img[..., 0] < 0.05)
+    assert red.sum() > 50, "styled tspan run must render in red"
+    assert black.sum() > 50, "parent-styled runs must render in black"
+    # the runs advance along the same arc: red ink sits between the
+    # black 'Red' prefix and the black 'tail' suffix
+    _, red_xs = np.nonzero(red)
+    _, black_xs = np.nonzero(black)
+    assert black_xs.min() < red_xs.min() < red_xs.max() < black_xs.max()
