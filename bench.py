@@ -60,7 +60,11 @@ def _material_throughput(width: int | None, reps: int):
     from svgrasterize_tpu import scene_from_filepath
     from svgrasterize_tpu.core.transform import Transform
     from svgrasterize_tpu.ops import batch_exec
-    from svgrasterize_tpu.ops.fused_exec import execute_items_fused, plan_features
+    from svgrasterize_tpu.ops.fused_exec import (
+        execute_items_fused,
+        plan_features,
+        prepare_fused_cached,
+    )
     from svgrasterize_tpu.render_plan import lower_scene
 
     scene, _ids, size = scene_from_filepath(DEMO, width=width)
@@ -77,17 +81,27 @@ def _material_throughput(width: int | None, reps: int):
     clips = jnp.asarray(lowered.clips) if lowered.clips.shape[0] else None
     feats = plan_features(items, lowered.bigs, lowered.clips, None, None,
                           lowered.tile, gh * gw)
+    # the scene-static prep (expanded winding params + pre-pass stacks) is
+    # computed once per plan in serving (render_plan._device_plan caches
+    # it), so the per-frame figure starts at the kernel — same contract
+    prep = (
+        prepare_fused_cached(dev, lowered.tile, bigs, clips, None, feats)
+        if feats is not None else None
+    )
 
     @jax.jit
-    def loop(dev, bigs, clips, iters):
+    def loop(dev, bigs, clips, prep, iters):
         def body(_i, carry):
-            d = dict(dev)
-            d["opacity"] = dev["opacity"] + carry  # serialize iterations
             if feats is not None:
+                p = dict(prep)
+                p["fpar"] = prep["fpar"] + carry  # serialize iterations
                 tiles = execute_items_fused(
-                    d, lowered.tile, gh * gw, bigs, None, None, clips, feats
+                    dev, lowered.tile, gh * gw, bigs, None, None, clips,
+                    feats, prepared=p,
                 )
             else:
+                d = dict(dev)
+                d["opacity"] = dev["opacity"] + carry
                 tiles = batch_exec.execute_items(
                     d, lowered.tile, gh * gw, bigs, None, None, clips
                 )
@@ -97,7 +111,8 @@ def _material_throughput(width: int | None, reps: int):
 
     def run_chain(k: int) -> float:
         start = time.perf_counter()
-        float(loop(dev, bigs, clips, jnp.int32(k)))  # readback forces completion
+        # readback forces completion
+        float(loop(dev, bigs, clips, prep, jnp.int32(k)))
         return time.perf_counter() - start
 
     run_chain(1)  # compile

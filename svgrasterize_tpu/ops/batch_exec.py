@@ -318,7 +318,7 @@ def execute_items(
 @partial(jax.jit, static_argnames=("t_size", "num_tiles", "features"))
 def execute_plan(
     items: dict, t_size: int, num_tiles: int, big_lines=(), pool=None,
-    patterns=None, clip_lines=None, features=None,
+    patterns=None, clip_lines=None, features=None, prepared=None,
 ):
     """Run a whole lowered scene; returns the canvas (num_tiles, T, T, 4).
 
@@ -348,6 +348,6 @@ def execute_plan(
 
         return execute_items_fused(
             items, t_size, num_tiles, big_lines, pool, patterns, clip_lines,
-            features,
+            features, prepared=prepared,
         )
     return execute_items(items, t_size, num_tiles, big_lines, pool, patterns, clip_lines)

@@ -698,6 +698,20 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
             # matching the end-of-step flush below).  A dynamic-index
             # VMEM read-modify-write per ITEM was the single largest
             # line item of the stub-kernel floor.
+            @pl.when(s == 0)
+            def _():
+                # zero-fill the whole canvas (VMEM stores, ~30 us on a
+                # 1488^2 grid) so untouched tiles come out exact zeros —
+                # replaces the XLA searchsorted/select membership pass
+                # that re-streamed the canvas through HBM twice
+                zero = jnp.zeros((T, 4 * T), f32)
+
+                def zrow(r, c):
+                    out_ref[r] = zero
+                    return c
+
+                jax.lax.fori_loop(0, out_ref.shape[0], zrow, 0)
+
             i0 = s * K
             tile0 = tile_ref[i0]
             rgba, alpha = compute(0, i0)
@@ -804,28 +818,33 @@ def _gather_map(pos):
     return lambda i, *s: (s[pos][i], 0, 0)
 
 
-def execute_items_fused(
-    items: dict, t_size: int, num_tiles: int, big_lines=(), pool=None,
-    patterns=None, clip_lines=None, features=frozenset(),
+def prepare_fused(
+    items: dict, t_size: int, big_lines=(), clip_lines=None, patterns=None,
+    features=frozenset(), pool_rows: int = 0, static_pass: bool = False,
 ):
-    """Traceable fused execution; same contract as batch_exec.execute_items.
+    """Scene-static device prep for the fused executor.
 
-    Requires: patterns is None, LANES % t_size == 0.  `features` is the
-    static capability set computed by plan_features from the host-side
-    plan ("big", "clip", "grad", "tex", "mask").
+    Everything here depends only on the packed plan (edge lists, paints,
+    pre-pass stacks, the pattern atlas) — NOT on the isolation-pass pool —
+    so a served scene computes it once and every later frame starts at the
+    kernel.  The lane-broadcast winding params alone are T x the compact
+    edge lists (~67 MB main + ~97 MB prepass on material-design), and the
+    prepass winding stack was re-rasterized every call; _device_plan
+    caches the returned dict per plan and feeds it back through the
+    `prepared` argument of execute_items_fused.
     """
     f32 = DEVICE_FLOAT
     T = t_size
     features = frozenset(features)
     n = items["tile_id"].shape[0]
 
-    edges, passes, n_pass = _edge_params(items["lines"].astype(f32), T)
+    edges, passes, _n_pass = _edge_params(items["lines"].astype(f32), T)
     # big items REPLACE their winding with the pre-pass field in the XLA
     # executor (their inline lines are not guaranteed empty) — skip their
     # inline passes so add == replace
     big_item = items["big_idx"].astype(jnp.int32) >= 0
     passes = jnp.where(big_item, 0, passes)
-    if static_passes():
+    if static_pass:
         # the kernel runs every pass unconditionally; zeroed params make
         # a padding edge contribute exactly 0, so zero big items' inline
         # edges instead of relying on the dynamic pass count
@@ -872,36 +891,21 @@ def execute_items_fused(
         items["color"].astype(f32)[:, :, None], (n, 4, T)
     ).reshape(n, 1, 4 * T)
 
-    tile_id = items["tile_id"].astype(jnp.int32)
+    prepared = {
+        "edges": edges,
+        "carries": carries,
+        "ipar": ipar,
+        "fpar": fpar,
+        "colorv": colorv,
+        "tile_id": items["tile_id"].astype(jnp.int32),
+    }
 
-    # K items per grid step (v2); K=1 selects the single-item v1 kernel
-    kb = fused_k()
-    while kb > 1 and n % kb:
-        kb //= 2
-
-    scalars = [tile_id]
-    tensors = [edges, carries, ipar, fpar, colorv]
-    in_specs = [
-        pl.BlockSpec((kb, n_pass, 8, LANES), lambda i, *s: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((kb, T, 2), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((kb, 1, 8), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((kb, 1, 24), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((kb, 1, 4 * T), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
-    ]
-
-    k_stops = int(items["stop_offsets"].shape[1])
     if "grad" in features:
-        stops = jnp.broadcast_to(
+        k_stops = int(items["stop_offsets"].shape[1])
+        prepared["stop_off"] = items["stop_offsets"].astype(f32)[:, None, :]
+        prepared["stops"] = jnp.broadcast_to(
             items["stop_colors"].astype(f32)[:, :, :, None], (n, k_stops, 4, T)
         ).reshape(n, k_stops, 4 * T)
-        tensors += [items["stop_offsets"].astype(f32)[:, None, :], stops]
-        in_specs += [
-            pl.BlockSpec((kb, 1, k_stops), lambda i, *s: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((kb, k_stops, 4 * T), lambda i, *s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
 
     if "big" in features:
         if big_lines is not None and not isinstance(big_lines, (tuple, list)):
@@ -909,31 +913,22 @@ def execute_items_fused(
         big_wind = prepass_winding(tuple(big_lines or ()), T)   # (M+1, T, T)
         m = big_wind.shape[0] - 1
         big_idx = items["big_idx"].astype(jnp.int32)
-        scalars.append(jnp.where(big_idx >= 0, big_idx, m))
-        tensors.append(big_wind)
-        in_specs.append(_resident_spec(big_wind))
+        prepared["big_wind"] = big_wind
+        prepared["big_rows"] = jnp.where(big_idx >= 0, big_idx, m)
     if "clip" in features:
         clip_wind = prepass_winding((clip_lines,), T)           # (U+1, T, T)
         u = clip_wind.shape[0] - 1
         clip_idx = items["clip_idx"].astype(jnp.int32)
-        scalars.append(jnp.where(clip_idx >= 0, clip_idx, u))
-        tensors.append(clip_wind)
-        in_specs.append(_resident_spec(clip_wind))
-    if "tex" in features or "mask" in features:
-        pool128 = jnp.concatenate(
-            [pool.astype(f32), jnp.zeros((1, T, T, 4), f32)], axis=0
-        ).transpose(0, 1, 3, 2).reshape(-1, T, 4 * T)  # channel-planar
-        p_rows = pool128.shape[0] - 1
+        prepared["clip_wind"] = clip_wind
+        prepared["clip_rows"] = jnp.where(clip_idx >= 0, clip_idx, u)
+    # the runtime pool (isolation-pass textures) gathers by row index; the
+    # scratch row for "-1" sits at pool_rows (execute pads the pool by one)
     if "tex" in features:
         tex_idx = items["tex_idx"].astype(jnp.int32)
-        scalars.append(jnp.where(tex_idx >= 0, tex_idx, p_rows))
-        tensors.append(pool128)
-        in_specs.append(_resident_spec(pool128))
+        prepared["tex_rows"] = jnp.where(tex_idx >= 0, tex_idx, pool_rows)
     if "mask" in features:
         mask_idx = items["mask_idx"].astype(jnp.int32)
-        scalars.append(jnp.where(mask_idx >= 0, mask_idx, p_rows))
-        tensors.append(pool128)
-        in_specs.append(_resident_spec(pool128))
+        prepared["mask_rows"] = jnp.where(mask_idx >= 0, mask_idx, pool_rows)
     if "pat" in features:
         # pre-render the Q pattern items' paint tiles with the XLA paint
         # path (exact same modular-gather semantics, batch_exec._paint_item)
@@ -955,12 +950,114 @@ def execute_items_fused(
             [tiles.astype(f32), jnp.zeros((1, T, T, 4), f32)], axis=0
         ).transpose(0, 1, 3, 2).reshape(-1, T, 4 * T)     # channel-planar
         q_rows = pat_pool.shape[0] - 1
+        prepared["pat_pool"] = pat_pool
         # per-item position in the pool (host-precomputed rank, Q for none)
-        scalars.append(
-            jnp.minimum(items["pat_pos"].astype(jnp.int32), q_rows)
+        prepared["pat_pos"] = jnp.minimum(
+            items["pat_pos"].astype(jnp.int32), q_rows
         )
-        tensors.append(pat_pool)
-        in_specs.append(_resident_spec(pat_pool))
+    return prepared
+
+
+_prepare_jit = None
+
+
+def prepare_fused_cached(items, t_size, big_lines=(), clip_lines=None,
+                         patterns=None, features=frozenset(),
+                         pool_rows: int = 0):
+    """Jitted prepare_fused (one program instead of op-by-op dispatches —
+    the remote tunnel pays ~0.4s per eager dispatch)."""
+    global _prepare_jit
+    if _prepare_jit is None:
+        _prepare_jit = jax.jit(
+            prepare_fused,
+            static_argnames=(
+                "t_size", "features", "pool_rows", "static_pass"
+            ),
+        )
+    return _prepare_jit(
+        items, t_size, tuple(big_lines or ()), clip_lines, patterns,
+        frozenset(features), pool_rows, static_passes(),
+    )
+
+
+def execute_items_fused(
+    items: dict, t_size: int, num_tiles: int, big_lines=(), pool=None,
+    patterns=None, clip_lines=None, features=frozenset(), prepared=None,
+):
+    """Traceable fused execution; same contract as batch_exec.execute_items.
+
+    Requires: patterns is None or an atlas, LANES % t_size == 0.
+    `features` is the static capability set computed by plan_features from
+    the host-side plan ("big", "clip", "grad", "tex", "mask", "pat").
+    `prepared` (from prepare_fused) skips the scene-static prep — the
+    serving path caches it per plan.
+    """
+    f32 = DEVICE_FLOAT
+    T = t_size
+    features = frozenset(features)
+    if prepared is None:
+        prepared = prepare_fused(
+            items, T, big_lines, clip_lines, patterns, features,
+            pool_rows=pool.shape[0] if pool is not None else 0,
+            static_pass=static_passes(),
+        )
+
+    edges = prepared["edges"]
+    n, n_pass = edges.shape[0], edges.shape[1]
+    tile_id = prepared["tile_id"]
+
+    # K items per grid step (v2); K=1 selects the single-item v1 kernel
+    kb = fused_k()
+    while kb > 1 and n % kb:
+        kb //= 2
+
+    scalars = [tile_id]
+    tensors = [edges, prepared["carries"], prepared["ipar"],
+               prepared["fpar"], prepared["colorv"]]
+    in_specs = [
+        pl.BlockSpec((kb, n_pass, 8, LANES), lambda i, *s: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kb, T, 2), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kb, 1, 8), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((kb, 1, 24), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((kb, 1, 4 * T), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    k_stops = 1
+    if "grad" in features:
+        k_stops = int(prepared["stops"].shape[1])
+        tensors += [prepared["stop_off"], prepared["stops"]]
+        in_specs += [
+            pl.BlockSpec((kb, 1, k_stops), lambda i, *s: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((kb, k_stops, 4 * T), lambda i, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    if "big" in features:
+        scalars.append(prepared["big_rows"])
+        tensors.append(prepared["big_wind"])
+        in_specs.append(_resident_spec(prepared["big_wind"]))
+    if "clip" in features:
+        scalars.append(prepared["clip_rows"])
+        tensors.append(prepared["clip_wind"])
+        in_specs.append(_resident_spec(prepared["clip_wind"]))
+    if "tex" in features or "mask" in features:
+        pool128 = jnp.concatenate(
+            [pool.astype(f32), jnp.zeros((1, T, T, 4), f32)], axis=0
+        ).transpose(0, 1, 3, 2).reshape(-1, T, 4 * T)  # channel-planar
+    if "tex" in features:
+        scalars.append(prepared["tex_rows"])
+        tensors.append(pool128)
+        in_specs.append(_resident_spec(pool128))
+    if "mask" in features:
+        scalars.append(prepared["mask_rows"])
+        tensors.append(pool128)
+        in_specs.append(_resident_spec(pool128))
+    if "pat" in features:
+        scalars.append(prepared["pat_pos"])
+        tensors.append(prepared["pat_pool"])
+        in_specs.append(_resident_spec(prepared["pat_pool"]))
 
     # padding items (tile_id == num_tiles) sort last; the grid stops at the
     # real item count instead of burning steps on them (the XLA executor's
@@ -1018,16 +1115,22 @@ def execute_items_fused(
         interpret=_interpret(),
     )(*scalars, *tensors)
 
-    # tiles no item touched hold garbage (their output block was never
-    # written — possibly NaN, so select rather than multiply).  The scratch
-    # row absorbs pads.  tile_id is sorted, so membership is a searchsorted
-    # probe — TPU scatters lower to sequential dynamic-slices and are slow.
-    probe = jnp.arange(num_tiles, dtype=tile_id.dtype)
-    pos = jnp.clip(jnp.searchsorted(tile_id, probe), 0, n - 1)
-    touched = tile_id[pos] == probe
-    canvas = jnp.where(
-        touched[:, None, None], canvas128[:num_tiles], 0.0
-    )
+    if use_vout:
+        # the resident-canvas kernel zero-fills every row at step 0, so
+        # untouched tiles are already exact zeros — no membership pass
+        canvas = canvas128[:num_tiles]
+    else:
+        # tiles no item touched hold garbage (their output block was never
+        # written — possibly NaN, so select rather than multiply).  The
+        # scratch row absorbs pads.  tile_id is sorted, so membership is a
+        # searchsorted probe — TPU scatters lower to sequential
+        # dynamic-slices and are slow.
+        probe = jnp.arange(num_tiles, dtype=tile_id.dtype)
+        pos = jnp.clip(jnp.searchsorted(tile_id, probe), 0, n - 1)
+        touched = tile_id[pos] == probe
+        canvas = jnp.where(
+            touched[:, None, None], canvas128[:num_tiles], 0.0
+        )
     # channel-planar (T, 4T) -> (T, T, 4)
     return canvas.reshape(num_tiles, T, 4, T).transpose(0, 1, 3, 2)
 

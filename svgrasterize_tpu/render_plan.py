@@ -28,6 +28,7 @@ clips; those scenes return None and render through the interpreter
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, NamedTuple
 
 import numpy as np
@@ -1392,6 +1393,8 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         + ":" + os.environ.get("SVGR_PREPASS_K", "")
         + ":" + os.environ.get("SVGR_FUSED_VOUT", "")
         + ":" + os.environ.get("SVGR_VMEM_BUDGET", "")
+        + ":" + os.environ.get("SVGR_STATIC_PASSES", "")
+        + ":" + os.environ.get("SVGR_PREPARED", "")
     )
     cache = items.get("_device_cache")
     if cache is None or cache["mode"] != mode:
@@ -1414,6 +1417,20 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
             "clips": jnp.asarray(clips) if clips.shape[0] else None,
             "features": features,
         }
+        if features is not None and os.environ.get("SVGR_PREPARED") != "0":
+            # scene-static fused prep (lane-broadcast winding params +
+            # pre-pass winding stacks) computed ONCE per plan: every
+            # subsequent frame starts at the kernel instead of re-paying
+            # ~T x the compact edge bytes in expansion traffic per call
+            from .ops.fused_exec import prepare_fused_cached
+
+            cache["prepared"] = prepare_fused_cached(
+                dev, t_size, cache["bigs"], cache["clips"],
+                jnp.asarray(patterns)
+                if (patterns is not None and "pat" in features) else None,
+                features,
+                pool_rows=pool.shape[0] if pool is not None else 0,
+            )
         if features is None and num_tiles is not None:
             from .ops.fused_exec import last_fallback_kind
 
@@ -1541,7 +1558,7 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
             _PoolShape(len(pool_rows)) if len(pool_rows) else None,
             None, t_size, chunk_tiles,
         )
-        chunks.append({
+        chunk = {
             "items": {k: jnp.asarray(v) for k, v in sub.items()},
             "bigs": (jnp.asarray(sub_big),) if sub_big.shape[0] else (),
             "clips": jnp.asarray(sub_clips) if sub_clips.shape[0] else None,
@@ -1549,7 +1566,15 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
             "num_tiles": chunk_tiles,
             "features": features,
             "n_items": cnt,
-        })
+        }
+        if features is not None and os.environ.get("SVGR_PREPARED") != "0":
+            from .ops.fused_exec import prepare_fused_cached
+
+            chunk["prepared"] = prepare_fused_cached(
+                chunk["items"], t_size, chunk["bigs"], chunk["clips"],
+                None, features, pool_rows=len(pool_rows),
+            )
+        chunks.append(chunk)
     return chunks
 
 
@@ -1576,6 +1601,7 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
             canvases.append(batch_exec.execute_plan(
                 ch["items"], t_size, ch["num_tiles"], ch["bigs"], sub_pool,
                 None, ch["clips"], features=ch["features"],
+                prepared=ch.get("prepared"),
             ))
         return jnp.concatenate(canvases, axis=0)
     return batch_exec.execute_plan(
@@ -1587,6 +1613,7 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
         patterns,
         cache["clips"],
         features=cache["features"],
+        prepared=cache.get("prepared"),
     )
 
 
@@ -1688,7 +1715,12 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
 
     grid_h, grid_w = lowered.grid
     num_tiles = grid_h * grid_w
-    mode = os.environ.get("SVGR_FUSED", "")
+    mode = ":".join(
+        os.environ.get(v, "")
+        for v in ("SVGR_FUSED", "SVGR_FUSED_K", "SVGR_PREPASS_K",
+                  "SVGR_FUSED_VOUT", "SVGR_VMEM_BUDGET",
+                  "SVGR_STATIC_PASSES", "SVGR_PREPARED")
+    )
     key = (tuple(viewport), bool(linear_rgb), t_size, mode)
     cached = lowered.items.get("_whole_program")
     if cached is not None and cached[0] == key:
@@ -1717,39 +1749,47 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
         t_size, num_tiles,
     )
 
-    def _run(cache, rows, pool, patterns):
+    def _run(cache, rows, pool, patterns, prepared):
         if cache["features"] is not None:
             return execute_items_fused(
                 cache["items"], t_size, rows, cache["bigs"], pool, patterns,
-                cache["clips"], cache["features"],
+                cache["clips"], cache["features"], prepared=prepared,
             )
         return batch_exec.execute_items(
             cache["items"], t_size, rows, cache["bigs"], pool, patterns,
             cache["clips"],
         )
 
-    def fn(g_items, main_items, atlas):
+    # the scene-static prepared arrays (expanded winding params, pre-pass
+    # winding stacks) enter as PROGRAM ARGUMENTS, not closure captures —
+    # captured concrete arrays would be embedded in the executable as
+    # constants (100+ MB programs, useless persistent-cache entries)
+    def fn(g_items, main_items, atlas, g_prepared, main_prepared):
         pool = (
             jnp.zeros((cap, t_size, t_size, 4), DEVICE_FLOAT) if groups else None
         )
-        for g, gc, dev in zip(groups, g_caches, g_items):
+        for g, gc, dev, prep in zip(groups, g_caches, g_items, g_prepared):
             gc = dict(gc, items=dev)
             canvas = _run(
                 gc, g["rows"],
                 pool if g["needs_pool"] else None,
                 atlas if bool((g["items"]["pat_idx"] >= 0).any()) else None,
+                prep,
             )
             pool = _apply_group_post(
                 canvas, pool, g, grid_w, viewport, linear_rgb, t_size
             )
         mc = dict(main_cache, items=main_items)
-        return _run(mc, num_tiles, pool, atlas if main_pat else None)
+        return _run(mc, num_tiles, pool, atlas if main_pat else None,
+                    main_prepared)
 
     program = jax.jit(fn)
     operands = (
         [gc["items"] for gc in g_caches],
         main_cache["items"],
         jnp.asarray(atlas_np) if atlas_np is not None else None,
+        [gc.get("prepared") for gc in g_caches],
+        main_cache.get("prepared"),
     )
     lowered.items["_whole_program"] = (key, lambda ops: program(*ops), operands)
     prog = lowered.items["_whole_program"]

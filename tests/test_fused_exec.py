@@ -264,3 +264,39 @@ def test_vmem_chunked_execution():
             else:
                 os.environ[k] = v
     assert np.abs(ref - got).max() <= 1e-5
+
+
+def test_prepared_prep_matches_inline_prep():
+    """The cached scene-static prep (prepare_fused, stored on the plan by
+    _device_plan) must be byte-identical to inlining the prep into every
+    call — guards the prepare/execute split staying in sync."""
+    svg = """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+    <defs><linearGradient id='lg' x1='0' y1='0' x2='1' y2='1'>
+    <stop offset='0' stop-color='#ff0000'/><stop offset='1' stop-color='#0000ff'/>
+    </linearGradient>
+    <clipPath id='c'><circle cx='30' cy='30' r='22'/></clipPath></defs>
+    <rect x='4' y='4' width='50' height='40' fill='url(#lg)' clip-path='url(#c)'/>
+    <path d='M2 2 C 90 0, 4 60, 94 62 L 94 2 Z' fill='#208040' opacity='0.5'/>
+    </svg>"""
+    scene, _ids, _size = scene_from_str(svg)
+    viewport = (0, 0, 64, 96)
+    prev = {k: os.environ.get(k) for k in ("SVGR_FUSED", "SVGR_PREPARED")}
+    try:
+        os.environ["SVGR_FUSED"] = "interp"
+        lowered = rp.lower_scene(scene, TR, viewport, False)
+        got = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        cache = lowered.items["_device_cache"]
+        assert cache["prepared"] is not None, "plan must cache the prep"
+        assert "edges" in cache["prepared"]
+        os.environ["SVGR_PREPARED"] = "0"
+        ref = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        assert lowered.items["_device_cache"].get("prepared") is None
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert np.abs(ref - got).max() == 0.0, (
+        f"prepared prep diverges from inline prep: {np.abs(ref - got).max()}"
+    )
