@@ -143,6 +143,18 @@ def static_passes() -> bool:
     return os.environ.get("SVGR_STATIC_PASSES", "0") == "1"
 
 
+def pregather() -> bool:
+    """Materialize per-item big/clip winding fields at prep time instead
+    of keeping the class stacks VMEM-resident and dynamic-row-reading
+    them per item.  The per-item fields stream as ordinary sequential
+    (K, T, T) pipeline blocks (+T*T*4 bytes/item of HBM traffic, ~40 us
+    on material-design), and the kernel's per-item dynamic VMEM reads —
+    a scalar-core address dependency on the critical path — disappear.
+    Also frees the stack bytes from the VMEM budget, admitting larger
+    scenes to the fused/vout path."""
+    return os.environ.get("SVGR_PREGATHER", "1") != "0"
+
+
 def _clamp_antideriv(t):
     return jnp.where(t <= 0, 0.0, jnp.where(t >= 1, t - 0.5, 0.5 * t * t))
 
@@ -509,10 +521,13 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
     has_tex = "tex" in features
     has_mask = "mask" in features
     has_pat = "pat" in features
+    pre = "pregather" in features
 
-    # scalar-prefetch slot of each gathered array's row index
+    # scalar-prefetch slot of each gathered array's row index (pregather
+    # streams big/clip as per-item blocks instead — no row scalars)
     s_slots = {"tile": 0}
-    for name, on in (("big", has_big), ("clip", has_clip),
+    for name, on in (("big", has_big and not pre),
+                     ("clip", has_clip and not pre),
                      ("tex", has_tex), ("mask", has_mask), ("pat", has_pat)):
         if on:
             s_slots[name] = len(s_slots)
@@ -531,9 +546,9 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             stop_off_ref = next(it)  # (1, 1, K) SMEM
             stops_ref = next(it)     # (1, K, 4T) VMEM
         if has_big:
-            big_ref = next(it)       # (M+1, T, T) VMEM-resident stack
+            big_ref = next(it)       # resident (M+1,T,T) or pregather (1,T,T)
         if has_clip:
-            clip_ref = next(it)      # (U+1, T, T) VMEM-resident stack
+            clip_ref = next(it)      # resident (U+1,T,T) or pregather (1,T,T)
         if has_tex:
             tex_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
         if has_mask:
@@ -560,8 +575,12 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             color_row=color_ref[0, 0],
             stop_off=(lambda k: stop_off_ref[0, 0, k]) if has_grad else None,
             stop_row=(lambda k: stops_ref[0, k]) if has_grad else None,
-            big_field=big_ref[scalar_refs[s_slots["big"]][i]] if has_big else None,
-            clip_field=clip_ref[scalar_refs[s_slots["clip"]][i]] if has_clip else None,
+            big_field=(big_ref[0] if pre else
+                       big_ref[scalar_refs[s_slots["big"]][i]])
+            if has_big else None,
+            clip_field=(clip_ref[0] if pre else
+                        clip_ref[scalar_refs[s_slots["clip"]][i]])
+            if has_clip else None,
             tex_field=tex_ref[scalar_refs[s_slots["tex"]][i]] if has_tex else None,
             mask_field=msk_ref[scalar_refs[s_slots["mask"]][i]] if has_mask else None,
             pat_field=pat_ref[scalar_refs[s_slots["pat"]][i]] if has_pat else None,
@@ -617,9 +636,11 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
     has_tex = "tex" in features
     has_mask = "mask" in features
     has_pat = "pat" in features
+    pre = "pregather" in features
 
     s_slots = {"tile": 0}
-    for name, on in (("big", has_big), ("clip", has_clip),
+    for name, on in (("big", has_big and not pre),
+                     ("clip", has_clip and not pre),
                      ("tex", has_tex), ("mask", has_mask), ("pat", has_pat)):
         if on:
             s_slots[name] = len(s_slots)
@@ -640,9 +661,9 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
             stop_off_ref = next(it)  # (K, 1, S) SMEM
             stops_ref = next(it)     # (K, S, 4T) VMEM
         if has_big:
-            big_ref = next(it)       # (M+1, T, T) VMEM-resident stack
+            big_ref = next(it)       # resident (M+1,T,T) or pregather (K,T,T)
         if has_clip:
-            clip_ref = next(it)      # (U+1, T, T) VMEM-resident stack
+            clip_ref = next(it)      # resident (U+1,T,T) or pregather (K,T,T)
         if has_tex:
             tex_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
         if has_mask:
@@ -675,9 +696,11 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
                 color_row=color_ref[kq, 0],
                 stop_off=(lambda k: stop_off_ref[kq, 0, k]) if has_grad else None,
                 stop_row=(lambda k: stops_ref[kq, k]) if has_grad else None,
-                big_field=big_ref[scalar_refs[s_slots["big"]][i]]
+                big_field=(big_ref[kq] if pre else
+                           big_ref[scalar_refs[s_slots["big"]][i]])
                 if has_big else None,
-                clip_field=clip_ref[scalar_refs[s_slots["clip"]][i]]
+                clip_field=(clip_ref[kq] if pre else
+                            clip_ref[scalar_refs[s_slots["clip"]][i]])
                 if has_clip else None,
                 tex_field=tex_ref[scalar_refs[s_slots["tex"]][i]]
                 if has_tex else None,
@@ -907,20 +930,29 @@ def prepare_fused(
             items["stop_colors"].astype(f32)[:, :, :, None], (n, k_stops, 4, T)
         ).reshape(n, k_stops, 4 * T)
 
+    pre = "pregather" in features
     if "big" in features:
         if big_lines is not None and not isinstance(big_lines, (tuple, list)):
             big_lines = (big_lines,)
         big_wind = prepass_winding(tuple(big_lines or ()), T)   # (M+1, T, T)
         m = big_wind.shape[0] - 1
         big_idx = items["big_idx"].astype(jnp.int32)
-        prepared["big_wind"] = big_wind
-        prepared["big_rows"] = jnp.where(big_idx >= 0, big_idx, m)
+        rows = jnp.where(big_idx >= 0, big_idx, m)
+        if pre:
+            prepared["big_field"] = big_wind[rows]              # (n, T, T)
+        else:
+            prepared["big_wind"] = big_wind
+            prepared["big_rows"] = rows
     if "clip" in features:
         clip_wind = prepass_winding((clip_lines,), T)           # (U+1, T, T)
         u = clip_wind.shape[0] - 1
         clip_idx = items["clip_idx"].astype(jnp.int32)
-        prepared["clip_wind"] = clip_wind
-        prepared["clip_rows"] = jnp.where(clip_idx >= 0, clip_idx, u)
+        rows = jnp.where(clip_idx >= 0, clip_idx, u)
+        if pre:
+            prepared["clip_field"] = clip_wind[rows]            # (n, T, T)
+        else:
+            prepared["clip_wind"] = clip_wind
+            prepared["clip_rows"] = rows
     # the runtime pool (isolation-pass textures) gathers by row index; the
     # scratch row for "-1" sits at pool_rows (execute pads the pool by one)
     if "tex" in features:
@@ -1034,14 +1066,25 @@ def execute_items_fused(
                          memory_space=pltpu.VMEM),
         ]
 
+    pre = "pregather" in features
     if "big" in features:
-        scalars.append(prepared["big_rows"])
-        tensors.append(prepared["big_wind"])
-        in_specs.append(_resident_spec(prepared["big_wind"]))
+        if pre:
+            tensors.append(prepared["big_field"])
+            in_specs.append(pl.BlockSpec((kb, T, T), lambda i, *s: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        else:
+            scalars.append(prepared["big_rows"])
+            tensors.append(prepared["big_wind"])
+            in_specs.append(_resident_spec(prepared["big_wind"]))
     if "clip" in features:
-        scalars.append(prepared["clip_rows"])
-        tensors.append(prepared["clip_wind"])
-        in_specs.append(_resident_spec(prepared["clip_wind"]))
+        if pre:
+            tensors.append(prepared["clip_field"])
+            in_specs.append(pl.BlockSpec((kb, T, T), lambda i, *s: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        else:
+            scalars.append(prepared["clip_rows"])
+            tensors.append(prepared["clip_wind"])
+            in_specs.append(_resident_spec(prepared["clip_wind"]))
     if "tex" in features or "mask" in features:
         pool128 = jnp.concatenate(
             [pool.astype(f32), jnp.zeros((1, T, T, 4), f32)], axis=0
@@ -1185,14 +1228,21 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
     if n_pat and patterns is None:
         return _fallback("pattern paints without a pattern atlas")
     f = []
+    pre = pregather()
     tt_rows = 2  # scratch rows
     pool_rows = 0
     if bigs is not None and any(b is not None and b.shape[0] for b in bigs):
         f.append("big")
-        tt_rows += sum(b.shape[0] for b in bigs if b is not None)
+        if not pre:
+            tt_rows += sum(b.shape[0] for b in bigs if b is not None)
     if clips is not None and clips.shape[0]:
         f.append("clip")
-        tt_rows += clips.shape[0]
+        if not pre:
+            tt_rows += clips.shape[0]
+    if pre and ("big" in f or "clip" in f):
+        # per-item fields stream as sequential pipeline blocks instead of
+        # resident stacks + dynamic row reads; see pregather()
+        f.append("pregather")
     kinds = items["kind"]
     if ((kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)).any():
         f.append("grad")

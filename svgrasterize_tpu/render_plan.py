@@ -1395,6 +1395,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         + ":" + os.environ.get("SVGR_VMEM_BUDGET", "")
         + ":" + os.environ.get("SVGR_STATIC_PASSES", "")
         + ":" + os.environ.get("SVGR_PREPARED", "")
+        + ":" + os.environ.get("SVGR_PREGATHER", "")
     )
     cache = items.get("_device_cache")
     if cache is None or cache["mode"] != mode:
@@ -1719,7 +1720,7 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
         os.environ.get(v, "")
         for v in ("SVGR_FUSED", "SVGR_FUSED_K", "SVGR_PREPASS_K",
                   "SVGR_FUSED_VOUT", "SVGR_VMEM_BUDGET",
-                  "SVGR_STATIC_PASSES", "SVGR_PREPARED")
+                  "SVGR_STATIC_PASSES", "SVGR_PREPARED", "SVGR_PREGATHER")
     )
     key = (tuple(viewport), bool(linear_rgb), t_size, mode)
     cached = lowered.items.get("_whole_program")

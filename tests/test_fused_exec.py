@@ -241,13 +241,17 @@ def test_vmem_chunked_execution():
     assert lowered is not None
     assert any(b.shape[0] for b in lowered.bigs), "paths must form big classes"
 
-    prev = {k: os.environ.get(k) for k in ("SVGR_FUSED", "SVGR_VMEM_BUDGET")}
+    prev = {k: os.environ.get(k)
+            for k in ("SVGR_FUSED", "SVGR_VMEM_BUDGET", "SVGR_PREGATHER")}
     try:
         os.environ["SVGR_FUSED"] = "0"
         ref = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
         os.environ["SVGR_FUSED"] = "interp"
         # budget admits only a few resident rows -> the plan must chunk
-        # (rows are lane-padded to 128 in the accounting)
+        # (rows are lane-padded to 128 in the accounting).  Pregather mode
+        # would sidestep residency entirely (covered elsewhere); pin it off
+        # to exercise the chunking machinery.
+        os.environ["SVGR_PREGATHER"] = "0"
         os.environ["SVGR_VMEM_BUDGET"] = str((8 + 2) * 32 * 128 * 4)
         got = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
         cache = lowered.items["_device_cache"]
@@ -300,3 +304,84 @@ def test_prepared_prep_matches_inline_prep():
     assert np.abs(ref - got).max() == 0.0, (
         f"prepared prep diverges from inline prep: {np.abs(ref - got).max()}"
     )
+
+
+def test_resident_stack_mode_matches_pregather():
+    """SVGR_PREGATHER=0 (VMEM-resident stacks + per-item dynamic row
+    reads) and the default pregather mode (per-item fields as sequential
+    pipeline blocks) must produce identical canvases."""
+    svg = """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+    <defs><clipPath id='c'><circle cx='48' cy='32' r='28'/></clipPath></defs>
+    <path d='M2 2 C 90 0, 4 60, 94 62 L 94 2 Z' fill='#208040'
+          clip-path='url(#c)'/>
+    <circle cx='30' cy='30' r='26' fill='#2060c0' opacity='0.7'/>
+    </svg>"""
+    scene, _ids, _size = scene_from_str(svg)
+    viewport = (0, 0, 64, 96)
+    prev = {k: os.environ.get(k) for k in ("SVGR_FUSED", "SVGR_PREGATHER")}
+    try:
+        os.environ["SVGR_FUSED"] = "interp"
+        lowered = rp.lower_scene(scene, TR, viewport, False)
+        got = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        feats = lowered.items["_device_cache"]["features"]
+        assert feats is not None and "pregather" in feats, feats
+        os.environ["SVGR_PREGATHER"] = "0"
+        ref = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        feats = lowered.items["_device_cache"]["features"]
+        assert feats is not None and "pregather" not in feats, feats
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert np.abs(ref - got).max() == 0.0, (
+        f"pregather diverges from resident stacks: {np.abs(ref - got).max()}"
+    )
+
+
+def test_pregather_admits_stack_heavy_plan_unchunked():
+    """A plan whose big stacks would blow the resident-VMEM budget runs as
+    ONE fused launch under pregather (the fields stream per item instead
+    of sitting resident), where resident mode must chunk."""
+    from svgrasterize_tpu.ops.fused_exec import plan_features
+
+    rng = np.random.default_rng(11)
+    parts = []
+    for i in range(8):
+        cx, cy = 20 + i * 40, 32
+        pts = []
+        for k in range(40):
+            ang = 2 * np.pi * k / 40
+            r = 14 + 6 * rng.random()
+            pts.append(f"{cx + r * np.cos(ang):.2f} {cy + r * np.sin(ang):.2f}")
+        parts.append(
+            f"<path d='M{' L'.join(pts)} Z' fill='#2060c0' opacity='0.8'/>"
+        )
+    svg = (
+        "<svg xmlns='http://www.w3.org/2000/svg' width='336' height='64'>"
+        + "".join(parts) + "</svg>"
+    )
+    scene, _ids, _size = scene_from_str(svg)
+    lowered = rp.lower_scene(scene, TR, (0, 0, 64, 336), False, tile=32)
+    assert lowered is not None
+    assert any(b.shape[0] for b in lowered.bigs)
+    prev = {k: os.environ.get(k)
+            for k in ("SVGR_FUSED", "SVGR_VMEM_BUDGET", "SVGR_PREGATHER")}
+    try:
+        os.environ["SVGR_FUSED"] = "interp"
+        os.environ["SVGR_VMEM_BUDGET"] = str((8 + 2) * 32 * 128 * 4)
+        os.environ["SVGR_PREGATHER"] = "0"
+        gh, gw = lowered.grid
+        assert plan_features(lowered.items, lowered.bigs, lowered.clips,
+                             None, None, lowered.tile, gh * gw) is None
+        os.environ["SVGR_PREGATHER"] = "1"
+        feats = plan_features(lowered.items, lowered.bigs, lowered.clips,
+                              None, None, lowered.tile, gh * gw)
+        assert feats is not None and "pregather" in feats, feats
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
