@@ -249,6 +249,12 @@ def execute_items(
     clip_wind = _prepass_winding((clip_lines,), t_size)
 
     if pool is not None:
+        if pool.ndim == 3:
+            # the serving path keeps the pool channel-planar (P+1, T, 4T)
+            # with the scratch row already appended (fused-executor
+            # contract); convert back to interleaved tiles here
+            pool = pool.reshape(-1, t_size, 4, t_size).transpose(0, 1, 3, 2)
+            pool = pool[:-1]
         # scratch row so tex_idx == -1 gathers stay in bounds
         pool_padded = jnp.concatenate(
             [pool, jnp.zeros((1, t_size, t_size, 4), DEVICE_FLOAT)], axis=0

@@ -549,10 +549,11 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             big_ref = next(it)       # resident (M+1,T,T) or pregather (1,T,T)
         if has_clip:
             clip_ref = next(it)      # resident (U+1,T,T) or pregather (1,T,T)
-        if has_tex:
-            tex_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
-        if has_mask:
-            msk_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
+        if has_tex or has_mask:
+            # (P+1, T, 4T) VMEM-resident pool; tex and mask gather rows
+            # from the SAME buffer (separate scalar row indices)
+            pool_ref = next(it)
+            tex_ref = msk_ref = pool_ref
         if has_pat:
             pat_ref = next(it)       # (Q+1, T, 4T) VMEM-resident pattern tiles
         out_ref = refs[-1]           # (1, T, 4T) VMEM, revisited per tile run
@@ -664,10 +665,11 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
             big_ref = next(it)       # resident (M+1,T,T) or pregather (K,T,T)
         if has_clip:
             clip_ref = next(it)      # resident (U+1,T,T) or pregather (K,T,T)
-        if has_tex:
-            tex_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
-        if has_mask:
-            msk_ref = next(it)       # (P+1, T, 4T) VMEM-resident pool
+        if has_tex or has_mask:
+            # (P+1, T, 4T) VMEM-resident pool; tex and mask gather rows
+            # from the SAME buffer (separate scalar row indices)
+            pool_ref = next(it)
+            tex_ref = msk_ref = pool_ref
         if has_pat:
             pat_ref = next(it)       # (Q+1, T, 4T) VMEM-resident pattern tiles
         out_ref = next(it)           # (num_tiles+1, T, 4T): vout = VMEM
@@ -1030,7 +1032,11 @@ def execute_items_fused(
     if prepared is None:
         prepared = prepare_fused(
             items, T, big_lines, clip_lines, patterns, features,
-            pool_rows=pool.shape[0] if pool is not None else 0,
+            # a planar (ndim-3) pool already carries its scratch row last
+            pool_rows=(
+                pool.shape[0] - (1 if pool.ndim == 3 else 0)
+                if pool is not None else 0
+            ),
             static_pass=static_passes(),
         )
 
@@ -1086,15 +1092,23 @@ def execute_items_fused(
             tensors.append(prepared["clip_wind"])
             in_specs.append(_resident_spec(prepared["clip_wind"]))
     if "tex" in features or "mask" in features:
-        pool128 = jnp.concatenate(
-            [pool.astype(f32), jnp.zeros((1, T, T, 4), f32)], axis=0
-        ).transpose(0, 1, 3, 2).reshape(-1, T, 4 * T)  # channel-planar
+        if pool.ndim == 3:
+            # the serving path keeps the pool channel-planar (P+1, T, 4T)
+            # with the trailing scratch row baked in — no per-launch
+            # concatenate + layout transpose of the whole pool (measured
+            # ~0.1 ms per pool launch on icons.svg at pool cap 2048)
+            pool128 = pool.astype(f32)
+        else:
+            pool128 = jnp.concatenate(
+                [pool.astype(f32), jnp.zeros((1, T, T, 4), f32)], axis=0
+            ).transpose(0, 1, 3, 2).reshape(-1, T, 4 * T)  # channel-planar
     if "tex" in features:
         scalars.append(prepared["tex_rows"])
-        tensors.append(pool128)
-        in_specs.append(_resident_spec(pool128))
     if "mask" in features:
         scalars.append(prepared["mask_rows"])
+    if "tex" in features or "mask" in features:
+        # ONE resident operand shared by tex and mask gathers: two specs
+        # of the same buffer would double the VMEM reservation
         tensors.append(pool128)
         in_specs.append(_resident_spec(pool128))
     if "pat" in features:

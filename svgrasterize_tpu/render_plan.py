@@ -1314,6 +1314,12 @@ def _apply_group_post(canvas, pool, group, grid_w, viewport, linear_rgb, t_size)
         perm = np.empty(len(pos), np.int64)
         perm[np.asarray(pos)] = np.arange(len(pos))
         new_rows = new_rows[jnp.asarray(perm, jnp.int32)]
+    if pool.ndim == 3:
+        # serving keeps the pool channel-planar (see _whole_plan_program):
+        # convert only the level's NEW rows — never the whole pool
+        new_rows = new_rows.transpose(0, 1, 3, 2).reshape(
+            -1, t_size, 4 * t_size
+        )
     return lax.dynamic_update_slice_in_dim(pool, new_rows, lo, axis=0)
 
 
@@ -1396,6 +1402,10 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         + ":" + os.environ.get("SVGR_STATIC_PASSES", "")
         + ":" + os.environ.get("SVGR_PREPARED", "")
         + ":" + os.environ.get("SVGR_PREGATHER", "")
+        # the prepared tex/mask scratch index is pool.shape[0]: the same
+        # plan served with a tight (whole-program) vs pow2 (per-stage)
+        # pool capacity must not share a cache entry
+        + ":" + str(pool.shape[0] if pool is not None else 0)
     )
     cache = items.get("_device_cache")
     if cache is None or cache["mode"] != mode:
@@ -1681,8 +1691,13 @@ def execute_lowered(
     )
 
 
-def _pool_capacity(groups) -> int:
+def _pool_capacity(groups, tight: bool = False) -> int:
+    """Pool row capacity: pow2-bucketed for shape-stable per-stage
+    programs, or (tight) rounded to the next multiple of 16 for the
+    scene-specific whole-plan program."""
     total = max(p["pool_base"] + len(p["out_tiles"]) for g in groups for p in g["parts"])
+    if tight:
+        return max(-(-total // 16) * 16, 16)
     cap = 16
     while cap < total:
         cap *= 2
@@ -1729,7 +1744,11 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
         return lambda: program(operands)
 
     groups = lowered.groups
-    cap = _pool_capacity(groups) if groups else 0
+    # the whole-plan program's signature is scene-specific anyway, so the
+    # pool skips the cross-scene pow2 bucketing: a tight cap halves the
+    # per-level dynamic-update-slice traffic on filter-heavy scenes
+    # (icons.svg: 1100 rows used vs 2048 pow2-padded)
+    cap = _pool_capacity(groups, tight=True) if groups else 0
     pool_probe = _PoolShape(cap)
     atlas_np = lowered.patterns
 
@@ -1766,8 +1785,12 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
     # captured concrete arrays would be embedded in the executable as
     # constants (100+ MB programs, useless persistent-cache entries)
     def fn(g_items, main_items, atlas, g_prepared, main_prepared):
+        # channel-planar pool (+1 trailing scratch row for idx == -1
+        # gathers) end-to-end: the executors consume it as-is instead of
+        # paying a whole-pool concatenate + layout transpose per launch
         pool = (
-            jnp.zeros((cap, t_size, t_size, 4), DEVICE_FLOAT) if groups else None
+            jnp.zeros((cap + 1, t_size, 4 * t_size), DEVICE_FLOAT)
+            if groups else None
         )
         for g, gc, dev, prep in zip(groups, g_caches, g_items, g_prepared):
             gc = dict(gc, items=dev)

@@ -385,3 +385,40 @@ def test_pregather_admits_stack_heavy_plan_unchunked():
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+
+
+def test_whole_plan_planar_pool():
+    """The serving (whole-plan) program keeps the isolation pool
+    channel-planar end-to-end (one scratch row baked in, tight capacity);
+    both the fused interp path and the XLA fallback must consume it and
+    match the per-stage interleaved-pool executor bit-for-bit."""
+    svg = """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <defs><mask id='m'><rect x='0' y='0' width='96' height='64' fill='#606060'/>
+        <circle cx='48' cy='32' r='18' fill='white'/></mask>
+        <filter id='f'><feGaussianBlur stdDeviation='1.5'/></filter></defs>
+        <g opacity='0.6'><rect x='8' y='8' width='40' height='30' fill='#c03020'/>
+        <circle cx='40' cy='40' r='14' fill='#30a050'/></g>
+        <rect x='30' y='10' width='60' height='44' fill='#2060c0' mask='url(#m)'/>
+        <circle cx='76' cy='20' r='12' fill='#a0b020' filter='url(#f)'/>
+        </svg>"""
+    scene, _ids, _size = scene_from_str(svg)
+    lowered = rp.lower_scene(scene, TR, (0, 0, 64, 96), False)
+    assert lowered is not None and lowered.groups, "needs isolation passes"
+    prev = os.environ.get("SVGR_FUSED")
+    try:
+        os.environ["SVGR_FUSED"] = "0"
+        ref = np.asarray(rp.execute_lowered(lowered, (0, 0), False, whole=False))
+        xla_whole = np.asarray(
+            rp.execute_lowered(lowered, (0, 0), False, whole=True)
+        )
+        os.environ["SVGR_FUSED"] = "interp"
+        fused_whole = np.asarray(
+            rp.execute_lowered(lowered, (0, 0), False, whole=True)
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("SVGR_FUSED", None)
+        else:
+            os.environ["SVGR_FUSED"] = prev
+    assert np.abs(ref - xla_whole).max() <= 1e-6
+    assert np.abs(ref - fused_whole).max() <= 1e-5
