@@ -143,6 +143,22 @@ def static_passes() -> bool:
     return os.environ.get("SVGR_STATIC_PASSES", "0") == "1"
 
 
+def wind_unroll_max() -> int:
+    """Guarded-unroll cap for the winding pass loop (0 disables).
+
+    Up to this static pass count the kernel unrolls the loop and wraps
+    each pass in a scalar-predicated cond on the item's live count: the
+    loop structure is static (Mosaic can schedule/pipeline across
+    passes — a dynamic-trip fori_loop measured ~2.5x the vector-op cost
+    of its body on material-design) without paying the padded passes'
+    VPU time the way SVGR_STATIC_PASSES does.  Above the cap the code
+    size would bloat compile time; the dynamic loop remains."""
+    try:
+        return int(os.environ.get("SVGR_WIND_UNROLL", "8"))
+    except ValueError:
+        return 8
+
+
 def pregather() -> bool:
     """Materialize per-item big/clip winding fields at prep time instead
     of keeping the class stacks VMEM-resident and dynamic-row-reading
@@ -400,19 +416,23 @@ def _item_compute(
     # ---- inline winding: G edges per pass, banded (8, 128) registers ----
     if ablate == "nowind":
         wind = jnp.zeros((T, T), f32)
-    elif static_passes() and n_pass is not None:
+    else:
         body = _winding_pass_body(edge_at, rows8, lane_col, T // 8)
         accs = _winding_accs(T // 8)
-        for p in range(n_pass):
-            accs = body(p, accs)
-        wind = _fold_bands(accs, T)
-    else:
-        accs = jax.lax.fori_loop(
-            0,
-            ip(4),
-            _winding_pass_body(edge_at, rows8, lane_col, T // 8),
-            _winding_accs(T // 8),
-        )
+        if static_passes() and n_pass is not None:
+            for p in range(n_pass):
+                accs = body(p, accs)
+        elif n_pass is not None and 0 < n_pass <= wind_unroll_max():
+            n_live = ip(4)
+            for p in range(n_pass):
+                accs = jax.lax.cond(
+                    p < n_live,
+                    functools.partial(body, p),
+                    lambda a: a,
+                    accs,
+                )
+        else:
+            accs = jax.lax.fori_loop(0, ip(4), body, accs)
         wind = _fold_bands(accs, T)
 
     if big_field is not None:

@@ -1400,6 +1400,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         + ":" + os.environ.get("SVGR_FUSED_VOUT", "")
         + ":" + os.environ.get("SVGR_VMEM_BUDGET", "")
         + ":" + os.environ.get("SVGR_STATIC_PASSES", "")
+        + ":" + os.environ.get("SVGR_WIND_UNROLL", "")
         + ":" + os.environ.get("SVGR_PREPARED", "")
         + ":" + os.environ.get("SVGR_PREGATHER", "")
         # the prepared tex/mask scratch index is pool.shape[0]: the same
@@ -1735,7 +1736,8 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
         os.environ.get(v, "")
         for v in ("SVGR_FUSED", "SVGR_FUSED_K", "SVGR_PREPASS_K",
                   "SVGR_FUSED_VOUT", "SVGR_VMEM_BUDGET",
-                  "SVGR_STATIC_PASSES", "SVGR_PREPARED", "SVGR_PREGATHER")
+                  "SVGR_STATIC_PASSES", "SVGR_WIND_UNROLL",
+                  "SVGR_PREPARED", "SVGR_PREGATHER")
     )
     key = (tuple(viewport), bool(linear_rgb), t_size, mode)
     cached = lowered.items.get("_whole_program")
