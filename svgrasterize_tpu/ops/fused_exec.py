@@ -419,10 +419,7 @@ def _item_compute(
     else:
         body = _winding_pass_body(edge_at, rows8, lane_col, T // 8)
         accs = _winding_accs(T // 8)
-        if static_passes() and n_pass is not None:
-            for p in range(n_pass):
-                accs = body(p, accs)
-        elif n_pass is not None and 0 < n_pass <= wind_unroll_max():
+        if (static_passes() or "wunroll" in features) and n_pass:
             n_live = ip(4)
             for p in range(n_pass):
                 accs = jax.lax.cond(
@@ -1280,6 +1277,22 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
     kinds = items["kind"]
     if ((kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)).any():
         f.append("grad")
+    lines = items.get("lines")
+    if lines is not None and wind_unroll_max() > 0:
+        import numpy as np
+
+        g = LANES // t_size
+        s = lines.shape[1]
+        n_pass = -(-s // g)
+        live = np.abs(np.asarray(lines)).max(-1) > 0
+        last = np.where(live, np.arange(1, s + 1), 0).max(-1)
+        mean_passes = float((-(-last // g)).mean())
+        # unrolling pays ~2.5x per-pass throughput (measured: the
+        # dynamic-trip loop blocks cross-iteration scheduling) but runs
+        # every item to the static max; profitable iff the padding
+        # factor stays under that break-even
+        if n_pass <= wind_unroll_max() and n_pass <= 2.6 * max(mean_passes, 0.4):
+            f.append("wunroll")
     if pool is not None and (items["tex_idx"] >= 0).any():
         f.append("tex")
     if pool is not None and (items["mask_idx"] >= 0).any():
