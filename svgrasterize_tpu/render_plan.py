@@ -968,6 +968,21 @@ class _Builder:
         seg_counts = np.array([banded(r[2]).shape[0] for r in records])
         median = int(np.median(seg_counts[seg_counts > 0])) if (seg_counts > 0).any() else 0
         s_bucket = min(_bucket(max(median, 1), 8), SMALL_SEGS)
+        try:
+            s_env = int(os.environ.get("SVGR_INLINE_SEGS", "0"))
+        except ValueError:
+            s_env = 0
+        if s_env > 0:
+            # cap the inline budget below the median-adaptive choice:
+            # pregather turned the big-class prepass into scene-static
+            # prep, so serving can trade inline per-frame winding passes
+            # for (prep-time) class rows.  Measured same-run A/B on
+            # material (v5e): offloading at 16 LOSES (1303 vs 1687
+            # Mpx/s) — the per-item pregathered-field gather in the
+            # kernel costs more than the inline passes it saves, so the
+            # median-adaptive default stands; the knob stays for scenes
+            # with pathological tails
+            s_bucket = max(min(s_bucket, _bucket(s_env, 8)), 8)
         widths = sorted(
             {_bucket(banded(r[2]).shape[0], 2 * s_bucket) for r in records
              if banded(r[2]).shape[0] > s_bucket}
