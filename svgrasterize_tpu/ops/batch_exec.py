@@ -172,11 +172,12 @@ def _raster_item(item, t_size: int):
     them, "_tex"/"_mask_tex" (gathered isolation-pass tiles) and
     "_pat_tex" (the item's pattern texture from the atlas).
 
-    item["carry"] / item["clip_carry"] are per-row winding offsets carried
-    into the tile by edges entirely to its left (host-precomputed exact
-    row-clipped contributions); adding them to the winding field is
-    equivalent to rasterizing those edges but costs O(T) instead of
-    O(edges * T * T).  Unclipped items carry clip_carry == 1 (full cover).
+    item["carry"] is the per-row winding offset carried into the tile by
+    edges entirely to its left (host-precomputed exact row-clipped
+    contributions); adding it to the winding field is equivalent to
+    rasterizing those edges but costs O(T) instead of O(edges * T * T).
+    "_clip_cov" is the item's precomputed clip coverage field (ones when
+    unclipped) — fill rules and carries fold into it at lowering time.
     Texture items (tex_idx >= 0) paint a pre-rendered isolation-pass tile
     instead of a paint server; their fill carry is 1, so the mask reduces
     to clip x opacity.  "_mask_tex" (mask_idx >= 0) multiplies in an SVG
@@ -188,8 +189,8 @@ def _raster_item(item, t_size: int):
         return jnp.where(rule == 0, nonzero, evenodd)
 
     mask = _coverage(item["_wind"] + item["carry"][:, None], item["fill_rule"])
-    clip_wind = item["_clip_wind"] + item["clip_carry"][:, None]
-    mask = mask * _coverage(clip_wind, item["clip_rule"])
+    if "_clip_cov" in item:
+        mask = mask * item["_clip_cov"]
     mask = jnp.where(mask < 1e-6, 0.0, mask) * item["opacity"]
     if "_mask_tex" in item:
         value = item["_mask_tex"][..., :3] @ _MASK_LUM
@@ -227,14 +228,15 @@ def _prepass_winding(arrays, t_size: int):
 
 def execute_items(
     items: dict, t_size: int, num_tiles: int, big_lines=(), pool=None,
-    patterns=None, clip_lines=None,
+    patterns=None, clip_cov=None,
 ):
     """Traceable whole-scene execution; see execute_plan for the contract.
 
     pool: (P, T, T, 4) texture tiles from earlier isolation passes, gathered
     by items["tex_idx"].  patterns: (Q, TH, TW, 4) pattern-tile atlas,
-    gathered by items["pat_idx"].  clip_lines: (U, S_u, 4) deduplicated
-    per-(clip, tile) edge lists, gathered by items["clip_idx"].
+    gathered by items["pat_idx"].  clip_cov: (U, T, T) deduplicated
+    per-(clip, tile) precomputed coverage fields, gathered by
+    items["clip_idx"] (-1 gathers the appended all-ones row).
     """
     n = items["tile_id"].shape[0]
     chunk_items = min(n, CHUNK_ITEMS)  # small passes stay small
@@ -246,7 +248,13 @@ def execute_items(
     if big_lines is not None and not isinstance(big_lines, (tuple, list)):
         big_lines = (big_lines,)
     big_wind = _prepass_winding(tuple(big_lines or ()), t_size)
-    clip_wind = _prepass_winding((clip_lines,), t_size)
+    if clip_cov is not None and clip_cov.shape[0]:
+        # all-ones scratch row: clip_idx == -1 means full coverage
+        clip_stack = jnp.concatenate(
+            [clip_cov, jnp.ones((1, t_size, t_size), DEVICE_FLOAT)], axis=0
+        )
+    else:
+        clip_stack = None
 
     if pool is not None:
         if pool.ndim == 3:
@@ -274,15 +282,11 @@ def execute_items(
             wind = jnp.where((idx >= 0)[:, None, None], gathered, wind)
         merged = dict(chunk)
         merged["_wind"] = wind
-        if clip_wind is not None:
+        if clip_stack is not None:
             cidx = chunk["clip_idx"]
-            merged["_clip_wind"] = clip_wind[
-                jnp.where(cidx >= 0, cidx, clip_wind.shape[0] - 1)
+            merged["_clip_cov"] = clip_stack[
+                jnp.where(cidx >= 0, cidx, clip_stack.shape[0] - 1)
             ]
-        else:
-            merged["_clip_wind"] = jnp.zeros(
-                (chunk["tile_id"].shape[0], t_size, t_size), DEVICE_FLOAT
-            )
         if pool is not None:
             tex_idx = chunk["tex_idx"]
             mask_idx = chunk["mask_idx"]
@@ -324,7 +328,7 @@ def execute_items(
 @partial(jax.jit, static_argnames=("t_size", "num_tiles", "features"))
 def execute_plan(
     items: dict, t_size: int, num_tiles: int, big_lines=(), pool=None,
-    patterns=None, clip_lines=None, features=None, prepared=None,
+    patterns=None, clip_cov=None, features=None, prepared=None,
 ):
     """Run a whole lowered scene; returns the canvas (num_tiles, T, T, 4).
 
@@ -344,16 +348,17 @@ def execute_plan(
     per-item winding cost proportional to each item's real segment count
     instead of the scene's worst tile.
 
-    Clip deduplication: per-(clip, tile) edge lists are stored once in
-    `clip_lines`, rasterized in the same pre-pass fashion, and gathered by
-    items["clip_idx"] — scenes where hundreds of draws share a clip pay
-    for its winding once.
+    Clip deduplication: per-(clip, tile) coverage fields (host-precomputed
+    unions of the clip parts' rule coverages, render_plan._clip_tile) are
+    stored once in `clip_cov` (U, T, T) and gathered by items["clip_idx"]
+    — scenes where hundreds of draws share a clip pay for it once, and
+    the executors just multiply the field into the item mask.
     """
     if features is not None:
         from .fused_exec import execute_items_fused
 
         return execute_items_fused(
-            items, t_size, num_tiles, big_lines, pool, patterns, clip_lines,
+            items, t_size, num_tiles, big_lines, pool, patterns, clip_cov,
             features, prepared=prepared,
         )
-    return execute_items(items, t_size, num_tiles, big_lines, pool, patterns, clip_lines)
+    return execute_items(items, t_size, num_tiles, big_lines, pool, patterns, clip_cov)

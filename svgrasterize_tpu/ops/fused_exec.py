@@ -13,17 +13,19 @@ This module replaces all of that with two Pallas kernels:
     item.  The canvas tile a run composites into is a *revisited output
     block* (its index comes from the scalar-prefetched tile_id), so an
     entire tile run composes in VMEM and HBM sees exactly one write per
-    canvas tile.  Pre-pass winding stacks (big segment classes,
-    deduplicated clips) and the isolation-pass texture pool stay
-    VMEM-resident and are read per item by dynamic row index — measured
-    ~30x faster than per-step block gathers through index_maps.  Inline
-    winding, fill-rule coverage, paint evaluation, and Porter-Duff OVER
-    all happen in registers between the block DMAs.
-  * the PREPASS kernel: grid = one step per (big | clip) class row,
+    canvas tile.  Pre-pass winding stacks (big segment classes), the
+    host-precomputed clip coverage fields, and the isolation-pass texture
+    pool stay VMEM-resident and are read per item by dynamic row index —
+    measured ~30x faster than per-step block gathers through index_maps.
+    Inline winding, fill-rule coverage, paint evaluation, and Porter-Duff
+    OVER all happen in registers between the block DMAs.
+  * the PREPASS kernel: grid = one step per big segment class row,
     rasterizing each padded edge list into a (T, T) winding field with
     the same packed-lane inner loop (the XLA formulation wastes 4/G of
     the VPU on lane padding and dominates dense scenes once the main
-    kernel is fused).
+    kernel is fused).  Clip coverage is NOT a prepass: fill rules and
+    carries fold into per-(clip, tile) coverage fields at lowering time
+    (render_plan._clip_tile), so the kernel just multiplies a row in.
 
 Data layout: a canvas tile is stored channel-PLANAR as (T, 4T) f32 with
 lane = channel * T + column — for T == 32 that is exactly a (32, 128)
@@ -160,9 +162,9 @@ def wind_unroll_max() -> int:
 
 
 def pregather() -> bool:
-    """Materialize per-item big/clip winding fields at prep time instead
-    of keeping the class stacks VMEM-resident and dynamic-row-reading
-    them per item.  The per-item fields stream as ordinary sequential
+    """Materialize per-item big winding / clip coverage fields at prep
+    time instead of keeping the stacks VMEM-resident and
+    dynamic-row-reading them per item.  The per-item fields stream as ordinary sequential
     (K, T, T) pipeline blocks (+T*T*4 bytes/item of HBM traffic, ~40 us
     on material-design), and the kernel's per-item dynamic VMEM reads —
     a scalar-core address dependency on the critical path — disappear.
@@ -295,7 +297,7 @@ def _fold_bands(accs, t_size: int):
 
 
 # --------------------------------------------------------------------------
-# pre-pass: winding stacks for big segment classes and deduplicated clips
+# pre-pass: winding stacks for big segment classes
 # --------------------------------------------------------------------------
 
 
@@ -335,7 +337,7 @@ def prepass_winding(arrays, t_size: int):
     packed-lane kernel runs at full VPU width where the XLA formulation
     pads T lanes up to 128.  K classes are rasterized per grid step (the
     per-step overhead otherwise rivals the main kernel's on dense scenes
-    with many big/clip classes).
+    with many big classes).
     """
     T = t_size
     winds = []
@@ -390,7 +392,7 @@ def prepass_winding(arrays, t_size: int):
 
 def _item_compute(
     T: int, k_stops: int, features: frozenset, rows, rows8, lane_col,
-    edge_at, ip, fp, carry_col, clip_col, color_row, stop_off, stop_row,
+    edge_at, ip, fp, carry_col, color_row, stop_off, stop_row,
     big_field, clip_field, tex_field, mask_field, pat_field,
     n_pass: int | None = None,
 ):
@@ -440,8 +442,8 @@ def _item_compute(
     else:
         cov = _coverage(wind, ip(1))
         if clip_field is not None:
-            cw = clip_field + clip_col
-            cov = cov * _coverage(cw, ip(2))
+            # host-precomputed clip coverage (rules + carries folded in)
+            cov = cov * clip_field
         mask = cov * fp(16)
         mask = jnp.where(mask < 1e-6, 0.0, mask)
     mask128 = pltpu.repeat(mask, 4, axis=1)  # planar tile -> (T, 4T)
@@ -555,7 +557,7 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
         tile_ref = scalar_refs[s_slots["tile"]]
         it = iter(refs[n_scalars:-1])
         edges_ref = next(it)     # (1, P, 8, 128) VMEM lane-broadcast params
-        carries_ref = next(it)   # (1, T, 2) VMEM
+        carries_ref = next(it)   # (1, T, 1) VMEM
         iparams_ref = next(it)   # (1, 1, 8) SMEM int32
         fparams_ref = next(it)   # (1, 1, 24) SMEM f32
         color_ref = next(it)     # (1, 1, 4T) VMEM (channel-planar)
@@ -589,7 +591,6 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             ip=lambda j: iparams_ref[0, 0, j],
             fp=lambda j: fparams_ref[0, 0, j],
             carry_col=carries_ref[0, :, 0:1],
-            clip_col=carries_ref[0, :, 1:2] if has_clip else None,
             color_row=color_ref[0, 0],
             stop_off=(lambda k: stop_off_ref[0, 0, k]) if has_grad else None,
             stop_row=(lambda k: stops_ref[0, k]) if has_grad else None,
@@ -671,7 +672,7 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
         tile_ref = scalar_refs[s_slots["tile"]]
         it = iter(refs[n_scalars:])
         edges_ref = next(it)     # (K, P, 8, 128) VMEM lane-broadcast params
-        carries_ref = next(it)   # (K, T, 2) VMEM
+        carries_ref = next(it)   # (K, T, 1) VMEM
         iparams_ref = next(it)   # (K, 1, 8) SMEM int32
         fparams_ref = next(it)   # (K, 1, 24) SMEM f32
         color_ref = next(it)     # (K, 1, 4T) VMEM (channel-planar)
@@ -711,7 +712,6 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
                 ip=lambda j: iparams_ref[kq, 0, j],
                 fp=lambda j: fparams_ref[kq, 0, j],
                 carry_col=carries_ref[kq, :, 0:1],
-                clip_col=carries_ref[kq, :, 1:2] if has_clip else None,
                 color_row=color_ref[kq, 0],
                 stop_off=(lambda k: stop_off_ref[kq, 0, k]) if has_grad else None,
                 stop_row=(lambda k: stops_ref[kq, k]) if has_grad else None,
@@ -861,7 +861,7 @@ def _gather_map(pos):
 
 
 def prepare_fused(
-    items: dict, t_size: int, big_lines=(), clip_lines=None, patterns=None,
+    items: dict, t_size: int, big_lines=(), clip_cov=None, patterns=None,
     features=frozenset(), pool_rows: int = 0, static_pass: bool = False,
 ):
     """Scene-static device prep for the fused executor.
@@ -892,15 +892,13 @@ def prepare_fused(
         # edges instead of relying on the dynamic pass count
         edges = jnp.where(big_item[:, None, None, None], 0.0, edges)
 
-    carries = jnp.stack(
-        [items["carry"].astype(f32), items["clip_carry"].astype(f32)], axis=-1
-    )  # (N, T, 2)
+    carries = items["carry"].astype(f32)[:, :, None]  # (N, T, 1)
 
     ipar = jnp.stack(
         [
             items["kind"].astype(jnp.int32),
             items["fill_rule"].astype(jnp.int32),
-            items["clip_rule"].astype(jnp.int32),
+            jnp.zeros((n,), jnp.int32),  # (was clip rule — folded into cov)
             items["spread"].astype(jnp.int32),
             passes,
             items["tex_idx"].astype(jnp.int32),
@@ -963,14 +961,18 @@ def prepare_fused(
             prepared["big_wind"] = big_wind
             prepared["big_rows"] = rows
     if "clip" in features:
-        clip_wind = prepass_winding((clip_lines,), T)           # (U+1, T, T)
-        u = clip_wind.shape[0] - 1
+        # host-precomputed coverage fields; all-ones scratch row for
+        # clip_idx == -1 (unclipped / padding items)
+        clip_stack = jnp.concatenate(
+            [clip_cov.astype(f32), jnp.ones((1, T, T), f32)], axis=0
+        )                                                       # (U+1, T, T)
+        u = clip_stack.shape[0] - 1
         clip_idx = items["clip_idx"].astype(jnp.int32)
         rows = jnp.where(clip_idx >= 0, clip_idx, u)
         if pre:
-            prepared["clip_field"] = clip_wind[rows]            # (n, T, T)
+            prepared["clip_field"] = clip_stack[rows]           # (n, T, T)
         else:
-            prepared["clip_wind"] = clip_wind
+            prepared["clip_cov"] = clip_stack
             prepared["clip_rows"] = rows
     # the runtime pool (isolation-pass textures) gathers by row index; the
     # scratch row for "-1" sits at pool_rows (execute pads the pool by one)
@@ -1012,7 +1014,7 @@ def prepare_fused(
 _prepare_jit = None
 
 
-def prepare_fused_cached(items, t_size, big_lines=(), clip_lines=None,
+def prepare_fused_cached(items, t_size, big_lines=(), clip_cov=None,
                          patterns=None, features=frozenset(),
                          pool_rows: int = 0):
     """Jitted prepare_fused (one program instead of op-by-op dispatches —
@@ -1026,14 +1028,14 @@ def prepare_fused_cached(items, t_size, big_lines=(), clip_lines=None,
             ),
         )
     return _prepare_jit(
-        items, t_size, tuple(big_lines or ()), clip_lines, patterns,
+        items, t_size, tuple(big_lines or ()), clip_cov, patterns,
         frozenset(features), pool_rows, static_passes(),
     )
 
 
 def execute_items_fused(
     items: dict, t_size: int, num_tiles: int, big_lines=(), pool=None,
-    patterns=None, clip_lines=None, features=frozenset(), prepared=None,
+    patterns=None, clip_cov=None, features=frozenset(), prepared=None,
 ):
     """Traceable fused execution; same contract as batch_exec.execute_items.
 
@@ -1048,7 +1050,7 @@ def execute_items_fused(
     features = frozenset(features)
     if prepared is None:
         prepared = prepare_fused(
-            items, T, big_lines, clip_lines, patterns, features,
+            items, T, big_lines, clip_cov, patterns, features,
             # a planar (ndim-3) pool already carries its scratch row last
             pool_rows=(
                 pool.shape[0] - (1 if pool.ndim == 3 else 0)
@@ -1072,7 +1074,7 @@ def execute_items_fused(
     in_specs = [
         pl.BlockSpec((kb, n_pass, 8, LANES), lambda i, *s: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((kb, T, 2), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kb, T, 1), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((kb, 1, 8), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((kb, 1, 24), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((kb, 1, 4 * T), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -1106,8 +1108,8 @@ def execute_items_fused(
                                          memory_space=pltpu.VMEM))
         else:
             scalars.append(prepared["clip_rows"])
-            tensors.append(prepared["clip_wind"])
-            in_specs.append(_resident_spec(prepared["clip_wind"]))
+            tensors.append(prepared["clip_cov"])
+            in_specs.append(_resident_spec(prepared["clip_cov"]))
     if "tex" in features or "mask" in features:
         if pool.ndim == 3:
             # the serving path keeps the pool channel-planar (P+1, T, 4T)

@@ -139,7 +139,8 @@ def sharded_render_plan(
 
     items/big_lines must already carry the leading device axis from
     partition_plan.  pool (isolation-pass tiles), patterns (pattern atlas),
-    and clips (deduplicated clip edge lists) are replicated: any device may
+    and clips (deduplicated precomputed clip coverage fields) are
+    replicated: any device may
     gather any row.  features: the fused-executor capability set (see
     ops/fused_exec.plan_features) — each shard then runs the fused Pallas
     kernel instead of the XLA executor.  Returns the assembled canvas

@@ -10,8 +10,11 @@ batched form ops/batch_exec.py executes:
     tile-local coordinates; edges entirely LEFT of a tile become an exact
     per-row winding carry vector (_row_carry) added after rasterization —
     interior tiles of a large shape carry no segments at all
-  * clip edge lists dedup by content and rasterize once in a pre-pass;
-    heavy edge lists group into per-width segment classes (_pack)
+  * clip coverage (the union of per-part rule coverages, matching the
+    reference's mask_only OVER composition) is precomputed on host per
+    (clip, tile), deduplicated by content, and multiplied in by the
+    executors; heavy draw edge lists group into per-width segment
+    classes (_pack)
   * items sort by (tile, z) so per-tile composition is a segmented scan
   * isolation subtrees (group opacity, masks, filters, nested and
     bbox-units clips) lower to passes whose output tiles re-enter the
@@ -20,9 +23,9 @@ batched form ops/batch_exec.py executes:
     render once into an atlas and evaluate by modular gather
 
 Everything the frontend produces lowers except per-paint colorspace
-overrides, >MAX_STOPS gradients, and evenodd fills inside multi-path
-clips; those scenes return None and render through the interpreter
-(render_group_hybrid still batches every lowerable sibling run).
+overrides and >MAX_STOPS gradients; those scenes return None and render
+through the interpreter (render_group_hybrid still batches every
+lowerable sibling run).
 """
 
 from __future__ import annotations
@@ -229,27 +232,31 @@ def _collect_draws(scene, transform: Transform, opacity: float, clip, out: list)
         raise _Unsupported(f"scene kind {kind}")
 
 
-def _clip_edges(clip_scene, transform: Transform, cache: dict):
-    """Flatten a clip scene to (edge list, fill rule id) in device coords.
+def _clip_parts(clip_scene, transform: Transform, cache: dict):
+    """Flatten a clip scene to per-fill (edge list, fill rule id) parts.
 
-    A single evenodd clip fill keeps its rule; multiple clip fills are
-    approximated by their combined nonzero winding (exact except on AA
-    boundaries of self-overlapping clip shapes) — mixing evenodd into a
-    multi-fill clip is unsupported (falls back to the interpreter).
+    Clip coverage follows the reference's mask_only render exactly
+    (/root/reference/svgrasterize.py:698-715 + the group OVER merge): each
+    fill contributes rule(winding) coverage and the fills compose with
+    OVER, i.e. the clip mask is the alpha UNION  1 - prod(1 - cov_p).
+    The parts stay separate here; _Builder._clip_tile turns them into a
+    precomputed per-tile coverage field, so per-part rules (including
+    evenodd in a multi-path clip) and overlapping / opposite-orientation
+    parts are exact.
     """
     key = (id(clip_scene), id(transform))
     cached = cache.get(key)
     if cached is not None:
         return cached
 
-    paths: list = []
-    rules: list = []
+    parts: list = []
 
     def walk(scene, tr):
         kind, args = scene
         if kind == RENDER_FILL:
-            paths.append(args[0].flatten(tr, FLATNESS))
-            rules.append(_FILL_RULE_ID.get(args[2], 0))
+            flat = args[0].flatten(tr, FLATNESS)
+            if flat.size:
+                parts.append((flat.reshape(-1, 4), _FILL_RULE_ID.get(args[2], 0)))
         elif kind == RENDER_GROUP:
             for child in args:
                 walk(child, tr)
@@ -259,35 +266,95 @@ def _clip_edges(clip_scene, transform: Transform, cache: dict):
             raise _Unsupported(f"clip scene kind {kind}")
 
     walk(clip_scene, transform)
-    parts = [p.reshape(-1, 4) for p in paths if p.size]
     if not parts:
         raise _Unsupported("empty clip")
-    if len(parts) == 1:
-        rule = rules[0]
-    elif any(rules):
-        raise _Unsupported("evenodd fill in a multi-path clip")
-    else:
-        rule = 0
-    edges = np.concatenate(parts, axis=0)
-    cache[key] = (edges, rule)
-    return edges, rule
+    cache[key] = parts
+    return parts
 
 
 def _clip_is_binary(clip_scene, clip_tr: Transform) -> bool:
     """True when the clip's coverage is exactly 0/1 at every pixel: all
     flattened edges axis-aligned on integer pixel boundaries (viewport
-    clips of nested <svg>/<symbol>/<marker> are the common case).  A
-    binary clip multiplied into each draw equals the reference's
-    group-layer COMPOSE_IN exactly, so such clips skip the isolation pass
+    clips of nested <svg>/<symbol>/<marker> are the common case; the
+    union of binary part masks is itself binary).  A binary clip
+    multiplied into each draw equals the reference's group-layer
+    COMPOSE_IN exactly, so such clips skip the isolation pass
     (material-design: 936 nested-svg viewport clips stay one program)."""
     try:
-        edges, _rule = _clip_edges(clip_scene, clip_tr, {})
+        parts = _clip_parts(clip_scene, clip_tr, {})
     except _Unsupported:
         return False  # the normal path re-raises with context
+    for edges, _rule in parts:
+        if edges.shape[0] == 0:
+            continue
+        axis_aligned = (edges[:, 0] == edges[:, 2]) | (edges[:, 1] == edges[:, 3])
+        if not (axis_aligned.all() and np.all(edges == np.round(edges))):
+            return False
+    return True
+
+
+def _host_winding(edges: np.ndarray, tile: int) -> np.ndarray:
+    """Numpy (f64) twin of ops/coverage.py's closed-form AA winding.
+
+    Same clamped-trapezoid formulation as the device kernels (see
+    ops/coverage.py for the derivation; the reference's scalar algorithm
+    is /root/reference/svgrasterize.py:2213-2304), evaluated on host at
+    lowering time for scene-static clip coverage fields.  f64 throughout —
+    the executors consume the resulting field verbatim, so host/device fp
+    agreement is not required, only accuracy.
+    """
     if edges.shape[0] == 0:
-        return True
-    axis_aligned = (edges[:, 0] == edges[:, 2]) | (edges[:, 1] == edges[:, 3])
-    return bool(axis_aligned.all()) and bool(np.all(edges == np.round(edges)))
+        return np.zeros((tile, tile))
+    e = edges.astype(np.float64)
+    a0, a1, b0, b1 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    rows = np.arange(tile, dtype=np.float64)[None, :, None]  # (1,T,1)
+    cols = np.arange(tile, dtype=np.float64)[None, None, :]  # (1,1,T)
+    sign = np.sign(b0 - a0)[:, None, None]
+    y_lo = np.minimum(a0, b0)
+    y_hi = np.maximum(a0, b0)
+    x_at_lo = np.where(a0 <= b0, a1, b1)
+    x_at_hi = np.where(a0 <= b0, b1, a1)
+    dy_seg = y_hi - y_lo
+    slope = (x_at_hi - x_at_lo) / np.where(dy_seg > 0, dy_seg, 1.0)
+    lo = np.maximum(y_lo[:, None, None], rows)
+    hi = np.minimum(y_hi[:, None, None], rows + 1.0)
+    dy = np.maximum(hi - lo, 0.0)
+    x_lo = x_at_lo[:, None, None] + slope[:, None, None] * (lo - y_lo[:, None, None])
+    x_hi = x_at_lo[:, None, None] + slope[:, None, None] * (hi - y_lo[:, None, None])
+    g0 = (cols + 1.0) - x_lo
+    g1 = (cols + 1.0) - x_hi
+
+    def antideriv(t):
+        return np.where(t <= 0, 0.0, np.where(t >= 1, t - 0.5, 0.5 * t * t))
+
+    den = g1 - g0
+    safe = np.abs(den) > 1e-12
+    mean = np.where(
+        safe,
+        (antideriv(g1) - antideriv(g0)) / np.where(safe, den, 1.0),
+        np.clip(0.5 * (g0 + g1), 0.0, 1.0),
+    )
+    return (sign * dy * mean).sum(axis=0)
+
+
+def _coverage_np(wind: np.ndarray, rule: int) -> np.ndarray:
+    """Host twin of the executors' fill-rule coverage mapping."""
+    if rule:
+        return np.abs(np.remainder(wind + 1.0, 2.0) - 1.0)
+    return np.clip(np.abs(wind), 0.0, 1.0)
+
+
+def _union_cov_field(parts_tile: list, tile: int) -> np.ndarray:
+    """Union clip coverage of tile-local parts [(edges, carry, rule)].
+
+    OVER-composition of the part masks: 1 - prod(1 - rule(wind + carry)).
+    Returns a (tile, tile) f64 field.
+    """
+    inv = np.ones((tile, tile))
+    for edges, carry, rule in parts_tile:
+        wind = _host_winding(edges, tile) + carry.astype(np.float64)[:, None]
+        inv *= 1.0 - _coverage_np(wind, rule)
+    return 1.0 - inv
 
 
 def _paint_params(paint, hull: ConvexHull, transform: Transform, linear_rgb: bool):
@@ -360,6 +427,7 @@ def _paint_params(paint, hull: ConvexHull, transform: Transform, linear_rgb: boo
 
 
 _NO_EDGES = np.zeros((0, 4), dtype=DEVICE_FLOAT)
+_UNCLIPPED = object()  # _clip_tile: full coverage, no clip row needed
 _CARRY_CONSTS: dict = {}  # tile -> (row indices f64, zero carry, ones carry)
 
 
@@ -632,9 +700,11 @@ class _Builder:
         self.num_tiles = self.grid_h * self.grid_w
         self.shift = np.array([v0, v1, v0, v1], dtype=np.float64)
         self.linear_rgb = linear_rgb
-        self.clip_flat_cache: dict = {}
-        self.clip_row_cache: dict = {}
-        self.clip_tile_cache: dict = {}
+        self.clip_flat_cache: dict = {}  # clip_key -> [(lines, extents, rule)]
+        self.clip_row_cache: dict = {}   # (clip_key, part, ti) -> rowdata|None
+        self.clip_tile_cache: dict = {}  # (clip_key, ti, tj) -> tile result
+        self.clip_cov_cache: dict = {}   # parts content key -> tile result
+        self.clip_cov_dedup: dict = {}   # coverage f32 bytes -> canonical array
         self.passes: list = []  # [_Pass] in emission order; merged by _plan_groups
         self.pool_size = 0
         self.all_points: list = []
@@ -646,37 +716,80 @@ class _Builder:
 
     # -- clip helpers -------------------------------------------------------
     def _clip_tile(self, clip, ti: int, tj: int):
-        """Tile-local clip (edges, carry, rule) for tile (ti, tj).
+        """Tile-local clip coverage for tile (ti, tj).
 
-        Returns (_NO_EDGES, _ONES_CARRY, 0) when unclipped, None when the
-        tile lies entirely outside the clip region.
+        Returns _UNCLIPPED (full coverage — the record needs no clip
+        reference), None (zero coverage — the tile is invisible, skip the
+        record), or a deduplicated (tile, tile) f32 coverage field: the
+        alpha UNION of the clip's per-part rule coverages, precomputed on
+        host (see _union_cov_field) so the executors just multiply it in.
         """
         if clip is None:
-            return _NO_EDGES, _carry_consts(self.tile)[2], 0
+            return _UNCLIPPED
         clip_scene, clip_tr = clip
         clip_key = (id(clip_scene), id(clip_tr))
-        if clip_key not in self.clip_flat_cache:
-            clip_lines, rule = _clip_edges(clip_scene, clip_tr, {})
-            clip_lines = clip_lines - self.shift
-            self.clip_flat_cache[clip_key] = (clip_lines, _edge_extents(clip_lines), rule)
+        parts = self.clip_flat_cache.get(clip_key)
+        if parts is None:
+            parts = []
+            for lines, rule in _clip_parts(clip_scene, clip_tr, {}):
+                shifted = lines - self.shift
+                parts.append((shifted, _edge_extents(shifted), rule))
+            self.clip_flat_cache[clip_key] = parts
         tile_key = (clip_key, ti, tj)
-        cached = self.clip_tile_cache.get(tile_key)
-        if cached is None:
-            clip_lines, extents, rule = self.clip_flat_cache[clip_key]
-            row_key = (clip_key, ti)
+        cached = self.clip_tile_cache.get(tile_key, False)
+        if cached is not False:
+            return cached
+        zero_carry = _carry_consts(self.tile)[1]
+        parts_tile = []
+        for p, (lines, extents, rule) in enumerate(parts):
+            row_key = (clip_key, p, ti)
             rowdata = self.clip_row_cache.get(row_key, False)
             if rowdata is False:
-                rowdata = _row_bin(clip_lines, *extents, ti, self.tile)
+                rowdata = _row_bin(lines, *extents, ti, self.tile)
                 self.clip_row_cache[row_key] = rowdata
             if rowdata is None:
-                cached = (_NO_EDGES, _carry_consts(self.tile)[1], rule)
+                edges, carry = _NO_EDGES, zero_carry
             else:
-                cached = (*_col_bin(rowdata, tj, self.tile), rule)
-            self.clip_tile_cache[tile_key] = cached
-        edges, carry, rule = cached
-        if edges.shape[0] == 0 and not carry.any():
-            return None
-        return edges, carry, rule
+                edges, carry = _col_bin(rowdata, tj, self.tile)
+            if edges.shape[0] or carry.any():
+                parts_tile.append((edges, carry, rule))
+        result = self._clip_cov_of(parts_tile)
+        self.clip_tile_cache[tile_key] = result
+        return result
+
+    def _clip_cov_of(self, parts_tile: list):
+        """Coverage field of live tile-local parts, with fast paths.
+
+        Deduplicated twice: by part content (skip recomputing the union)
+        and by the resulting coverage bytes (identical fields from
+        different clip scenes share one packed row).
+        """
+        if not parts_tile:
+            return None  # no part reaches this tile
+        for edges, carry, rule in parts_tile:
+            # carry-only part covering every pixel -> the union is full
+            if edges.shape[0] == 0 and np.all(
+                _coverage_np(carry.astype(np.float64), rule) >= 1.0
+            ):
+                return _UNCLIPPED
+        key = tuple(
+            (e.tobytes(), c.tobytes(), r) for e, c, r in parts_tile
+        )
+        result = self.clip_cov_cache.get(key, False)
+        if result is not False:
+            return result
+        cov = np.ascontiguousarray(
+            _union_cov_field(parts_tile, self.tile).astype(DEVICE_FLOAT)
+        )
+        if not cov.any():
+            result = None
+        elif np.all(cov >= 1.0):
+            result = _UNCLIPPED
+        else:
+            b = cov.tobytes()
+            result = self.clip_cov_dedup.setdefault(b, cov)
+        self.clip_cov_cache[key] = result
+        return result
 
     # -- pattern paints -------------------------------------------------------
     def _pattern_params(self, paint: Pattern, hull: ConvexHull, transform: Transform):
@@ -735,8 +848,8 @@ class _Builder:
         base = self.pool_size
         self.pool_size += len(out_tiles)
         refs = sorted(
-            {r[12] for r in sub_records if r[12] >= 0}
-            | {r[13] for r in sub_records if r[13] >= 0}
+            {r[10] for r in sub_records if r[10] >= 0}
+            | {r[11] for r in sub_records if r[11] >= 0}
         )
         self.passes.append(_Pass(sub_records, src_tiles, list(out_tiles), post, base, refs))
         return {tile: base + rank for rank, tile in enumerate(out_tiles)}
@@ -782,13 +895,13 @@ class _Builder:
 
     def _texture_record(self, tile: int, z: int, opacity, clip, tex_idx: int, mask_idx: int):
         ti, tj = divmod(tile, self.grid_w)
-        clip_tile = self._clip_tile(clip, ti, tj)
-        if clip_tile is None:
+        clip_cov = self._clip_tile(clip, ti, tj)
+        if clip_cov is None:
             return None
-        clip_edges, clip_carry, clip_rule = clip_tile
         return (
-            tile, z, _NO_EDGES, _carry_consts(self.tile)[2], clip_edges, clip_carry,
-            clip_rule, self._blank_params, 0, opacity, ti * self.tile, tj * self.tile,
+            tile, z, _NO_EDGES, _carry_consts(self.tile)[2],
+            None if clip_cov is _UNCLIPPED else clip_cov,
+            self._blank_params, 0, opacity, ti * self.tile, tj * self.tile,
             tex_idx, mask_idx,
         )
 
@@ -898,13 +1011,13 @@ class _Builder:
                 raise _Unsupported(f"fill rule {fill_rule}")
 
             for ti, tj, edges, carry in _bin_draw(flat, self.grid_h, self.grid_w, self.tile):
-                clip_tile = self._clip_tile(clip, ti, tj)
-                if clip_tile is None:
-                    continue  # tile entirely outside the clip region
-                clip_edges, clip_carry, clip_rule = clip_tile
+                clip_cov = self._clip_tile(clip, ti, tj)
+                if clip_cov is None:
+                    continue  # zero clip coverage: the tile is invisible
                 records.append(
-                    (ti * self.grid_w + tj, z, edges, carry, clip_edges, clip_carry,
-                     clip_rule, params, rule, opacity, ti * self.tile, tj * self.tile,
+                    (ti * self.grid_w + tj, z, edges, carry,
+                     None if clip_cov is _UNCLIPPED else clip_cov,
+                     params, rule, opacity, ti * self.tile, tj * self.tile,
                      -1, -1)
                 )
         return records
@@ -920,8 +1033,8 @@ class _Builder:
         Items over SMALL_SEGS edges go to per-width class arrays (the big
         pre-pass); each class pads to its own power-of-two width, so one
         1000-segment path does not inflate every heavy item to its width.
-        Clip edge lists are deduplicated by identity (the tile cache returns
-        one array per (clip, tile)), packed once, and referenced by index.
+        Clip coverage fields (host-precomputed, _clip_tile) are deduplicated
+        by identity, packed as (U, T, T) rows, and referenced by index.
         """
         from .ops.batch_exec import CHUNK_BIG, SMALL_SEGS
 
@@ -937,15 +1050,15 @@ class _Builder:
 
         # band-split every edge list so the fused kernel's 8-row banded
         # winding passes apply (see _band_split_batch); one batched call
-        # over the whole plan, dedup'd by array identity (clip scenes
-        # reuse one ndarray across records)
+        # over the whole plan, dedup'd by array identity (clip coverage is
+        # a precomputed field now — only draw edges need banding)
         band_cache: dict[int, np.ndarray] = {}
         uniques: list[np.ndarray] = []
         for r in records:
-            for arr in (r[2], r[4]):
-                if arr.shape[0] and id(arr) not in band_cache:
-                    band_cache[id(arr)] = arr  # placeholder, filled below
-                    uniques.append(arr)
+            arr = r[2]
+            if arr.shape[0] and id(arr) not in band_cache:
+                band_cache[id(arr)] = arr  # placeholder, filled below
+                uniques.append(arr)
         if uniques:
             counts = np.array([a.shape[0] for a in uniques])
             owner = np.repeat(np.arange(len(uniques)), counts)
@@ -990,36 +1103,31 @@ class _Builder:
         class_of_width = {w: c for c, w in enumerate(widths)}
         class_rows: list[list] = [[] for _ in widths]
 
-        # clip dedup by CONTENT: scenes commonly define hundreds of clipPath
-        # elements with identical geometry (material-design: 935 clip scenes,
-        # ~100 unique tile-local edge lists), so bit-exact bytes are the key
-        clip_index: dict[bytes, int] = {}
-        clip_key_of: dict[int, bytes] = {}
+        # clip coverage rows, deduplicated by array identity: _clip_tile
+        # already dedups by content (material-design: 935 clip scenes share
+        # ~100 unique tile-local fields), so identical tiles arrive as one
+        # ndarray object
+        clip_index: dict[int, int] = {}
         clip_arrays: list[np.ndarray] = []
         for r in records:
-            clip_edges = r[4]
-            if clip_edges.shape[0] == 0:
+            cov = r[4]
+            if cov is None:
                 continue
-            key = clip_key_of.get(id(clip_edges))
-            if key is None:
-                key = banded(clip_edges).tobytes()
-                clip_key_of[id(clip_edges)] = key
-            if key not in clip_index:
-                clip_index[key] = len(clip_arrays)
-                clip_arrays.append(banded(clip_edges))
+            if id(cov) not in clip_index:
+                clip_index[id(cov)] = len(clip_arrays)
+                clip_arrays.append(cov)
         if clip_arrays:
-            c_bucket = _bucket(max(a.shape[0] for a in clip_arrays))
             u = len(clip_arrays)
             u_pad = _bucket(u, 8) if u <= CHUNK_BIG else _round_count(u, CHUNK_BIG)
-            clips = np.zeros((u_pad, c_bucket, 4), DEVICE_FLOAT)
+            clips = np.zeros((u_pad, self.tile, self.tile), DEVICE_FLOAT)
             for i, a in enumerate(clip_arrays):
-                clips[i, : a.shape[0]] = a
+                clips[i] = a
         else:
-            clips = np.zeros((0, 0, 4), DEVICE_FLOAT)
+            clips = np.zeros((0, self.tile, self.tile), DEVICE_FLOAT)
 
         # stop tables shrink to the scene's real maximum (paint evaluation
         # cost is linear in the table width)
-        k_bucket = _bucket(max(r[7]["_n_stops"] for r in records), minimum=4)
+        k_bucket = _bucket(max(r[5]["_n_stops"] for r in records), minimum=4)
         k_bucket = min(k_bucket, MAX_STOPS)
 
         items = {
@@ -1029,8 +1137,6 @@ class _Builder:
             "tex_idx": np.full(n_pad, -1, np.int32),
             "mask_idx": np.full(n_pad, -1, np.int32),
             "clip_idx": np.full(n_pad, -1, np.int32),
-            "clip_carry": np.zeros((n_pad, self.tile), DEVICE_FLOAT),
-            "clip_rule": np.zeros(n_pad, np.int32),
             "tile_id": np.full(n_pad, pad_tile, np.int32),
             "fill_rule": np.zeros(n_pad, np.int32),
             "opacity": np.zeros(n_pad, DEVICE_FLOAT),
@@ -1055,7 +1161,7 @@ class _Builder:
             "pat_lo": np.zeros((n_pad, 2), np.int32),
             "pat_max": np.zeros((n_pad, 2), np.int32),
         }
-        for i, (tile_id, _z, edges, carry, clip_edges, clip_carry, clip_rule, params,
+        for i, (tile_id, _z, edges, carry, clip_cov, params,
                 rule, opacity, tr_origin, tc_origin, tex_idx, mask_idx) in enumerate(records):
             edges = banded(edges)
             if edges.shape[0] > s_bucket:
@@ -1066,10 +1172,8 @@ class _Builder:
             items["carry"][i] = carry
             items["tex_idx"][i] = tex_idx
             items["mask_idx"][i] = mask_idx
-            if clip_edges.shape[0]:
-                items["clip_idx"][i] = clip_index[clip_key_of[id(clip_edges)]]
-            items["clip_carry"][i] = clip_carry
-            items["clip_rule"][i] = clip_rule
+            if clip_cov is not None:
+                items["clip_idx"][i] = clip_index[id(clip_cov)]
             items["tile_id"][i] = tile_id
             items["fill_rule"][i] = rule
             items["opacity"][i] = opacity
@@ -1208,7 +1312,7 @@ class Lowered(NamedTuple):
 
     items: dict  # main-stream per-item arrays (leading dim N)
     bigs: tuple  # heavy edge lists, one (M_c, S_c, 4) array per width class
-    clips: Any  # deduplicated (U, S_u, 4) clip edge lists
+    clips: Any  # deduplicated (U, T, T) precomputed clip coverage fields
     grid: tuple  # (grid_h, grid_w) canvas tiles
     hull: Any  # ConvexHull of all draw geometry
     groups: list  # merged isolation-pass programs (see _plan_groups)
@@ -1578,7 +1682,10 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
                 sub[key] = lut[np.where(col >= 0, np.minimum(col, cap), cap)]
 
         sub_big = flat_big[big_rows] if len(big_rows) else np.zeros((0, 0, 4), DEVICE_FLOAT)
-        sub_clips = clips[clip_rows] if len(clip_rows) else np.zeros((0, 0, 4), DEVICE_FLOAT)
+        sub_clips = (
+            clips[clip_rows] if len(clip_rows)
+            else np.zeros((0, t_size, t_size), DEVICE_FLOAT)
+        )
         features = plan_features(
             sub, (sub_big,) if sub_big.shape[0] else (),
             sub_clips if sub_clips.shape[0] else None,
@@ -1919,7 +2026,7 @@ def compile_scene(scene, transform: Transform, viewport, linear_rgb: bool = Fals
 def can_lower(scene, linear_rgb: bool, in_clip: bool = False) -> bool:
     """Cheap structural predicate: would lower_scene accept this subtree?
 
-    Mirrors _collect_draws / _paint_params / _clip_edges checks without
+    Mirrors _collect_draws / _paint_params / _clip_parts checks without
     touching geometry, so the hybrid group renderer can partition children
     into batchable runs in O(nodes).
     """
@@ -1962,12 +2069,12 @@ def can_lower(scene, linear_rgb: bool, in_clip: bool = False) -> bool:
 
 
 def _clip_scene_ok(scene) -> bool:
-    fills: list = []
-
+    # any mix of fill rules lowers: clip coverage is the precomputed
+    # per-part union (_clip_tile), matching the reference's mask_only
+    # OVER composition exactly
     def walk(scene) -> bool:
         kind, args = scene
         if kind == RENDER_FILL:
-            fills.append(args[2])
             return True
         if kind == RENDER_GROUP:
             return all(walk(c) for c in args)
@@ -1975,10 +2082,7 @@ def _clip_scene_ok(scene) -> bool:
             return walk(args[0])
         return False
 
-    if not walk(scene):
-        return False
-    # a single fill keeps its rule; multi-fill clips combine as nonzero
-    return len(fills) <= 1 or all(f in (None, "nonzero") for f in fills)
+    return walk(scene)
 
 
 def crop_layer_to_hull(layer: Layer, hull: ConvexHull, viewport) -> Layer:

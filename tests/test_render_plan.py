@@ -150,8 +150,9 @@ def test_evenodd_fill_rule():
     )
 
 
-def test_unsupported_scene_returns_none():
-    # evenodd fills in a MULTI-path clip cannot combine as one winding
+def test_evenodd_multi_path_clip_lowers():
+    # evenodd fills in a MULTI-path clip: coverage is the per-part union
+    # (host-precomputed), so mixed rules lower instead of falling back
     doc = """
     <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
       <defs>
@@ -164,8 +165,31 @@ def test_unsupported_scene_returns_none():
     </svg>
     """
     scene, _ids, size = scene_from_str(doc)
-    assert lower_scene(scene, TR, (0, 0, 64, 64), False) is None
-    assert render_fast(scene, TR, (0, 0, 64, 64)) is None
+    assert lower_scene(scene, TR, (0, 0, 64, 64), False) is not None
+    _compare(doc)
+
+
+def test_opposite_orientation_multi_path_clip():
+    # two overlapping clip paths wound in OPPOSITE directions: the union
+    # mask keeps the overlap (the reference OVER-composes part masks);
+    # a combined-winding approximation would cancel to a hole
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">
+      <defs>
+        <clipPath id="c">
+          <path d="M8 8 H40 V40 H8 Z"/>
+          <path d="M24 24 V56 H56 V24 Z"/>
+        </clipPath>
+      </defs>
+      <rect x="0" y="0" width="64" height="64" fill="#2040aa" clip-path="url(#c)"/>
+    </svg>
+    """
+    _compare(doc)
+    # the overlap (24..40)^2 must stay opaque
+    scene, _ids, _size = scene_from_str(doc)
+    layer = render_fast(scene, TR, (0, 0, 64, 64))
+    img = np.asarray(layer[0].image)
+    assert img[30, 30, 3] > 0.99
 
 
 def test_evenodd_clip_single_path_batches():
