@@ -62,6 +62,8 @@ from ..utils.constants import DEVICE_FLOAT
 LANES = 128
 
 # paint kinds (must match render_plan.PAINT_*)
+MAX_STOP_GUARD = 1 << 20  # "no guard": run the whole static stop table
+
 PAINT_SOLID = 0
 PAINT_LINEAR = 1
 PAINT_RADIAL = 2
@@ -159,6 +161,22 @@ def wind_unroll_max() -> int:
         return int(os.environ.get("SVGR_WIND_UNROLL", "8"))
     except ValueError:
         return 8
+
+
+def solid_skip() -> bool:
+    """Per-item scalar cond around the gradient math: a launch whose
+    features include "grad" (any one item paints a gradient) otherwise
+    pays the full linear+radial evaluation (~25 (T,T) ops plus the
+    k_stops (T,4T) interpolation loop) for EVERY item.  icons.svg main:
+    1691 of 2560 items are solid fills — the cond skips two thirds of
+    the launch's gradient VPU time for one scalar-predicated branch."""
+    return os.environ.get("SVGR_SOLID_SKIP", "1") != "0"
+
+
+def stop_guard() -> bool:
+    """Allow the "sguard" feature (per-item guarded unroll of the
+    gradient stop-interpolation loop); see plan_features."""
+    return os.environ.get("SVGR_SGUARD", "1") != "0"
 
 
 def pregather() -> bool:
@@ -452,57 +470,85 @@ def _item_compute(
     paint = jnp.broadcast_to(color_row.reshape(1, 4 * T), (T, 4 * T))
     if has_grad:
         kind = ip(0)
-        r = rows + fp(17) + 0.5                                       # (T,1)
-        c = (jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(f32)
-             + fp(18) + 0.5)
-        gx = r * fp(0) + c * fp(1) + fp(2)                            # (T,T)
-        gy = r * fp(3) + c * fp(4) + fp(5)
-        vec0 = fp(8) - fp(6)
-        vec1 = fp(9) - fp(7)
-        denom = jnp.maximum(vec0 * vec0 + vec1 * vec1, 1e-30)
-        t_lin = ((gx - fp(6)) * vec0 + (gy - fp(7)) * vec1) / denom
-        cd0 = fp(10) - fp(12)
-        cd1 = fp(11) - fp(13)
-        pd0 = gx - fp(12)
-        pd1 = gy - fp(13)
-        radius = fp(14)
-        fradius = fp(15)
-        rd = radius - fradius
-        a_q = cd0 * cd0 + cd1 * cd1 - rd * rd
-        b_q = pd0 * cd0 + pd1 * cd1 + fradius * rd
-        c_q = pd0 * pd0 + pd1 * pd1 - fradius * fradius
-        det = b_q * b_q - a_q * c_q
-        sq = jnp.sqrt(jnp.maximum(det, 0.0))
-        a_safe = jnp.where(jnp.abs(a_q) > 1e-30, a_q, 1e-30)
-        t_rad = jnp.maximum((b_q + sq) / a_safe, (b_q - sq) / a_safe)
-        # f32 throughout: Mosaic cannot select on i1 vectors
-        rad_valid = (det >= 0).astype(f32)
-        lim = fradius / jnp.where(jnp.abs(rd) > 1e-12, fradius - radius, 1.0)
-        rad_valid = jnp.where(jnp.abs(rd) > 1e-12,
-                              rad_valid * (t_rad > lim).astype(f32), rad_valid)
-        t = jnp.where(kind == PAINT_LINEAR, t_lin, t_rad)
-        mode = ip(3)
-        repeat = t - jnp.trunc(t)
-        reflect = jnp.abs(jnp.remainder(t + 1.0, 2.0) - 1.0)
-        t = jnp.where(mode == 0, t, jnp.where(mode == 1, repeat, reflect))
-        t128 = pltpu.repeat(t, 4, axis=1)                           # (T,4T)
-        grad = jnp.broadcast_to(stop_row(0).reshape(1, 4 * T), (T, 4 * T))
-        for k in range(1, k_stops):
-            span = stop_off(k) - stop_off(k - 1)
-            ok = span > 1e-12
-            ratio = jnp.clip(
-                (t128 - stop_off(k - 1)) / jnp.where(ok, span, 1.0),
-                0.0, 1.0,
+
+        def _grad_paint(paint):
+            r = rows + fp(17) + 0.5                                   # (T,1)
+            c = (jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(f32)
+                 + fp(18) + 0.5)
+            gx = r * fp(0) + c * fp(1) + fp(2)                        # (T,T)
+            gy = r * fp(3) + c * fp(4) + fp(5)
+            vec0 = fp(8) - fp(6)
+            vec1 = fp(9) - fp(7)
+            denom = jnp.maximum(vec0 * vec0 + vec1 * vec1, 1e-30)
+            t_lin = ((gx - fp(6)) * vec0 + (gy - fp(7)) * vec1) / denom
+            cd0 = fp(10) - fp(12)
+            cd1 = fp(11) - fp(13)
+            pd0 = gx - fp(12)
+            pd1 = gy - fp(13)
+            radius = fp(14)
+            fradius = fp(15)
+            rd = radius - fradius
+            a_q = cd0 * cd0 + cd1 * cd1 - rd * rd
+            b_q = pd0 * cd0 + pd1 * cd1 + fradius * rd
+            c_q = pd0 * pd0 + pd1 * pd1 - fradius * fradius
+            det = b_q * b_q - a_q * c_q
+            sq = jnp.sqrt(jnp.maximum(det, 0.0))
+            a_safe = jnp.where(jnp.abs(a_q) > 1e-30, a_q, 1e-30)
+            t_rad = jnp.maximum((b_q + sq) / a_safe, (b_q - sq) / a_safe)
+            # f32 throughout: Mosaic cannot select on i1 vectors
+            rad_valid = (det >= 0).astype(f32)
+            lim = fradius / jnp.where(
+                jnp.abs(rd) > 1e-12, fradius - radius, 1.0
             )
-            ratio = jnp.where(
-                ok, ratio, (t128 >= stop_off(k)).astype(f32)
+            rad_valid = jnp.where(jnp.abs(rd) > 1e-12,
+                                  rad_valid * (t_rad > lim).astype(f32),
+                                  rad_valid)
+            t = jnp.where(kind == PAINT_LINEAR, t_lin, t_rad)
+            mode = ip(3)
+            repeat = t - jnp.trunc(t)
+            reflect = jnp.abs(jnp.remainder(t + 1.0, 2.0) - 1.0)
+            t = jnp.where(mode == 0, t, jnp.where(mode == 1, repeat, reflect))
+            t128 = pltpu.repeat(t, 4, axis=1)                       # (T,4T)
+            grad = jnp.broadcast_to(stop_row(0).reshape(1, 4 * T), (T, 4 * T))
+            n_live_stops = ip(7) if "sguard" in features else None
+
+            def stop_step(k, grad):
+                span = stop_off(k) - stop_off(k - 1)
+                ok = span > 1e-12
+                ratio = jnp.clip(
+                    (t128 - stop_off(k - 1)) / jnp.where(ok, span, 1.0),
+                    0.0, 1.0,
+                )
+                ratio = jnp.where(
+                    ok, ratio, (t128 >= stop_off(k)).astype(f32)
+                )
+                return grad + ratio * (stop_row(k) - stop_row(k - 1)).reshape(
+                    1, 4 * T
+                )
+
+            for k in range(1, k_stops):
+                if n_live_stops is None:
+                    grad = stop_step(k, grad)
+                else:
+                    # padded stops are numeric no-ops (offset 1.0, zero
+                    # color delta); the cond skips their VPU time
+                    grad = jax.lax.cond(
+                        k < n_live_stops,
+                        functools.partial(stop_step, k),
+                        lambda g: g,
+                        grad,
+                    )
+            valid128 = pltpu.repeat(rad_valid, 4, axis=1)
+            return grad * jnp.where(kind == PAINT_RADIAL, valid128, 1.0)
+
+        if solid_skip():
+            # one scalar-predicated branch per item: solid fills (the
+            # majority on dense scenes) skip the whole gradient block
+            paint = jax.lax.cond(
+                kind == PAINT_SOLID, lambda p: p, _grad_paint, paint
             )
-            grad = grad + ratio * (stop_row(k) - stop_row(k - 1)).reshape(
-                1, 4 * T
-            )
-        valid128 = pltpu.repeat(rad_valid, 4, axis=1)
-        grad = grad * jnp.where(kind == PAINT_RADIAL, valid128, 1.0)
-        paint = jnp.where(kind == PAINT_SOLID, paint, grad)
+        else:
+            paint = jnp.where(kind == PAINT_SOLID, paint, _grad_paint(paint))
     if pat_field is not None:
         # pattern items' paint tiles are pre-rendered by the XLA paint
         # path into a small planar pool (see execute_items_fused)
@@ -903,7 +949,10 @@ def prepare_fused(
             passes,
             items["tex_idx"].astype(jnp.int32),
             items["mask_idx"].astype(jnp.int32),
-            jnp.zeros((n,), jnp.int32),
+            # real gradient stop count (for the "sguard" guarded unroll);
+            # plans packed before the field existed run the full table
+            (items["n_stops"].astype(jnp.int32) if "n_stops" in items
+             else jnp.full((n,), MAX_STOP_GUARD, jnp.int32)),
         ],
         axis=-1,
     )[:, None, :]  # (N, 1, 8)
@@ -1279,6 +1328,18 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
     kinds = items["kind"]
     if ((kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)).any():
         f.append("grad")
+        n_stops = items.get("n_stops")
+        k_stops = int(items["stop_offsets"].shape[1])
+        if (n_stops is not None and k_stops > 4 and stop_guard()):
+            import numpy as np
+
+            grad_sel = (kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)
+            spans = np.maximum(np.asarray(n_stops)[np.asarray(grad_sel)] - 1, 0)
+            # guard each stop-interpolation step behind the item's real
+            # count when the launch-wide table is mostly padding (one
+            # long gradient widens k_stops for every item)
+            if spans.size and (k_stops - 1) > 2.0 * max(float(spans.mean()), 0.5):
+                f.append("sguard")
     lines = items.get("lines")
     if lines is not None and wind_unroll_max() > 0:
         import numpy as np

@@ -1152,6 +1152,7 @@ class _Builder:
             "radius": np.zeros(n_pad, DEVICE_FLOAT),
             "fradius": np.zeros(n_pad, DEVICE_FLOAT),
             "spread": np.zeros(n_pad, np.int32),
+            "n_stops": np.zeros(n_pad, np.int32),
             "stop_offsets": np.ones((n_pad, k_bucket), DEVICE_FLOAT),
             "stop_colors": np.zeros((n_pad, k_bucket, 4), DEVICE_FLOAT),
             "pat_idx": np.full(n_pad, -1, np.int32),
@@ -1186,6 +1187,7 @@ class _Builder:
                 "pat_idx", "pat_fwd", "pat_xy", "pat_wh", "pat_lo", "pat_max",
             ):
                 items[key][i] = params[key]
+            items["n_stops"][i] = min(params["_n_stops"], k_bucket)
             items["stop_offsets"][i] = params["stop_offsets"][:k_bucket]
             items["stop_colors"][i] = params["stop_colors"][:k_bucket]
 
@@ -1859,7 +1861,8 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
         for v in ("SVGR_FUSED", "SVGR_FUSED_K", "SVGR_PREPASS_K",
                   "SVGR_FUSED_VOUT", "SVGR_VMEM_BUDGET",
                   "SVGR_STATIC_PASSES", "SVGR_WIND_UNROLL",
-                  "SVGR_PREPARED", "SVGR_PREGATHER")
+                  "SVGR_PREPARED", "SVGR_PREGATHER", "SVGR_SOLID_SKIP",
+                  "SVGR_SGUARD", "SVGR_ABLATE")
     )
     key = (tuple(viewport), bool(linear_rgb), t_size, mode)
     cached = lowered.items.get("_whole_program")

@@ -422,3 +422,48 @@ def test_whole_plan_planar_pool():
             os.environ["SVGR_FUSED"] = prev
     assert np.abs(ref - xla_whole).max() <= 1e-6
     assert np.abs(ref - fused_whole).max() <= 1e-5
+
+
+def test_solid_skip_and_stop_guard_equivalence():
+    """A launch mixing many solid fills with one long (9-stop) gradient:
+    k_stops pads wide, activating both the per-item solid-skip cond and
+    the "sguard" guarded stop unroll — output must match the XLA
+    executor exactly (padded stops are numeric no-ops; the conds only
+    skip them)."""
+    stops = "".join(
+        f"<stop offset='{i / 8}' stop-color='#{i:x}0{8 - i:x}0f0'/>"
+        for i in range(9)
+    )
+    rects = "".join(
+        f"<rect x='{4 + 7 * i}' y='{4 + 5 * (i % 4)}' width='6' height='6' "
+        f"fill='#{i:x}060a0'/>" for i in range(12)
+    )
+    svg = f"""<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <defs>
+        <linearGradient id='long'>{stops}</linearGradient>
+        <linearGradient id='short' x1='0' y1='0' x2='0' y2='1'>
+        <stop offset='0' stop-color='#ff2000'/>
+        <stop offset='1' stop-color='#0020ff'/></linearGradient>
+        </defs>
+        {rects}
+        <rect x='4' y='30' width='88' height='14' fill='url(#long)'/>
+        <rect x='4' y='46' width='88' height='14' fill='url(#short)'/>
+        </svg>"""
+    scene, _ids, _size = scene_from_str(svg)
+    lowered = rp.lower_scene(scene, TR, (0, 0, 64, 96), False)
+    assert lowered is not None
+    assert int(lowered.items["stop_offsets"].shape[1]) >= 8
+    prev = os.environ.get("SVGR_FUSED")
+    try:
+        os.environ["SVGR_FUSED"] = "0"
+        ref = np.asarray(rp.execute_lowered(lowered, (0, 0), False))
+        os.environ["SVGR_FUSED"] = "interp"
+        got = np.asarray(rp.execute_lowered(lowered, (0, 0), False))
+        feats = lowered.items["_device_cache"]["features"]
+        assert feats is not None and "sguard" in feats, feats
+    finally:
+        if prev is None:
+            os.environ.pop("SVGR_FUSED", None)
+        else:
+            os.environ["SVGR_FUSED"] = prev
+    assert np.abs(ref - got).max() <= 1e-5
