@@ -99,8 +99,9 @@ def _material_throughput(width: int | None, reps: int):
                 p["fpar"] = prep["fpar"] + carry  # serialize iterations
                 tiles = execute_items_fused(
                     dev, lowered.tile, gh * gw, bigs, None, None, clips,
-                    feats, prepared=p,
+                    feats, prepared=p, planar_out=True,
                 )
+                return tiles[0, 0, 0] * 0.0
             else:
                 d = dict(dev)
                 d["opacity"] = dev["opacity"] + carry
@@ -143,7 +144,7 @@ def _call_latency(fn, calls: int = 8, reps: int = 2) -> float:
         start = time.perf_counter()
         for _ in range(n):
             out = fn()
-        float(np.asarray(out[0, 0, 0, 0]))  # force the tail call
+        float(np.asarray(out[(0,) * out.ndim]))  # force the tail call
         return time.perf_counter() - start
 
     run(1)  # compile
@@ -162,8 +163,11 @@ def _call_latency(fn, calls: int = 8, reps: int = 2) -> float:
 
 
 def _serve_latency(compiled, calls: int = 8, reps: int = 2) -> float:
-    """Per-call CompiledScene latency in seconds, dispatch included."""
-    return _call_latency(compiled.render_tiles, calls, reps)
+    """Per-call CompiledScene latency in seconds, dispatch included.
+    Measures the planar-tile entry point — the layout render() consumes
+    (de-planarization rides the image-assembly shuffle)."""
+    fn = getattr(compiled, "render_tiles_planar", compiled.render_tiles)
+    return _call_latency(fn, calls, reps)
 
 
 def bench_4k():

@@ -285,8 +285,11 @@ def _planar_convert(x, to_straight: bool, gamma: str | None):
     return jnp.concatenate([rgb, alpha], axis=1)
 
 
-def apply_chunk(canvas, ck: dict, t_size: int, linear_rgb: bool):
-    """Run one batched-blur chunk: canvas rows -> (n_out, T, T, 4) pool rows.
+def apply_chunk(canvas, ck: dict, t_size: int, linear_rgb: bool,
+                planar: bool = False):
+    """Run one batched-blur chunk: canvas rows -> pool rows ((n_out, T,
+    T, 4), or channel-planar (n_out, T, 4T) when `planar` — then the
+    canvas rows are planar too and the level needs no layout round trip).
 
     Traceable.  HIGHEST matmul precision keeps f32-accurate taps (the
     band matmuls replace exact-copy placement too; single-pass bf16
@@ -303,14 +306,23 @@ def apply_chunk(canvas, ck: dict, t_size: int, linear_rgb: bool):
     # 1. span assembly: whole-tile-row gather, one shuffle to channel-
     # planar images
     sent = canvas.shape[0]
-    rows = jnp.concatenate(
-        [canvas, jnp.zeros((1, T, T, 4), canvas.dtype)], axis=0
-    )[jnp.asarray(np.where(ck["lut"] < 0, sent, ck["lut"]))]  # (B, S, T, T, 4)
-    span = (
-        rows.reshape(B, NSi, NSj, T, T, 4)
-        .transpose(0, 5, 1, 3, 2, 4)
-        .reshape(B, 4, H, W)
-    )
+    pad_row = (jnp.zeros((1, T, 4 * T), canvas.dtype) if planar
+               else jnp.zeros((1, T, T, 4), canvas.dtype))
+    rows = jnp.concatenate([canvas, pad_row], axis=0)[
+        jnp.asarray(np.where(ck["lut"] < 0, sent, ck["lut"]))
+    ]  # (B, S, T, T, 4) or planar (B, S, T, 4T)
+    if planar:
+        span = (
+            rows.reshape(B, NSi, NSj, T, 4, T)
+            .transpose(0, 4, 1, 3, 2, 5)
+            .reshape(B, 4, H, W)
+        )
+    else:
+        span = (
+            rows.reshape(B, NSi, NSj, T, T, 4)
+            .transpose(0, 5, 1, 3, 2, 4)
+            .reshape(B, 4, H, W)
+        )
 
     # 2. conversions (Layer.convert(pre_alpha=False, linear_rgb=chain),
     # same formulas, same order as the per-part path)
@@ -340,10 +352,17 @@ def apply_chunk(canvas, ck: dict, t_size: int, linear_rgb: bool):
 
     out_span = _planar_convert(out_span, to_straight=False, gamma=gamma_out)
 
-    # 4. back to (T, T, 4) tiles; one whole-row gather into pool order
-    tiles = (
-        out_span.reshape(B, 4, NOi, T, NOj, T)
-        .transpose(0, 2, 4, 3, 5, 1)
-        .reshape(B * NOi * NOj, T, T, 4)
-    )
-    return tiles[jnp.asarray(ck["out_idx"])]  # (n_out, T, T, 4)
+    # 4. back to tiles; one whole-row gather into pool order
+    if planar:
+        tiles = (
+            out_span.reshape(B, 4, NOi, T, NOj, T)
+            .transpose(0, 2, 4, 3, 1, 5)
+            .reshape(B * NOi * NOj, T, 4 * T)
+        )
+    else:
+        tiles = (
+            out_span.reshape(B, 4, NOi, T, NOj, T)
+            .transpose(0, 2, 4, 3, 5, 1)
+            .reshape(B * NOi * NOj, T, T, 4)
+        )
+    return tiles[jnp.asarray(ck["out_idx"])]  # (n_out, ...)

@@ -164,19 +164,37 @@ def wind_unroll_max() -> int:
 
 
 def solid_skip() -> bool:
-    """Per-item scalar cond around the gradient math: a launch whose
-    features include "grad" (any one item paints a gradient) otherwise
-    pays the full linear+radial evaluation (~25 (T,T) ops plus the
-    k_stops (T,4T) interpolation loop) for EVERY item.  icons.svg main:
-    1691 of 2560 items are solid fills — the cond skips two thirds of
-    the launch's gradient VPU time for one scalar-predicated branch."""
-    return os.environ.get("SVGR_SOLID_SKIP", "1") != "0"
+    """Per-item scalar cond around the gradient math, skipping the full
+    linear+radial evaluation for solid items in a "grad" launch.
+    Default OFF: measured on v5e icons.svg (1691 of 2560 main items
+    solid) the cond cost MORE than the skipped VPU time — 3.32 ms serve
+    vs 3.10 without it; the branch stalls Mosaic's cross-item pipeline
+    more than ~30 small vector ops cost.  Kept as an A/B knob for
+    gradient-heavy pathologies."""
+    return os.environ.get("SVGR_SOLID_SKIP", "0") != "0"
 
 
 def stop_guard() -> bool:
     """Allow the "sguard" feature (per-item guarded unroll of the
-    gradient stop-interpolation loop); see plan_features."""
-    return os.environ.get("SVGR_SGUARD", "1") != "0"
+    gradient stop-interpolation loop); see plan_features.  Default OFF:
+    same v5e measurement as solid_skip — per-stop conds (icons: 15 for a
+    mean-4-stop population) read 3.23 ms serve vs 3.10 unguarded."""
+    return os.environ.get("SVGR_SGUARD", "0") != "0"
+
+
+def pregrad() -> bool:
+    """Pre-render gradient paint at prep time ("pregrad" feature).
+
+    Gradient paint is scene-static (it depends only on the item's params
+    and tile origin, never on the isolation pool), so prep evaluates the
+    batched XLA paint path once per plan and the kernel streams each
+    item's finished (T, 4T) paint field as an ordinary pipeline block —
+    deleting the whole in-kernel gradient evaluation (~25 (T,T) ops plus
+    the k_stops-wide (T,4T) interpolation loop, which ran for EVERY item
+    of a "grad" launch; icons.svg main pays k_stops=16 for a mean-4-stop
+    population).  HBM cost: 16 KB/item of scene-static storage +
+    streaming (~42 MB on icons main, ~50 us/frame of bandwidth)."""
+    return os.environ.get("SVGR_PREGRAD", "1") != "0"
 
 
 def pregather() -> bool:
@@ -412,7 +430,7 @@ def _item_compute(
     T: int, k_stops: int, features: frozenset, rows, rows8, lane_col,
     edge_at, ip, fp, carry_col, color_row, stop_off, stop_row,
     big_field, clip_field, tex_field, mask_field, pat_field,
-    n_pass: int | None = None,
+    n_pass: int | None = None, grad_field=None,
 ):
     """One work item's premultiplied (rgba, alpha) planar tiles (T, 4T).
 
@@ -426,7 +444,7 @@ def _item_compute(
     has_grad = "grad" in features
     ablate = _ablate()
 
-    if ablate.startswith("stub"):
+    if "stub" in ablate:
         if color_row is None:
             rgba = jnp.full((T, 4 * T), 0.5, f32)
         else:
@@ -467,7 +485,12 @@ def _item_compute(
     mask128 = pltpu.repeat(mask, 4, axis=1)  # planar tile -> (T, 4T)
 
     # ---- paint ------------------------------------------------------
-    paint = jnp.broadcast_to(color_row.reshape(1, 4 * T), (T, 4 * T))
+    if grad_field is not None:
+        # "pregrad_paint": the streamed field IS the finished paint
+        # (solid colors included — _paint_item broadcasts them)
+        paint = grad_field
+    else:
+        paint = jnp.broadcast_to(color_row.reshape(1, 4 * T), (T, 4 * T))
     if has_grad:
         kind = ip(0)
 
@@ -583,6 +606,7 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
     has_big = "big" in features
     has_clip = "clip" in features
     has_grad = "grad" in features
+    pre_grad = "pregrad_paint" in features
     has_tex = "tex" in features
     has_mask = "mask" in features
     has_pat = "pat" in features
@@ -610,6 +634,8 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
         if has_grad:
             stop_off_ref = next(it)  # (1, 1, K) SMEM
             stops_ref = next(it)     # (1, K, 4T) VMEM
+        if pre_grad:
+            grad_ref = next(it)      # (1, T, 4T) VMEM pre-rendered paint
         if has_big:
             big_ref = next(it)       # resident (M+1,T,T) or pregather (1,T,T)
         if has_clip:
@@ -640,6 +666,7 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             color_row=color_ref[0, 0],
             stop_off=(lambda k: stop_off_ref[0, 0, k]) if has_grad else None,
             stop_row=(lambda k: stops_ref[0, k]) if has_grad else None,
+            grad_field=grad_ref[0] if pre_grad else None,
             big_field=(big_ref[0] if pre else
                        big_ref[scalar_refs[s_slots["big"]][i]])
             if has_big else None,
@@ -698,6 +725,7 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
     has_big = "big" in features
     has_clip = "clip" in features
     has_grad = "grad" in features
+    pre_grad = "pregrad_paint" in features
     has_tex = "tex" in features
     has_mask = "mask" in features
     has_pat = "pat" in features
@@ -725,6 +753,8 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
         if has_grad:
             stop_off_ref = next(it)  # (K, 1, S) SMEM
             stops_ref = next(it)     # (K, S, 4T) VMEM
+        if pre_grad:
+            grad_ref = next(it)      # (K, T, 4T) VMEM pre-rendered paint
         if has_big:
             big_ref = next(it)       # resident (M+1,T,T) or pregather (K,T,T)
         if has_clip:
@@ -761,6 +791,7 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
                 color_row=color_ref[kq, 0],
                 stop_off=(lambda k: stop_off_ref[kq, 0, k]) if has_grad else None,
                 stop_row=(lambda k: stops_ref[kq, k]) if has_grad else None,
+                grad_field=grad_ref[kq] if pre_grad else None,
                 big_field=(big_ref[kq] if pre else
                            big_ref[scalar_refs[s_slots["big"]][i]])
                 if has_big else None,
@@ -995,6 +1026,24 @@ def prepare_fused(
         prepared["stops"] = jnp.broadcast_to(
             items["stop_colors"].astype(f32)[:, :, :, None], (n, k_stops, 4, T)
         ).reshape(n, k_stops, 4 * T)
+    if "pregrad_paint" in features:
+        # scene-static paint fields via the batched XLA paint path (the
+        # exact formulas batch_exec uses; solid items come out as their
+        # broadcast color, so the kernel's paint IS this field)
+        from .batch_exec import _paint_item
+
+        sub = {
+            k: items[k].astype(f32) if items[k].dtype.kind == "f" else items[k]
+            for k in ("affine", "p0", "p1", "center", "fcenter", "radius",
+                      "fradius", "spread", "stop_offsets", "stop_colors",
+                      "color", "kind")
+        }
+        fields = jax.vmap(
+            lambda it, tr, tc: _paint_item(it, tr, tc, T)
+        )(sub, items["tile_r"].astype(f32), items["tile_c"].astype(f32))
+        prepared["grad_field"] = (
+            fields.astype(f32).transpose(0, 1, 3, 2).reshape(n, T, 4 * T)
+        )
 
     pre = "pregather" in features
     if "big" in features:
@@ -1085,6 +1134,7 @@ def prepare_fused_cached(items, t_size, big_lines=(), clip_cov=None,
 def execute_items_fused(
     items: dict, t_size: int, num_tiles: int, big_lines=(), pool=None,
     patterns=None, clip_cov=None, features=frozenset(), prepared=None,
+    planar_out: bool = False,
 ):
     """Traceable fused execution; same contract as batch_exec.execute_items.
 
@@ -1092,7 +1142,10 @@ def execute_items_fused(
     `features` is the static capability set computed by plan_features from
     the host-side plan ("big", "clip", "grad", "tex", "mask", "pat").
     `prepared` (from prepare_fused) skips the scene-static prep — the
-    serving path caches it per plan.
+    serving path caches it per plan.  planar_out returns the kernel's
+    native channel-planar (num_tiles, T, 4T) canvas instead of
+    (num_tiles, T, T, 4) — the serving program keeps every intermediate
+    canvas planar, skipping one whole-canvas shuffle copy per launch.
     """
     f32 = DEVICE_FLOAT
     T = t_size
@@ -1139,6 +1192,10 @@ def execute_items_fused(
             pl.BlockSpec((kb, k_stops, 4 * T), lambda i, *s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    if "pregrad_paint" in features:
+        tensors.append(prepared["grad_field"])
+        in_specs.append(pl.BlockSpec((kb, T, 4 * T), lambda i, *s: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
 
     pre = "pregather" in features
     if "big" in features:
@@ -1256,8 +1313,22 @@ def execute_items_fused(
         canvas = jnp.where(
             touched[:, None, None], canvas128[:num_tiles], 0.0
         )
+    if planar_out:
+        return canvas
     # channel-planar (T, 4T) -> (T, T, 4)
     return canvas.reshape(num_tiles, T, 4, T).transpose(0, 1, 3, 2)
+
+
+def to_planar(tiles):
+    """(N, T, T, 4) -> channel-planar (N, T, 4T)."""
+    n, t = tiles.shape[0], tiles.shape[1]
+    return tiles.transpose(0, 1, 3, 2).reshape(n, t, 4 * t)
+
+
+def from_planar(canvas):
+    """Channel-planar (N, T, 4T) -> (N, T, T, 4)."""
+    n, t = canvas.shape[0], canvas.shape[1]
+    return canvas.reshape(n, t, 4, t).transpose(0, 1, 3, 2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1327,19 +1398,24 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
         f.append("pregather")
     kinds = items["kind"]
     if ((kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)).any():
-        f.append("grad")
-        n_stops = items.get("n_stops")
-        k_stops = int(items["stop_offsets"].shape[1])
-        if (n_stops is not None and k_stops > 4 and stop_guard()):
-            import numpy as np
+        if pregrad():
+            f.append("pregrad_paint")
+        else:
+            f.append("grad")
+            n_stops = items.get("n_stops")
+            k_stops = int(items["stop_offsets"].shape[1])
+            if (n_stops is not None and k_stops > 4 and stop_guard()):
+                import numpy as np
 
-            grad_sel = (kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)
-            spans = np.maximum(np.asarray(n_stops)[np.asarray(grad_sel)] - 1, 0)
-            # guard each stop-interpolation step behind the item's real
-            # count when the launch-wide table is mostly padding (one
-            # long gradient widens k_stops for every item)
-            if spans.size and (k_stops - 1) > 2.0 * max(float(spans.mean()), 0.5):
-                f.append("sguard")
+                grad_sel = (kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)
+                spans = np.maximum(
+                    np.asarray(n_stops)[np.asarray(grad_sel)] - 1, 0
+                )
+                # guard each stop-interpolation step behind the item's
+                # real count when the launch-wide table is mostly padding
+                # (one long gradient widens k_stops for every item)
+                if spans.size and (k_stops - 1) > 2.0 * max(float(spans.mean()), 0.5):
+                    f.append("sguard")
     lines = items.get("lines")
     if lines is not None and wind_unroll_max() > 0:
         import numpy as np

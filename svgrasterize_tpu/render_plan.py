@@ -1390,17 +1390,21 @@ def _group_post_program(group, grid_w, viewport, linear_rgb, t_size):
     return program
 
 
-def _apply_group_post(canvas, pool, group, grid_w, viewport, linear_rgb, t_size):
+def _apply_group_post(canvas, pool, group, grid_w, viewport, linear_rgb, t_size,
+                      planar: bool = False):
     """Traceable post-op stage for one group: (canvas, pool) -> pool.
 
     Single-blur filter parts (the dominant population in filter-heavy
     scenes) execute in a few batched-matmul chunks instead of one op
     chain per part — see ops/filter_batch.  The batch plan is host
-    metadata, computed once and cached on the group dict."""
+    metadata, computed once and cached on the group dict.  With planar,
+    `canvas` (and the pool) are channel-planar (N, T, 4T) and the stage
+    emits planar rows directly — no per-level layout round trip."""
     import jax.numpy as jnp
     from jax import lax
 
     from .ops import filter_batch
+    from .ops.fused_exec import from_planar, to_planar
 
     plan = group.get("_blur_batch")
     if plan is None:
@@ -1408,6 +1412,15 @@ def _apply_group_post(canvas, pool, group, grid_w, viewport, linear_rgb, t_size)
             group["parts"], grid_w, viewport, t_size
         )
     chunks, batched = plan
+
+    if os.environ.get("SVGR_ABLATE", "").startswith("nopost"):
+        # measurement hook: zero pool rows, no filter/gather work — the
+        # serve delta vs this attributes the post-op stage's device time
+        shape = ((group["pool_n"], t_size, 4 * t_size) if pool.ndim == 3
+                 else (group["pool_n"], t_size, t_size, 4))
+        return lax.dynamic_update_slice_in_dim(
+            pool, jnp.zeros(shape, DEVICE_FLOAT), group["pool_lo"], axis=0
+        )
 
     # _plan_groups numbers each level's pool rows contiguously, so the
     # update is ONE dynamic-update-slice at pool_lo — never a row scatter
@@ -1423,20 +1436,37 @@ def _apply_group_post(canvas, pool, group, grid_w, viewport, linear_rgb, t_size)
             outs.append(canvas[p["row_start"] : p["row_start"] + p["n_rows"]])
             n = p["n_rows"]
         else:
-            outs.append(_apply_part_filter(canvas, p, grid_w, viewport, linear_rgb, t_size))
+            # the per-part filter path works on (T, T, 4) tiles; convert
+            # only this part's rows (rare: non-separable / multi-primitive
+            # chains — the batched chunks cover the dominant population)
+            if planar:
+                src = from_planar(
+                    canvas[p["row_start"] : p["row_start"] + p["n_rows"]]
+                )
+                out = _apply_part_filter(
+                    src, dict(p, row_start=0), grid_w, viewport,
+                    linear_rgb, t_size,
+                )
+                outs.append(to_planar(out))
+            else:
+                outs.append(_apply_part_filter(
+                    canvas, p, grid_w, viewport, linear_rgb, t_size
+                ))
             n = len(p["out_tiles"])
         pos.extend(range(p["pool_base"] - lo, p["pool_base"] - lo + n))
     for ck in chunks:
         pos.extend(i - lo for i in ck["pool_idx"])
-        outs.append(filter_batch.apply_chunk(canvas, ck, t_size, linear_rgb))
+        outs.append(
+            filter_batch.apply_chunk(canvas, ck, t_size, linear_rgb, planar)
+        )
     new_rows = jnp.concatenate(outs, axis=0)
     if pos != list(range(len(pos))):
         # batched chunks emit out of pool order: one whole-row permutation
         perm = np.empty(len(pos), np.int64)
         perm[np.asarray(pos)] = np.arange(len(pos))
         new_rows = new_rows[jnp.asarray(perm, jnp.int32)]
-    if pool.ndim == 3:
-        # serving keeps the pool channel-planar (see _whole_plan_program):
+    if pool.ndim == 3 and not planar:
+        # per-stage callers hand interleaved rows into a planar pool:
         # convert only the level's NEW rows — never the whole pool
         new_rows = new_rows.transpose(0, 1, 3, 2).reshape(
             -1, t_size, 4 * t_size
@@ -1755,7 +1785,7 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
 
 def execute_lowered(
     lowered, viewport=(0, 0), linear_rgb: bool = False, t_size: int = None,
-    exec_fn=None, whole: bool | None = None,
+    exec_fn=None, whole: bool | None = None, planar: bool = False,
 ):
     """Execute a lowered plan: merged isolation-pass groups (with any post-op
     filters) in level order, then the main stream referencing the pool.
@@ -1763,10 +1793,16 @@ def execute_lowered(
     exec_fn(items, bigs, clips, num_tiles, pool, patterns, t_size) -> canvas
     overrides the plan executor — parallel/scene.py supplies a mesh-sharded
     one; the default runs one device program per group.
+
+    planar returns the canvas channel-planar (num_tiles, T, 4T) — the
+    whole-plan program's native layout, so serving callers that fold the
+    de-planarization into their own image assembly skip a canvas copy.
     """
     import os
 
     import jax.numpy as jnp
+
+    from .ops.fused_exec import from_planar, to_planar
 
     t_size = t_size or lowered.tile
     grid_h, grid_w = lowered.grid
@@ -1780,7 +1816,8 @@ def execute_lowered(
     if whole is None:
         whole = env_whole == "1"
     if exec_fn is None and whole and env_whole != "0":
-        return _whole_plan_program(lowered, viewport, linear_rgb, t_size)()
+        out = _whole_plan_program(lowered, viewport, linear_rgb, t_size)()
+        return out if planar else from_planar(out)
     atlas = jnp.asarray(lowered.patterns) if lowered.patterns is not None else None
     run = exec_fn or _default_exec
 
@@ -1805,7 +1842,7 @@ def execute_lowered(
             t_size,
         )
         pool = _group_post_program(g, grid_w, viewport, linear_rgb, t_size)(canvas, pool)
-    return run(
+    tiles = run(
         lowered.items,
         lowered.bigs,
         lowered.clips,
@@ -1814,6 +1851,7 @@ def execute_lowered(
         atlas if bool((lowered.items["pat_idx"] >= 0).any()) else None,
         t_size,
     )
+    return to_planar(tiles) if planar else tiles
 
 
 def _pool_capacity(groups, tight: bool = False) -> int:
@@ -1852,7 +1890,7 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
     import jax.numpy as jnp
 
     from .ops import batch_exec
-    from .ops.fused_exec import execute_items_fused
+    from .ops.fused_exec import execute_items_fused, to_planar
 
     grid_h, grid_w = lowered.grid
     num_tiles = grid_h * grid_w
@@ -1862,7 +1900,7 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
                   "SVGR_FUSED_VOUT", "SVGR_VMEM_BUDGET",
                   "SVGR_STATIC_PASSES", "SVGR_WIND_UNROLL",
                   "SVGR_PREPARED", "SVGR_PREGATHER", "SVGR_SOLID_SKIP",
-                  "SVGR_SGUARD", "SVGR_ABLATE")
+                  "SVGR_SGUARD", "SVGR_PREGRAD", "SVGR_ABLATE")
     )
     key = (tuple(viewport), bool(linear_rgb), t_size, mode)
     cached = lowered.items.get("_whole_program")
@@ -1897,15 +1935,20 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
     )
 
     def _run(cache, rows, pool, patterns, prepared):
+        # every stage canvas stays channel-planar (N, T, 4T): the fused
+        # kernel's native output layout, consumed as-is by the filter
+        # batches and the pool — one whole-canvas shuffle copy per launch
+        # (icons.svg: 5) drops to zero; callers de-planarize once at the end
         if cache["features"] is not None:
             return execute_items_fused(
                 cache["items"], t_size, rows, cache["bigs"], pool, patterns,
                 cache["clips"], cache["features"], prepared=prepared,
+                planar_out=True,
             )
-        return batch_exec.execute_items(
+        return to_planar(batch_exec.execute_items(
             cache["items"], t_size, rows, cache["bigs"], pool, patterns,
             cache["clips"],
-        )
+        ))
 
     # the scene-static prepared arrays (expanded winding params, pre-pass
     # winding stacks) enter as PROGRAM ARGUMENTS, not closure captures —
@@ -1928,7 +1971,8 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
                 prep,
             )
             pool = _apply_group_post(
-                canvas, pool, g, grid_w, viewport, linear_rgb, t_size
+                canvas, pool, g, grid_w, viewport, linear_rgb, t_size,
+                planar=True,
             )
         mc = dict(main_cache, items=main_items)
         return _run(mc, num_tiles, pool, atlas if main_pat else None,
@@ -2003,13 +2047,23 @@ class CompiledScene:
             whole=self._exec_fn is None,
         )
 
+    def render_tiles_planar(self):
+        """Raw canvas tiles, channel-planar (num_tiles, T, 4T) — the
+        executor's native layout (no de-planarizing canvas copy)."""
+        return execute_lowered(
+            self._lowered, self._viewport[:2], self._linear_rgb,
+            exec_fn=self._exec_fn, whole=self._exec_fn is None, planar=True,
+        )
+
     def render(self) -> Layer:
         """Viewport-sized premultiplied Layer."""
         grid_h, grid_w = self._lowered.grid
         t = self._lowered.tile
-        tiles = self.render_tiles()
-        canvas = tiles.reshape(grid_h, grid_w, t, t, 4)
-        canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(grid_h * t, grid_w * t, 4)
+        # consume the planar layout directly: the tile->image shuffle has
+        # to run anyway, so de-planarization rides it for free
+        tiles = self.render_tiles_planar()
+        canvas = tiles.reshape(grid_h, grid_w, t, 4, t)
+        canvas = canvas.transpose(0, 2, 1, 4, 3).reshape(grid_h * t, grid_w * t, 4)
         v0, v1, h, w = self._viewport
         return Layer(
             canvas[: int(h), : int(w)], (int(v0), int(v1)),

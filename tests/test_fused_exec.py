@@ -453,17 +453,26 @@ def test_solid_skip_and_stop_guard_equivalence():
     lowered = rp.lower_scene(scene, TR, (0, 0, 64, 96), False)
     assert lowered is not None
     assert int(lowered.items["stop_offsets"].shape[1]) >= 8
-    prev = os.environ.get("SVGR_FUSED")
+    prev = {k: os.environ.get(k)
+            for k in ("SVGR_FUSED", "SVGR_SOLID_SKIP", "SVGR_SGUARD",
+                      "SVGR_PREGRAD")}
     try:
         os.environ["SVGR_FUSED"] = "0"
         ref = np.asarray(rp.execute_lowered(lowered, (0, 0), False))
+        # the conds default off (measured slower on v5e; pregrad replaces
+        # in-kernel gradient math entirely); force the guarded in-kernel
+        # path on so it stays equivalence-covered
+        os.environ["SVGR_PREGRAD"] = "0"
+        os.environ["SVGR_SOLID_SKIP"] = "1"
+        os.environ["SVGR_SGUARD"] = "1"
         os.environ["SVGR_FUSED"] = "interp"
         got = np.asarray(rp.execute_lowered(lowered, (0, 0), False))
         feats = lowered.items["_device_cache"]["features"]
         assert feats is not None and "sguard" in feats, feats
     finally:
-        if prev is None:
-            os.environ.pop("SVGR_FUSED", None)
-        else:
-            os.environ["SVGR_FUSED"] = prev
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     assert np.abs(ref - got).max() <= 1e-5
