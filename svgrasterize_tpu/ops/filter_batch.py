@@ -187,19 +187,35 @@ def plan_level(parts, grid_w: int, viewport, t_size: int):
         so = max(t[1]["noi"] for t in items) * max(t[1]["noj"] for t in items)
         return len(items) * max(si, so) * spx
 
+    def dclass(s):
+        # pow2 class of the part's largest tile dimension: chunk dims are
+        # the max over members, so mixing 1x1 parts into a 6x6 chunk pads
+        # every member to the max (icons.svg level 0: 36 parts, 15 of
+        # them 1x1, padded to 6x6 — ~4x the real pixels through every
+        # gather/convert/matmul/re-tile of the chunk)
+        d = max(s["nsi"], s["nsj"], s["noi"], s["noj"])
+        p = 1
+        while p < d:
+            p *= 2
+        return p
+
     for chain_linear, group in by_sig.items():
-        group.sort(key=lambda kv: max(
-            kv[1]["nsi"] * kv[1]["nsj"], kv[1]["noi"] * kv[1]["noj"]
-        ))
-        cur: list = []
+        by_class: dict = {}
         for pi, s in group:
-            if cur and cost(cur + [(pi, s)]) > _CHUNK_ELEMS:
+            by_class.setdefault(dclass(s), []).append((pi, s))
+        for _cl, sub in sorted(by_class.items()):
+            sub.sort(key=lambda kv: max(
+                kv[1]["nsi"] * kv[1]["nsj"], kv[1]["noi"] * kv[1]["noj"]
+            ))
+            cur: list = []
+            for pi, s in sub:
+                if cur and cost(cur + [(pi, s)]) > _CHUNK_ELEMS:
+                    chunk_groups.append((cur, chain_linear))
+                    cur = [(pi, s)]
+                else:
+                    cur = cur + [(pi, s)]
+            if cur:
                 chunk_groups.append((cur, chain_linear))
-                cur = [(pi, s)]
-            else:
-                cur = cur + [(pi, s)]
-        if cur:
-            chunk_groups.append((cur, chain_linear))
     return chunk_groups, set(specs)
 
 
