@@ -472,7 +472,8 @@ def _item_compute(
 
     if big_field is not None:
         wind = wind + big_field
-    wind = wind + carry_col
+    if carry_col is not None:
+        wind = wind + carry_col
     if ablate == "nocov":
         mask = wind
     else:
@@ -611,6 +612,7 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
     has_mask = "mask" in features
     has_pat = "pat" in features
     pre = "pregather" in features
+    wpack = "wpack" in features
 
     # scalar-prefetch slot of each gathered array's row index (pregather
     # streams big/clip as per-item blocks instead — no row scalars)
@@ -627,7 +629,8 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
         tile_ref = scalar_refs[s_slots["tile"]]
         it = iter(refs[n_scalars:-1])
         edges_ref = next(it)     # (1, P, 8, 128) VMEM lane-broadcast params
-        carries_ref = next(it)   # (1, T, 1) VMEM
+        if not wpack:
+            carries_ref = next(it)   # (1, T, 1) VMEM
         iparams_ref = next(it)   # (1, 1, 8) SMEM int32
         fparams_ref = next(it)   # (1, 1, 24) SMEM f32
         color_ref = next(it)     # (1, 1, 4T) VMEM (channel-planar)
@@ -636,9 +639,11 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             stops_ref = next(it)     # (1, K, 4T) VMEM
         if pre_grad:
             grad_ref = next(it)      # (1, T, 4T) VMEM pre-rendered paint
-        if has_big:
+        if wpack:
+            wind_ref = next(it)      # (1, T, 128) packed wind/clip lanes
+        if has_big and not wpack:
             big_ref = next(it)       # resident (M+1,T,T) or pregather (1,T,T)
-        if has_clip:
+        if has_clip and not wpack:
             clip_ref = next(it)      # resident (U+1,T,T) or pregather (1,T,T)
         if has_tex or has_mask:
             # (P+1, T, 4T) VMEM-resident pool; tex and mask gather rows
@@ -662,17 +667,19 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             edge_at=lambda p: edges_ref[0, p],
             ip=lambda j: iparams_ref[0, 0, j],
             fp=lambda j: fparams_ref[0, 0, j],
-            carry_col=carries_ref[0, :, 0:1],
+            carry_col=None if wpack else carries_ref[0, :, 0:1],
             color_row=color_ref[0, 0],
             stop_off=(lambda k: stop_off_ref[0, 0, k]) if has_grad else None,
             stop_row=(lambda k: stops_ref[0, k]) if has_grad else None,
             grad_field=grad_ref[0] if pre_grad else None,
-            big_field=(big_ref[0] if pre else
-                       big_ref[scalar_refs[s_slots["big"]][i]])
-            if has_big else None,
-            clip_field=(clip_ref[0] if pre else
-                        clip_ref[scalar_refs[s_slots["clip"]][i]])
-            if has_clip else None,
+            big_field=(wind_ref[0][:, 0:T] if wpack else
+                       (big_ref[0] if pre else
+                        big_ref[scalar_refs[s_slots["big"]][i]])
+                       if has_big else None),
+            clip_field=(wind_ref[0][:, T : 2 * T] if (wpack and has_clip)
+                        else (clip_ref[0] if pre else
+                              clip_ref[scalar_refs[s_slots["clip"]][i]])
+                        if has_clip else None),
             tex_field=tex_ref[scalar_refs[s_slots["tex"]][i]] if has_tex else None,
             mask_field=msk_ref[scalar_refs[s_slots["mask"]][i]] if has_mask else None,
             pat_field=pat_ref[scalar_refs[s_slots["pat"]][i]] if has_pat else None,
@@ -730,6 +737,7 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
     has_mask = "mask" in features
     has_pat = "pat" in features
     pre = "pregather" in features
+    wpack = "wpack" in features
 
     s_slots = {"tile": 0}
     for name, on in (("big", has_big and not pre),
@@ -746,7 +754,8 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
         tile_ref = scalar_refs[s_slots["tile"]]
         it = iter(refs[n_scalars:])
         edges_ref = next(it)     # (K, P, 8, 128) VMEM lane-broadcast params
-        carries_ref = next(it)   # (K, T, 1) VMEM
+        if not wpack:
+            carries_ref = next(it)   # (K, T, 1) VMEM
         iparams_ref = next(it)   # (K, 1, 8) SMEM int32
         fparams_ref = next(it)   # (K, 1, 24) SMEM f32
         color_ref = next(it)     # (K, 1, 4T) VMEM (channel-planar)
@@ -755,9 +764,12 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
             stops_ref = next(it)     # (K, S, 4T) VMEM
         if pre_grad:
             grad_ref = next(it)      # (K, T, 4T) VMEM pre-rendered paint
-        if has_big:
+        if wpack:
+            wind_ref = next(it)      # (K, T, 128): lanes [0,T) winding
+            #                          base (big + carry), [T,2T) clip
+        if has_big and not wpack:
             big_ref = next(it)       # resident (M+1,T,T) or pregather (K,T,T)
-        if has_clip:
+        if has_clip and not wpack:
             clip_ref = next(it)      # resident (U+1,T,T) or pregather (K,T,T)
         if has_tex or has_mask:
             # (P+1, T, 4T) VMEM-resident pool; tex and mask gather rows
@@ -787,17 +799,19 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
                 edge_at=lambda p: edges_ref[kq, p],
                 ip=lambda j: iparams_ref[kq, 0, j],
                 fp=lambda j: fparams_ref[kq, 0, j],
-                carry_col=carries_ref[kq, :, 0:1],
+                carry_col=None if wpack else carries_ref[kq, :, 0:1],
                 color_row=color_ref[kq, 0],
                 stop_off=(lambda k: stop_off_ref[kq, 0, k]) if has_grad else None,
                 stop_row=(lambda k: stops_ref[kq, k]) if has_grad else None,
                 grad_field=grad_ref[kq] if pre_grad else None,
-                big_field=(big_ref[kq] if pre else
-                           big_ref[scalar_refs[s_slots["big"]][i]])
-                if has_big else None,
-                clip_field=(clip_ref[kq] if pre else
-                            clip_ref[scalar_refs[s_slots["clip"]][i]])
-                if has_clip else None,
+                big_field=(wind_ref[kq][:, 0:T] if wpack else
+                           (big_ref[kq] if pre else
+                            big_ref[scalar_refs[s_slots["big"]][i]])
+                           if has_big else None),
+                clip_field=(wind_ref[kq][:, T : 2 * T] if (wpack and has_clip)
+                            else (clip_ref[kq] if pre else
+                                  clip_ref[scalar_refs[s_slots["clip"]][i]])
+                            if has_clip else None),
                 tex_field=tex_ref[scalar_refs[s_slots["tex"]][i]]
                 if has_tex else None,
                 mask_field=msk_ref[scalar_refs[s_slots["mask"]][i]]
@@ -969,6 +983,7 @@ def prepare_fused(
         # edges instead of relying on the dynamic pass count
         edges = jnp.where(big_item[:, None, None, None], 0.0, edges)
 
+    wpack = "wpack" in features
     carries = items["carry"].astype(f32)[:, :, None]  # (N, T, 1)
 
     ipar = jnp.stack(
@@ -1013,12 +1028,13 @@ def prepare_fused(
 
     prepared = {
         "edges": edges,
-        "carries": carries,
         "ipar": ipar,
         "fpar": fpar,
         "colorv": colorv,
         "tile_id": items["tile_id"].astype(jnp.int32),
     }
+    if not wpack:
+        prepared["carries"] = carries
 
     if "grad" in features:
         k_stops = int(items["stop_offsets"].shape[1])
@@ -1046,6 +1062,7 @@ def prepare_fused(
         )
 
     pre = "pregather" in features
+    big_base = clip_part = None
     if "big" in features:
         if big_lines is not None and not isinstance(big_lines, (tuple, list)):
             big_lines = (big_lines,)
@@ -1053,7 +1070,9 @@ def prepare_fused(
         m = big_wind.shape[0] - 1
         big_idx = items["big_idx"].astype(jnp.int32)
         rows = jnp.where(big_idx >= 0, big_idx, m)
-        if pre:
+        if wpack:
+            big_base = big_wind[rows]                           # (n, T, T)
+        elif pre:
             prepared["big_field"] = big_wind[rows]              # (n, T, T)
         else:
             prepared["big_wind"] = big_wind
@@ -1067,11 +1086,29 @@ def prepare_fused(
         u = clip_stack.shape[0] - 1
         clip_idx = items["clip_idx"].astype(jnp.int32)
         rows = jnp.where(clip_idx >= 0, clip_idx, u)
-        if pre:
+        if wpack:
+            clip_part = clip_stack[rows]                        # (n, T, T)
+        elif pre:
             prepared["clip_field"] = clip_stack[rows]           # (n, T, T)
         else:
             prepared["clip_cov"] = clip_stack
             prepared["clip_rows"] = rows
+    if wpack:
+        # one full-lane (n, T, 128) per-item block: lanes [0, T) hold the
+        # item's winding base (big-class field + row carry), lanes
+        # [T, 2T) its clip coverage.  Separate (T, T)/(T, 1) operands
+        # VMEM-pad their lanes to 128 each anyway, and their
+        # jit-output layouts drew per-call input normalization copies.
+        base = jnp.broadcast_to(carries, (n, T, T))
+        if big_base is not None:
+            base = big_base + carries
+        parts = [base]
+        if clip_part is not None:
+            parts.append(clip_part)
+        lanes_used = T * len(parts)
+        if lanes_used < LANES:
+            parts.append(jnp.zeros((n, T, LANES - lanes_used), f32))
+        prepared["wind_pack"] = jnp.concatenate(parts, axis=2)
     # the runtime pool (isolation-pass textures) gathers by row index; the
     # scratch row for "-1" sits at pool_rows (execute pads the pool by one)
     if "tex" in features:
@@ -1170,13 +1207,19 @@ def execute_items_fused(
     while kb > 1 and n % kb:
         kb //= 2
 
+    wpack = "wpack" in features
     scalars = [tile_id]
-    tensors = [edges, prepared["carries"], prepared["ipar"],
-               prepared["fpar"], prepared["colorv"]]
+    tensors = [edges]
     in_specs = [
         pl.BlockSpec((kb, n_pass, 8, LANES), lambda i, *s: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((kb, T, 1), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if not wpack:
+        tensors.append(prepared["carries"])
+        in_specs.append(pl.BlockSpec((kb, T, 1), lambda i, *s: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    tensors += [prepared["ipar"], prepared["fpar"], prepared["colorv"]]
+    in_specs += [
         pl.BlockSpec((kb, 1, 8), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((kb, 1, 24), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((kb, 1, 4 * T), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -1198,7 +1241,11 @@ def execute_items_fused(
                                      memory_space=pltpu.VMEM))
 
     pre = "pregather" in features
-    if "big" in features:
+    if wpack:
+        tensors.append(prepared["wind_pack"])
+        in_specs.append(pl.BlockSpec((kb, T, LANES), lambda i, *s: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if "big" in features and not wpack:
         if pre:
             tensors.append(prepared["big_field"])
             in_specs.append(pl.BlockSpec((kb, T, T), lambda i, *s: (i, 0, 0),
@@ -1207,7 +1254,7 @@ def execute_items_fused(
             scalars.append(prepared["big_rows"])
             tensors.append(prepared["big_wind"])
             in_specs.append(_resident_spec(prepared["big_wind"]))
-    if "clip" in features:
+    if "clip" in features and not wpack:
         if pre:
             tensors.append(prepared["clip_field"])
             in_specs.append(pl.BlockSpec((kb, T, T), lambda i, *s: (i, 0, 0),
@@ -1394,8 +1441,16 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
             tt_rows += clips.shape[0]
     if pre and ("big" in f or "clip" in f):
         # per-item fields stream as sequential pipeline blocks instead of
-        # resident stacks + dynamic row reads; see pregather()
+        # resident stacks + dynamic row reads; see pregather().  "wpack"
+        # packs (big winding + carry) and clip coverage into lane groups
+        # of ONE (N, T, 128) per-item block: the separate (N, T, T) /
+        # (N, T, 1) operands drew nonstandard jit output layouts whose
+        # per-call input normalization copies cost ~0.3 ms on icons.svg,
+        # and each (T, T) block VMEM-pads its lanes to 128 anyway — the
+        # pack halves the stream and keeps every layout standard
         f.append("pregather")
+        if (1 + ("clip" in f)) * t_size <= LANES:
+            f.append("wpack")
     kinds = items["kind"]
     if ((kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)).any():
         if pregrad():

@@ -1587,16 +1587,6 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
             # ~T x the compact edge bytes in expansion traffic per call
             from .ops.fused_exec import prepare_fused_cached
 
-            # NOTE a known ~0.27 ms/frame (icons.svg) of input layout
-            # normalization copies: the jitted prep picks output layouts
-            # freely (e.g. carries as {0,2,1:T(1,128)}) while the serve
-            # program's Pallas operands want {...,1,0:T(8,128)}, so XLA
-            # copies those arguments per call.  Re-landing the arrays
-            # with explicit tiled layouts (jax.experimental.layout
-            # device_put) removes the copies but intermittently corrupts
-            # program results on the experimental TPU-tunnel backend
-            # (deferred INVALID_ARGUMENT once other programs have run in
-            # the process) — reverted until the transfer path is solid.
             cache["prepared"] = prepare_fused_cached(
                 dev, t_size, cache["bigs"], cache["clips"],
                 jnp.asarray(patterns)
