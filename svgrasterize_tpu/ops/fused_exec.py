@@ -197,6 +197,12 @@ def pregrad() -> bool:
     return os.environ.get("SVGR_PREGRAD", "1") != "0"
 
 
+def pretex() -> bool:
+    """Allow the "pretex" feature (stream gathered pool rows per item on
+    compose-dense launches); see plan_features."""
+    return os.environ.get("SVGR_PRETEX", "1") != "0"
+
+
 def pregather() -> bool:
     """Materialize per-item big winding / clip coverage fields at prep
     time instead of keeping the stacks VMEM-resident and
@@ -616,10 +622,13 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
 
     # scalar-prefetch slot of each gathered array's row index (pregather
     # streams big/clip as per-item blocks instead — no row scalars)
+    pretex_on = "pretex" in features
     s_slots = {"tile": 0}
     for name, on in (("big", has_big and not pre),
                      ("clip", has_clip and not pre),
-                     ("tex", has_tex), ("mask", has_mask), ("pat", has_pat)):
+                     ("tex", has_tex and not pretex_on),
+                     ("mask", has_mask and not pretex_on),
+                     ("pat", has_pat)):
         if on:
             s_slots[name] = len(s_slots)
     n_scalars = len(s_slots)
@@ -645,7 +654,12 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
             big_ref = next(it)       # resident (M+1,T,T) or pregather (1,T,T)
         if has_clip and not wpack:
             clip_ref = next(it)      # resident (U+1,T,T) or pregather (1,T,T)
-        if has_tex or has_mask:
+        if pretex_on:
+            if has_tex:
+                tex_blk = next(it)   # (1, T, 4T) streamed pool row
+            if has_mask:
+                msk_blk = next(it)
+        elif has_tex or has_mask:
             # (P+1, T, 4T) VMEM-resident pool; tex and mask gather rows
             # from the SAME buffer (separate scalar row indices)
             pool_ref = next(it)
@@ -680,8 +694,12 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
                         else (clip_ref[0] if pre else
                               clip_ref[scalar_refs[s_slots["clip"]][i]])
                         if has_clip else None),
-            tex_field=tex_ref[scalar_refs[s_slots["tex"]][i]] if has_tex else None,
-            mask_field=msk_ref[scalar_refs[s_slots["mask"]][i]] if has_mask else None,
+            tex_field=(tex_blk[0] if pretex_on else
+                       tex_ref[scalar_refs[s_slots["tex"]][i]])
+            if has_tex else None,
+            mask_field=(msk_blk[0] if pretex_on else
+                        msk_ref[scalar_refs[s_slots["mask"]][i]])
+            if has_mask else None,
             pat_field=pat_ref[scalar_refs[s_slots["pat"]][i]] if has_pat else None,
             n_pass=edges_ref.shape[1],
         )
@@ -738,11 +756,14 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
     has_pat = "pat" in features
     pre = "pregather" in features
     wpack = "wpack" in features
+    pretex_on = "pretex" in features
 
     s_slots = {"tile": 0}
     for name, on in (("big", has_big and not pre),
                      ("clip", has_clip and not pre),
-                     ("tex", has_tex), ("mask", has_mask), ("pat", has_pat)):
+                     ("tex", has_tex and not pretex_on),
+                     ("mask", has_mask and not pretex_on),
+                     ("pat", has_pat)):
         if on:
             s_slots[name] = len(s_slots)
     n_scalars = len(s_slots)
@@ -771,7 +792,12 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
             big_ref = next(it)       # resident (M+1,T,T) or pregather (K,T,T)
         if has_clip and not wpack:
             clip_ref = next(it)      # resident (U+1,T,T) or pregather (K,T,T)
-        if has_tex or has_mask:
+        if pretex_on:
+            if has_tex:
+                tex_blk = next(it)   # (K, T, 4T) streamed pool rows
+            if has_mask:
+                msk_blk = next(it)
+        elif has_tex or has_mask:
             # (P+1, T, 4T) VMEM-resident pool; tex and mask gather rows
             # from the SAME buffer (separate scalar row indices)
             pool_ref = next(it)
@@ -812,9 +838,11 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
                             else (clip_ref[kq] if pre else
                                   clip_ref[scalar_refs[s_slots["clip"]][i]])
                             if has_clip else None),
-                tex_field=tex_ref[scalar_refs[s_slots["tex"]][i]]
+                tex_field=(tex_blk[kq] if pretex_on else
+                           tex_ref[scalar_refs[s_slots["tex"]][i]])
                 if has_tex else None,
-                mask_field=msk_ref[scalar_refs[s_slots["mask"]][i]]
+                mask_field=(msk_blk[kq] if pretex_on else
+                            msk_ref[scalar_refs[s_slots["mask"]][i]])
                 if has_mask else None,
                 pat_field=pat_ref[scalar_refs[s_slots["pat"]][i]]
                 if has_pat else None,
@@ -1274,15 +1302,28 @@ def execute_items_fused(
             pool128 = jnp.concatenate(
                 [pool.astype(f32), jnp.zeros((1, T, T, 4), f32)], axis=0
             ).transpose(0, 1, 3, 2).reshape(-1, T, 4 * T)  # channel-planar
-    if "tex" in features:
-        scalars.append(prepared["tex_rows"])
-    if "mask" in features:
-        scalars.append(prepared["mask_rows"])
-    if "tex" in features or "mask" in features:
-        # ONE resident operand shared by tex and mask gathers: two specs
-        # of the same buffer would double the VMEM reservation
-        tensors.append(pool128)
-        in_specs.append(_resident_spec(pool128))
+    pretex_on = "pretex" in features
+    if pretex_on:
+        # compose-dense launch: one XLA gather per frame turns the pool
+        # reads into ordinary (K, T, 4T) pipeline blocks
+        blk = pl.BlockSpec((kb, T, 4 * T), lambda i, *s: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        if "tex" in features:
+            tensors.append(pool128[prepared["tex_rows"]])
+            in_specs.append(blk)
+        if "mask" in features:
+            tensors.append(pool128[prepared["mask_rows"]])
+            in_specs.append(blk)
+    else:
+        if "tex" in features:
+            scalars.append(prepared["tex_rows"])
+        if "mask" in features:
+            scalars.append(prepared["mask_rows"])
+        if "tex" in features or "mask" in features:
+            # ONE resident operand shared by tex and mask gathers: two
+            # specs of the same buffer would double the VMEM reservation
+            tensors.append(pool128)
+            in_specs.append(_resident_spec(pool128))
     if "pat" in features:
         scalars.append(prepared["pat_pos"])
         tensors.append(prepared["pat_pool"])
@@ -1492,7 +1533,19 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
     if pool is not None and (items["mask_idx"] >= 0).any():
         f.append("mask")
     if ("tex" in f or "mask" in f) and pool is not None:
-        pool_rows += pool.shape[0]
+        # dense pool use (compose-heavy isolation levels): gather the
+        # items' pool rows with XLA before the launch and stream them as
+        # per-item blocks — the per-item dynamic VMEM row read is a
+        # scalar-core dependency on the critical path.  Sparse use keeps
+        # the resident pool (a full (N, T, 4T) gather would be ~80%
+        # padding on icons.svg's main stream)
+        share = float((
+            (items["tex_idx"] >= 0) | (items["mask_idx"] >= 0)
+        ).mean())
+        if share >= 0.3 and pretex():
+            f.append("pretex")
+        else:
+            pool_rows += pool.shape[0]
     if n_pat:
         f.append("pat")
         pool_rows += n_pat + 1
