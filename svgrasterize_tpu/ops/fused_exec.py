@@ -873,12 +873,17 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
 
                 jax.lax.fori_loop(0, out_ref.shape[0], zrow, 0)
 
+            # the canvas has NO pad scratch row (a post-kernel [:num_tiles]
+            # slice materialized a whole-canvas copy, ~0.11 ms at 1488^2):
+            # trailing pad items carry tile_id == num_tiles, so reads
+            # clamp and writes are predicated off instead
+            nt = out_ref.shape[0]
             i0 = s * K
             tile0 = tile_ref[i0]
             rgba, alpha = compute(0, i0)
             j0 = jnp.maximum(i0 - 1, 0)
             first = (i0 == 0) | (tile0 != tile_ref[j0])
-            prev = jnp.where(first, 0.0, out_ref[tile0])
+            prev = jnp.where(first, 0.0, out_ref[jnp.minimum(tile0, nt - 1)])
             carry = (rgba + prev * (1.0 - alpha), tile0)
 
             def item_vout(kq, carry):
@@ -888,7 +893,7 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
                 rgba, alpha = compute(kq, i)
                 changed = tile != cur
 
-                @pl.when(changed)
+                @pl.when(changed & (cur < nt))
                 def _():
                     out_ref[cur] = acc
 
@@ -901,7 +906,11 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
             else:
                 carry = jax.lax.fori_loop(1, K, item_vout, carry)
             acc, cur = carry
-            out_ref[cur] = acc
+
+            @pl.when(cur < nt)
+            def _():
+                out_ref[cur] = acc
+
             return
 
         @pl.when(s == 0)
@@ -1370,10 +1379,14 @@ def execute_items_fused(
                                    memory_space=pltpu.VMEM),
         )
     assert n_scalars == len(scalars)
+    # vout: no pad scratch row — the kernel predicates pad-item writes off
+    # (a post-kernel [:num_tiles] slice copied the whole canvas); the ring
+    # and v1 kernels keep the +1 row to absorb pad flushes
+    out_rows = num_tiles if use_vout else num_tiles + 1
     canvas128 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, T, 4 * T), f32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, T, 4 * T), f32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # the pre-pass winding stacks and the isolation pool stay
@@ -1388,7 +1401,7 @@ def execute_items_fused(
     if use_vout:
         # the resident-canvas kernel zero-fills every row at step 0, so
         # untouched tiles are already exact zeros — no membership pass
-        canvas = canvas128[:num_tiles]
+        canvas = canvas128
     else:
         # tiles no item touched hold garbage (their output block was never
         # written — possibly NaN, so select rather than multiply).  The
