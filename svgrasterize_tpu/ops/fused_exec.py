@@ -893,7 +893,12 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
                 rgba, alpha = compute(kq, i)
                 changed = tile != cur
 
-                @pl.when(changed & (cur < nt))
+                # no pad guard needed here: pads sort last globally, so
+                # once cur == nt (the pad run) every later item in the
+                # step is also a pad -> changed stays False; an in-loop
+                # flush can never fire with cur == nt.  Only the
+                # post-loop flush and the peeled prev read are guarded.
+                @pl.when(changed)
                 def _():
                     out_ref[cur] = acc
 
