@@ -1023,6 +1023,41 @@ class _Builder:
         return records
 
     # -- packing ------------------------------------------------------------
+    @staticmethod
+    def _cull_occluded(records: list) -> list:
+        """Drop records hidden behind a full-tile opaque solid in their tile.
+
+        A record with no inline edges, full-coverage carry rows, no clip /
+        texture / mask, opacity 1 and a solid premultiplied color with
+        alpha exactly 1 composes to exactly its own color: alpha==1 makes
+        acc*(1-alpha) an exact f32 zero, so every earlier record of the
+        same tile in the stream is dead weight.  Interior tiles of large
+        opaque shapes (backgrounds, cards) hit this constantly — the item
+        stream is the executors' unit of work, so this is a free device-
+        time win with bit-identical output.  SVGR_CULL=0 disables (A/B).
+        """
+        if os.environ.get("SVGR_CULL", "1") == "0":
+            return records
+        last_occ: dict[int, int] = {}
+        for i, r in enumerate(records):
+            params = r[5]
+            if (
+                r[2].shape[0] == 0           # no inline edges
+                and r[4] is None             # no clip coverage
+                and r[10] < 0 and r[11] < 0  # no texture / mask compose
+                and r[7] >= 1.0              # group opacity
+                and params["kind"] == PAINT_SOLID
+                and float(params["color"][3]) >= 1.0
+            ):
+                cov = _coverage_np(r[3].astype(np.float64), r[6])
+                if (cov >= 1.0).all():
+                    last_occ[r[0]] = i
+        if not last_occ:
+            return records
+        return [
+            r for i, r in enumerate(records) if i >= last_occ.get(r[0], -1)
+        ]
+
     def _pack(self, records: list, pad_tile: int | None = None):
         """Sorted records -> (items dict, big-class tuple, clip array).
 
@@ -1038,6 +1073,7 @@ class _Builder:
         """
         from .ops.batch_exec import CHUNK_BIG, SMALL_SEGS
 
+        records = self._cull_occluded(records)
         if pad_tile is None:
             pad_tile = self.num_tiles
         n = len(records)

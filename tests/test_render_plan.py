@@ -404,3 +404,38 @@ def test_filter_drop_shadow_composite():
         """,
         atol=0.02,
     )
+
+
+def test_occlusion_cull_bit_exact(monkeypatch):
+    """Records under a full-tile opaque solid are culled at pack time with
+    bit-identical output (render_plan._Builder._cull_occluded)."""
+    doc = """
+        <svg xmlns="http://www.w3.org/2000/svg" width="320" height="320">
+          <defs><linearGradient id="g">
+            <stop offset="0" stop-color="#123456"/>
+            <stop offset="1" stop-color="#654321"/>
+          </linearGradient></defs>
+          <circle cx="100" cy="100" r="80" fill="#ff0000" fill-opacity="0.5"/>
+          <rect x="40" y="40" width="240" height="240" fill="url(#g)"/>
+          <rect x="0" y="0" width="320" height="320" fill="#224488"/>
+          <circle cx="220" cy="220" r="60" fill="#00ff00" fill-opacity="0.7"/>
+        </svg>
+        """
+    scene, _ids, size = scene_from_str(doc)
+    w, h = size
+    viewport = (0, 0, int(h), int(w))
+
+    counts, images = {}, {}
+    for cull in ("0", "1"):
+        monkeypatch.setenv("SVGR_CULL", cull)
+        lowered = lower_scene(scene, TR, viewport, False)
+        assert lowered is not None
+        nt = lowered.grid[0] * lowered.grid[1]
+        counts[cull] = int((np.asarray(lowered.items["tile_id"]) < nt).sum())
+        fast, _hull = render_fast(scene, TR, viewport)
+        images[cull] = np.asarray(fast.image)
+
+    # the opaque full-canvas rect occludes everything below it on every
+    # interior tile: the culled stream must be strictly smaller
+    assert counts["1"] < counts["0"]
+    np.testing.assert_array_equal(images["0"], images["1"])
