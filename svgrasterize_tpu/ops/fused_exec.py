@@ -203,6 +203,25 @@ def pretex() -> bool:
     return os.environ.get("SVGR_PRETEX", "1") != "0"
 
 
+def kvec() -> bool:
+    """Allow the "kvec" feature: vectorize phase 1 of the K-items kernel.
+
+    The v2/v3 kernels run the WHOLE per-item pipeline serially inside a
+    grid step (fori over K); measured per-item cost (~0.37 us at K=16 on
+    icons) is ~2.6x the raw vector-op estimate — scalar-core address
+    computation, loop control, and scalar<->vector stalls between items.
+    kvec computes winding + coverage + paint for ALL K items of a step as
+    (K, ., .) block ops (one instruction stream, no per-item scalar
+    dependencies) and keeps only the tile-run composition serial (a
+    statically unrolled ~6-op tail per item).  The cost is winding pass
+    padding: every item in a step runs the step's MAX live pass count
+    (measured 2.5-3.4x the summed pass count on the demos) — but the
+    per-pass body is an (8,128)-register op, so the padding is cheap
+    next to the deleted per-item overhead, and compose-only launches
+    (icons isolation levels: zero passes) skip winding entirely."""
+    return os.environ.get("SVGR_KVEC", "0") != "0"
+
+
 def pregather() -> bool:
     """Materialize per-item big winding / clip coverage fields at prep
     time instead of keeping the stacks VMEM-resident and
@@ -716,6 +735,196 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
 RING = 8
 
 
+def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
+    """Vectorized-phase-1 K-items kernel (the "kvec" feature; vout only).
+
+    The v2/v3 kernels run the whole per-item pipeline serially inside a
+    grid step; the measured per-item cost (~0.37 us at K=16) is ~2.6x the
+    raw vector-op estimate — scalar-core address computation, loop
+    control, and scalar<->vector stalls BETWEEN items.  Here phase 1
+    (winding, coverage, clip, opacity, paint select) runs for all K items
+    of the step as (K, ., .) block ops: ONE winding loop whose dynamic
+    trip is the step's scalar-prefetched max live pass count (so
+    compose-only steps skip winding entirely), every per-item scalar
+    (opacity, fill rule, tex/mask flags) streamed as lane planes in a
+    (K, 4, 128) "vpar" block and applied by exact multiplicative blends
+    (flag in {0,1}: a*(1-flag) + b*flag is bit-exact, unlike a+(b-a)*f).
+    Phase 2 (tile-run composition into the VMEM-resident canvas) stays
+    serial but is a statically unrolled ~6-op tail per item.
+
+    Eligibility (plan_features): vout; wpack when big/clip present;
+    pregrad (no in-kernel gradients); pretex when tex/mask present; no
+    patterns.  Edge params arrive pass-major (P, K, 8, 128) so the loop
+    index rides the leading dim.
+    """
+    T = t_size
+    K = k_items
+    B = T // 8
+    G = LANES // T
+
+    wpack = "wpack" in features
+    has_clip = "clip" in features
+    pre_grad = "pregrad_paint" in features
+    has_tex = "tex" in features
+    has_mask = "mask" in features
+
+    s_slots = {"tile": 0, "smax": 1}
+    n_scalars = 2
+
+    def kernel(*refs):
+        tile_ref = refs[0]
+        smax_ref = refs[1]
+        it = iter(refs[n_scalars:])
+        edges_ref = next(it)          # (P, K, 8, 128) pass-major
+        if not wpack:
+            carries_ref = next(it)    # (K, T, 1)
+        _iparams_ref = next(it)       # (K, 1, 8) SMEM (phase-1 needs none)
+        _fparams_ref = next(it)       # (K, 1, 24) SMEM
+        color_ref = next(it)          # (K, 1, 4T)
+        vpar_ref = next(it)           # (K, 4, 128): op, rule, texf, maskf
+        if pre_grad:
+            grad_ref = next(it)       # (K, T, 4T)
+        if wpack:
+            wind_ref = next(it)       # (K, T, 128)
+        if has_tex:
+            tex_ref = next(it)        # (K, T, 4T) streamed pool rows
+        if has_mask:
+            msk_ref = next(it)
+        out_ref = next(it)            # (num_tiles, T, 4T) VMEM-resident
+
+        s = pl.program_id(0)
+        f32 = DEVICE_FLOAT
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1).astype(f32)
+        lane_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2) % T
+        ).astype(f32)
+
+        # ---- phase 1: winding, all K items per pass step --------------
+        def body(p, accs):
+            e = edges_ref[p]                       # (K, 8, 128)
+            sign = e[:, 0:1, :]
+            y_lo = e[:, 1:2, :]
+            y_hi = e[:, 2:3, :]
+            x_lo = e[:, 3:4, :]
+            slope = e[:, 4:5, :]
+            band8 = e[:, 5:6, :]
+            rows = rows8 + band8                   # (K, 8, 128)
+            lo = jnp.maximum(y_lo, rows)
+            hi = jnp.minimum(y_hi, rows + 1.0)
+            dy = jnp.maximum(hi - lo, 0.0)
+            xs0 = x_lo + slope * (lo - y_lo)
+            xs1 = x_lo + slope * (hi - y_lo)
+            g0 = (lane_col + 1.0) - xs0
+            g1 = (lane_col + 1.0) - xs1
+            den = g1 - g0
+            safe = jnp.abs(den) > 1e-7
+            mean = jnp.where(
+                safe,
+                (_clamp_antideriv(g1) - _clamp_antideriv(g0))
+                / jnp.where(safe, den, 1.0),
+                jnp.clip(0.5 * (g0 + g1), 0.0, 1.0),
+            )
+            r = sign * dy * mean
+            return tuple(
+                a + jnp.where(band8 == b * 8.0, r, 0.0)
+                for b, a in enumerate(accs)
+            )
+
+        accs = tuple(jnp.zeros((K, 8, LANES), f32) for _ in range(B))
+        accs = jax.lax.fori_loop(0, smax_ref[s], body, accs)
+
+        def foldg(a):                              # (K, 8, 128) -> (K, 8, T)
+            w = a[:, :, 0:T]
+            for g in range(1, G):
+                w = w + a[:, :, g * T : (g + 1) * T]
+            return w
+
+        wind = jnp.concatenate([foldg(a) for a in accs], axis=1)  # (K,T,T)
+
+        if wpack:
+            wp = wind_ref[...]
+            wind = wind + wp[:, :, 0:T]
+        else:
+            wind = wind + carries_ref[...]         # (K, T, 1) broadcast
+
+        # coverage: rule is {0,1} per item; the multiplicative blend is
+        # bit-exact (x*1 + y*0 == x), where the serial kernel's scalar
+        # where() would be a vector-cond select here
+        rule = vpar_ref[:, 1:2, 0:1]               # (K, 1, 1)
+        nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
+        evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
+        cov = nonzero * (1.0 - rule) + evenodd * rule
+        if has_clip:
+            cov = cov * wp[:, :, T : 2 * T]
+        mask = cov * vpar_ref[:, 0:1, 0:1]         # opacity
+        mask = jnp.where(mask < 1e-6, 0.0, mask)
+        mask128 = jnp.concatenate([mask] * 4, axis=2)  # (K, T, 4T)
+
+        # ---- paint ----------------------------------------------------
+        if pre_grad:
+            paint = grad_ref[...]
+        else:
+            paint = jnp.broadcast_to(
+                color_ref[...].reshape(K, 1, 4 * T), (K, T, 4 * T)
+            )
+        if has_tex:
+            texf = vpar_ref[:, 2:3, 0:1]           # (K, 1, 1) in {0,1}
+            paint = paint * (1.0 - texf) + tex_ref[...] * texf
+        if has_mask:
+            mb = msk_ref[...]
+            lum_tt = (
+                mb[:, :, 0:T] * 0.2125
+                + mb[:, :, T : 2 * T] * 0.7154
+                + mb[:, :, 2 * T : 3 * T] * 0.072
+            )
+            lum = jnp.concatenate([lum_tt] * 4, axis=2)
+            maskf = vpar_ref[:, 3:4, 0:1]
+            mask128 = mask128 * (lum * maskf + (1.0 - maskf))
+
+        rgba_all = mask128 * paint                 # (K, T, 4T)
+
+        # ---- phase 2: serial tile-run compose (static unroll) ---------
+        @pl.when(s == 0)
+        def _():
+            zero = jnp.zeros((T, 4 * T), f32)
+
+            def zrow(r, c):
+                out_ref[r] = zero
+                return c
+
+            jax.lax.fori_loop(0, out_ref.shape[0], zrow, 0)
+
+        def rgba_k(kq):
+            r = rgba_all[kq]                       # static slice (T, 4T)
+            return r, pltpu.repeat(r[:, 3 * T : 4 * T], 4, axis=1)
+
+        nt = out_ref.shape[0]
+        i0 = s * K
+        tile0 = tile_ref[i0]
+        rgba, alpha = rgba_k(0)
+        j0 = jnp.maximum(i0 - 1, 0)
+        first = (i0 == 0) | (tile0 != tile_ref[j0])
+        prev = jnp.where(first, 0.0, out_ref[jnp.minimum(tile0, nt - 1)])
+        acc, cur = rgba + prev * (1.0 - alpha), tile0
+        for kq in range(1, K):
+            tile = tile_ref[s * K + kq]
+            rgba, alpha = rgba_k(kq)
+            changed = tile != cur
+
+            @pl.when(changed)
+            def _(cur=cur, acc=acc):
+                out_ref[cur] = acc
+
+            acc = jnp.where(changed, rgba, rgba + acc * (1.0 - alpha))
+            cur = tile
+
+        @pl.when(cur < nt)
+        def _():
+            out_ref[cur] = acc
+
+    return kernel, s_slots, n_scalars
+
+
 def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
                       k_items: int):
     """K-items-per-grid-step kernel with ring-buffer canvas flushes.
@@ -743,6 +952,8 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
     DMA per tile run (descriptor start + semaphore wait each, measured
     half the frame on dense scenes) with a single bulk copy.
     """
+    if "kvec" in features:
+        return _kernel_factory_kvec(t_size, features, k_items)
     T = t_size
     K = k_items
 
@@ -1068,6 +1279,12 @@ def prepare_fused(
         items["color"].astype(f32)[:, :, None], (n, 4, T)
     ).reshape(n, 1, 4 * T)
 
+    if "kvec" in features:
+        # kvec reads one PASS of all K items per loop step: transpose to
+        # pass-major (P, N, 8, 128) so the in-kernel dynamic index rides
+        # the leading dim (the well-supported Mosaic pattern); the loop
+        # trip is the step's max live pass count (scalar-prefetched)
+        edges = edges.transpose(1, 0, 2, 3)
     prepared = {
         "edges": edges,
         "ipar": ipar,
@@ -1075,6 +1292,22 @@ def prepare_fused(
         "colorv": colorv,
         "tile_id": items["tile_id"].astype(jnp.int32),
     }
+    if "kvec" in features:
+        # per-item scalars the vectorized pipeline needs as lane planes:
+        # row 0 opacity, row 1 fill rule (0/1), row 2 tex flag, row 3
+        # mask flag — each broadcast across the 128 lanes
+        vrows = jnp.stack(
+            [
+                items["opacity"].astype(f32),
+                items["fill_rule"].astype(f32),
+                (items["tex_idx"].astype(jnp.int32) >= 0).astype(f32),
+                (items["mask_idx"].astype(jnp.int32) >= 0).astype(f32),
+            ],
+            axis=-1,
+        )  # (N, 4)
+        prepared["vpar"] = jnp.broadcast_to(
+            vrows[:, :, None], (n, 4, LANES)
+        )
     if not wpack:
         prepared["carries"] = carries
 
@@ -1241,7 +1474,10 @@ def execute_items_fused(
         )
 
     edges = prepared["edges"]
-    n, n_pass = edges.shape[0], edges.shape[1]
+    if "kvec" in features:
+        n, n_pass = edges.shape[1], edges.shape[0]
+    else:
+        n, n_pass = edges.shape[0], edges.shape[1]
     tile_id = prepared["tile_id"]
 
     # K items per grid step (v2); K=1 selects the single-item v1 kernel
@@ -1249,13 +1485,26 @@ def execute_items_fused(
     while kb > 1 and n % kb:
         kb //= 2
 
+    kvec_on = "kvec" in features and kb > 1
+    if "kvec" in features and not kvec_on:
+        # degenerate launch (n not divisible by any K): the v1 kernel
+        # wants the classic item-major layout back
+        edges = edges.transpose(1, 0, 2, 3)
+        features = features - {"kvec"}
+
     wpack = "wpack" in features
     scalars = [tile_id]
     tensors = [edges]
-    in_specs = [
-        pl.BlockSpec((kb, n_pass, 8, LANES), lambda i, *s: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    if kvec_on:
+        in_specs = [
+            pl.BlockSpec((n_pass, kb, 8, LANES), lambda i, *s: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((kb, n_pass, 8, LANES), lambda i, *s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     if not wpack:
         tensors.append(prepared["carries"])
         in_specs.append(pl.BlockSpec((kb, T, 1), lambda i, *s: (i, 0, 0),
@@ -1266,6 +1515,10 @@ def execute_items_fused(
         pl.BlockSpec((kb, 1, 24), lambda i, *s: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((kb, 1, 4 * T), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
+    if kvec_on:
+        tensors.append(prepared["vpar"])
+        in_specs.append(pl.BlockSpec((kb, 4, LANES), lambda i, *s: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
 
     k_stops = 1
     if "grad" in features:
@@ -1351,6 +1604,15 @@ def execute_items_fused(
         if isinstance(f, tuple) and f[0] == "nreal":
             n_real = max(1, min(int(f[1]), n))
     use_vout = "vout" in features and kb > 1
+    if kvec_on:
+        # per-step max live pass count: the vectorized winding loop's
+        # dynamic trip (compose-only steps skip winding entirely)
+        grid_n = -(-n_real // kb)
+        passes = prepared["ipar"][:, 0, 4]
+        scalars.append(
+            passes[: grid_n * kb].reshape(grid_n, kb)
+            .max(axis=1).astype(jnp.int32)
+        )
     if kb > 1:
         kernel, _slots, n_scalars = _kernel_factory_k(T, k_stops, features, kb)
         if use_vout:
@@ -1584,6 +1846,15 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
             <= vmem_budget()
         ):
             f.append("vout")
+    if (
+        kvec()
+        and "vout" in f                      # ring-flush path: not yet
+        and "grad" not in f                  # in-kernel gradients: not yet
+        and "pat" not in f                   # resident atlas scalar rows
+        and ("wpack" in f or ("big" not in f and "clip" not in f))
+        and ("pretex" in f or ("tex" not in f and "mask" not in f))
+    ):
+        f.append("kvec")
     return frozenset(f)
 
 

@@ -1593,6 +1593,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         + ":" + os.environ.get("SVGR_PREGRAD", "")
         + ":" + os.environ.get("SVGR_FUSED_UNROLL", "")
         + ":" + os.environ.get("SVGR_PRETEX", "")
+        + ":" + os.environ.get("SVGR_KVEC", "")
         # the prepared tex/mask scratch index is pool.shape[0]: the same
         # plan served with a tight (whole-program) vs pow2 (per-stage)
         # pool capacity must not share a cache entry
@@ -1940,7 +1941,7 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
                   "SVGR_STATIC_PASSES", "SVGR_WIND_UNROLL",
                   "SVGR_PREPARED", "SVGR_PREGATHER", "SVGR_SOLID_SKIP",
                   "SVGR_SGUARD", "SVGR_PREGRAD", "SVGR_ABLATE",
-                  "SVGR_FUSED_UNROLL", "SVGR_PRETEX")
+                  "SVGR_FUSED_UNROLL", "SVGR_PRETEX", "SVGR_KVEC")
     )
     key = (tuple(viewport), bool(linear_rgb), t_size, mode)
     cached = lowered.items.get("_whole_program")

@@ -476,3 +476,135 @@ def test_solid_skip_and_stop_guard_equivalence():
             else:
                 os.environ[k] = v
     assert np.abs(ref - got).max() <= 1e-5
+
+
+# ---------------------------------------------------------------------------
+# kvec: vectorized phase-1 K-items kernel (SVGR_KVEC)
+# ---------------------------------------------------------------------------
+
+
+def _compare_kvec(svg: str, viewport, expect_kvec=True, tol=1e-5):
+    """XLA executor vs the kvec kernel (interp), asserting kvec engaged.
+
+    Lowers at tile 32 (the TPU default): the CPU default tile 128 cannot
+    pack clip lanes into the wpack block, which disqualifies kvec for
+    clipped scenes and would silently test the serial kernel instead."""
+    scene, _ids, _size = scene_from_str(svg)
+    lowered = rp.lower_scene(scene, TR, viewport, False, tile=32)
+    assert lowered is not None, "scene must lower"
+    prev = {k: os.environ.get(k) for k in ("SVGR_FUSED", "SVGR_KVEC")}
+    try:
+        os.environ["SVGR_FUSED"] = "0"
+        ref = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        os.environ["SVGR_FUSED"] = "interp"
+        os.environ["SVGR_KVEC"] = "1"
+        got = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        feats = lowered.items["_device_cache"]["features"]
+        assert feats is not None and ("kvec" in feats) == expect_kvec, feats
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert np.abs(ref - got).max() <= tol, (
+        f"kvec kernel diverges: {np.abs(ref - got).max()}"
+    )
+
+
+def test_kvec_solids_rules_opacity_bigs():
+    """Solid fills (no paint stream), fill rules, opacity, big classes."""
+    _compare_kvec(
+        """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <rect x='4' y='4' width='50' height='40' fill='#d04020'/>
+        <circle cx='70' cy='32' r='20' fill='#2060c0' opacity='0.7'/>
+        <path d='M10 50 L90 44 L50 62 Z M20 48 L80 48 L50 60 Z'
+              fill='#20a040' fill-rule='evenodd'/>
+        </svg>""",
+        (0, 0, 64, 96),
+    )
+
+
+def test_kvec_gradients_clips_carries():
+    """pregrad paint stream + clip lanes of the wpack block + carries."""
+    _compare_kvec(
+        """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <defs>
+        <linearGradient id='lg' x1='0' y1='0' x2='1' y2='1' spreadMethod='reflect'>
+        <stop offset='0' stop-color='#ff0000'/><stop offset='0.5' stop-color='#00ff00'/>
+        <stop offset='1' stop-color='#0000ff'/></linearGradient>
+        <radialGradient id='rg' cx='0.5' cy='0.5' r='0.5' fx='0.3' fy='0.3'>
+        <stop offset='0' stop-color='#ffffff'/><stop offset='1' stop-color='#204080'/>
+        </radialGradient>
+        <clipPath id='c'><circle cx='30' cy='30' r='22'/></clipPath></defs>
+        <rect x='4' y='4' width='50' height='40' fill='url(#rg)' clip-path='url(#c)'/>
+        <rect x='56' y='6' width='36' height='20' fill='url(#lg)'/>
+        <path d='M2 2 C 90 0, 4 60, 94 62 L 94 2 Z' fill='#208040' opacity='0.5'/>
+        </svg>""",
+        (0, 0, 64, 96),
+    )
+
+
+def test_kvec_isolation_pool_tex_and_mask():
+    """Streamed pretex pool rows selected by the vpar tex/mask flags."""
+    _compare_kvec(
+        """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <defs><mask id='m'><rect x='0' y='0' width='96' height='64' fill='#606060'/>
+        <circle cx='48' cy='32' r='18' fill='white'/></mask></defs>
+        <g opacity='0.6'><rect x='8' y='8' width='40' height='30' fill='#c03020'/>
+        <circle cx='40' cy='40' r='14' fill='#30a050'/></g>
+        <rect x='30' y='10' width='60' height='44' fill='#2060c0' mask='url(#m)'/>
+        </svg>""",
+        (0, 0, 64, 96),
+    )
+
+
+def test_kvec_patterns_fall_back():
+    """Pattern paints keep the serial kernel (resident atlas scalar rows)."""
+    _compare_kvec(
+        """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <defs><pattern id='p' width='8' height='8' patternUnits='userSpaceOnUse'>
+        <rect x='0' y='0' width='4' height='4' fill='#d04020'/></pattern></defs>
+        <rect x='4' y='4' width='60' height='40' fill='url(#p)'/>
+        </svg>""",
+        (0, 0, 64, 96),
+        expect_kvec=False,
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_kvec_random_featureful(seed):
+    """Random mixed scenes through the kvec kernel (patterns excluded:
+    they disqualify kvec launch-wide, which the fall-back test covers)."""
+    rng = np.random.default_rng(1000 + seed)
+    defs = """<defs>
+    <linearGradient id='lg'><stop offset='0' stop-color='#f00'/>
+    <stop offset='1' stop-color='#00f'/></linearGradient>
+    <radialGradient id='rg'><stop offset='0' stop-color='#fff'/>
+    <stop offset='1' stop-color='#137'/></radialGradient>
+    <clipPath id='c'><circle cx='48' cy='32' r='26'/></clipPath></defs>"""
+    fills = ["url(#lg)", "url(#rg)", "#20a040", "#a02060"]
+    parts = []
+    for _ in range(14):
+        fill = fills[rng.integers(0, len(fills))]
+        clip = " clip-path='url(#c)'" if rng.random() < 0.3 else ""
+        op = rng.uniform(0.4, 1.0)
+        if rng.random() < 0.5:
+            x, y = rng.uniform(0, 70, 2)
+            w, h = rng.uniform(6, 40, 2)
+            parts.append(
+                f"<rect x='{x:.1f}' y='{y:.1f}' width='{w:.1f}'"
+                f" height='{h:.1f}' fill='{fill}' opacity='{op:.2f}'{clip}/>"
+            )
+        else:
+            cx, cy = rng.uniform(10, 85, 2)
+            r = rng.uniform(5, 22)
+            parts.append(
+                f"<circle cx='{cx:.1f}' cy='{cy:.1f}' r='{r:.1f}'"
+                f" fill='{fill}' opacity='{op:.2f}'{clip}/>"
+            )
+    svg = (
+        "<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>"
+        + defs + "".join(parts) + "</svg>"
+    )
+    _compare_kvec(svg, (0, 0, 64, 96))
