@@ -752,16 +752,19 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
     Phase 2 (tile-run composition into the VMEM-resident canvas) stays
     serial but is a statically unrolled ~6-op tail per item.
 
-    Eligibility (plan_features): vout; wpack when big/clip present;
-    pregrad (no in-kernel gradients); pretex when tex/mask present; no
-    patterns.  Edge params arrive pass-major (P, K, 8, 128) so the loop
-    index rides the leading dim.
+    Eligibility (plan_features): wpack when big/clip present; pregrad
+    (no in-kernel gradients); pretex when tex/mask present; no patterns.
+    Edge params arrive pass-major (P, K, 8, 128) so the loop index rides
+    the leading dim.  Phase 2 composes into the VMEM-resident canvas
+    ("vout") or through the ring-flush DMA machinery (same sequencing as
+    the serial kernel) when the canvas exceeds the budget.
     """
     T = t_size
     K = k_items
     B = T // 8
     G = LANES // T
 
+    vout = "vout" in features
     wpack = "wpack" in features
     has_clip = "clip" in features
     pre_grad = "pregrad_paint" in features
@@ -790,11 +793,18 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
             tex_ref = next(it)        # (K, T, 4T) streamed pool rows
         if has_mask:
             msk_ref = next(it)
-        out_ref = next(it)            # (num_tiles, T, 4T) VMEM-resident
+        out_ref = next(it)            # vout: (num_tiles, T, 4T) VMEM
+        if not vout:                  # else HBM + manual ring DMA
+            ring = next(it)           # (RING, T, 4T) VMEM scratch
+            state = next(it)          # (2,) SMEM: flush count, cur tile
+            sems = next(it)           # (RING,) DMA semaphores
 
         s = pl.program_id(0)
         f32 = DEVICE_FLOAT
-        rows8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1).astype(f32)
+        # full-lane iotas: adding a (1, 8, 1) row iota to a (K, 1, 128)
+        # operand would need a sublane+lane vector broadcast, which
+        # Mosaic does not implement
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, LANES), 1).astype(f32)
         lane_col = (
             jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2) % T
         ).astype(f32)
@@ -849,14 +859,21 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
 
         # coverage: rule is {0,1} per item; the multiplicative blend is
         # bit-exact (x*1 + y*0 == x), where the serial kernel's scalar
-        # where() would be a vector-cond select here
-        rule = vpar_ref[:, 1:2, 0:1]               # (K, 1, 1)
+        # where() would be a vector-cond select here.  vpar rows are
+        # lane-replicated, so every plane below broadcasts along ONE of
+        # the last two dims only — Mosaic rejects a combined
+        # sublane+lane vector broadcast ((K,1,1) -> (K,T,T))
+        def lanes4(row):                           # (K, 1, 128) -> (K, 1, 4T)
+            return jnp.concatenate([row] * (4 * T // LANES), axis=2) \
+                if 4 * T > LANES else row[:, :, : 4 * T]
+
+        rule = vpar_ref[:, 1:2, 0:T]               # (K, 1, T)
         nonzero = jnp.clip(jnp.abs(wind), 0.0, 1.0)
         evenodd = jnp.abs(jnp.remainder(wind + 1.0, 2.0) - 1.0)
         cov = nonzero * (1.0 - rule) + evenodd * rule
         if has_clip:
             cov = cov * wp[:, :, T : 2 * T]
-        mask = cov * vpar_ref[:, 0:1, 0:1]         # opacity
+        mask = cov * vpar_ref[:, 0:1, 0:T]         # opacity
         mask = jnp.where(mask < 1e-6, 0.0, mask)
         mask128 = jnp.concatenate([mask] * 4, axis=2)  # (K, T, 4T)
 
@@ -868,7 +885,7 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
                 color_ref[...].reshape(K, 1, 4 * T), (K, T, 4 * T)
             )
         if has_tex:
-            texf = vpar_ref[:, 2:3, 0:1]           # (K, 1, 1) in {0,1}
+            texf = lanes4(vpar_ref[:, 2:3, :])     # (K, 1, 4T) in {0,1}
             paint = paint * (1.0 - texf) + tex_ref[...] * texf
         if has_mask:
             mb = msk_ref[...]
@@ -878,49 +895,107 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
                 + mb[:, :, 2 * T : 3 * T] * 0.072
             )
             lum = jnp.concatenate([lum_tt] * 4, axis=2)
-            maskf = vpar_ref[:, 3:4, 0:1]
+            maskf = lanes4(vpar_ref[:, 3:4, :])
             mask128 = mask128 * (lum * maskf + (1.0 - maskf))
 
         rgba_all = mask128 * paint                 # (K, T, 4T)
 
         # ---- phase 2: serial tile-run compose (static unroll) ---------
-        @pl.when(s == 0)
-        def _():
-            zero = jnp.zeros((T, 4 * T), f32)
-
-            def zrow(r, c):
-                out_ref[r] = zero
-                return c
-
-            jax.lax.fori_loop(0, out_ref.shape[0], zrow, 0)
-
         def rgba_k(kq):
             r = rgba_all[kq]                       # static slice (T, 4T)
             return r, pltpu.repeat(r[:, 3 * T : 4 * T], 4, axis=1)
 
-        nt = out_ref.shape[0]
-        i0 = s * K
-        tile0 = tile_ref[i0]
-        rgba, alpha = rgba_k(0)
-        j0 = jnp.maximum(i0 - 1, 0)
-        first = (i0 == 0) | (tile0 != tile_ref[j0])
-        prev = jnp.where(first, 0.0, out_ref[jnp.minimum(tile0, nt - 1)])
-        acc, cur = rgba + prev * (1.0 - alpha), tile0
-        for kq in range(1, K):
-            tile = tile_ref[s * K + kq]
-            rgba, alpha = rgba_k(kq)
-            changed = tile != cur
+        if vout:
+            @pl.when(s == 0)
+            def _():
+                zero = jnp.zeros((T, 4 * T), f32)
 
-            @pl.when(changed)
-            def _(cur=cur, acc=acc):
+                def zrow(r, c):
+                    out_ref[r] = zero
+                    return c
+
+                jax.lax.fori_loop(0, out_ref.shape[0], zrow, 0)
+
+            nt = out_ref.shape[0]
+            i0 = s * K
+            tile0 = tile_ref[i0]
+            rgba, alpha = rgba_k(0)
+            j0 = jnp.maximum(i0 - 1, 0)
+            first = (i0 == 0) | (tile0 != tile_ref[j0])
+            prev = jnp.where(first, 0.0, out_ref[jnp.minimum(tile0, nt - 1)])
+            acc, cur = rgba + prev * (1.0 - alpha), tile0
+            for kq in range(1, K):
+                tile = tile_ref[s * K + kq]
+                rgba, alpha = rgba_k(kq)
+                changed = tile != cur
+
+                @pl.when(changed)
+                def _(cur=cur, acc=acc):
+                    out_ref[cur] = acc
+
+                acc = jnp.where(changed, rgba, rgba + acc * (1.0 - alpha))
+                cur = tile
+
+            @pl.when(cur < nt)
+            def _():
                 out_ref[cur] = acc
 
-            acc = jnp.where(changed, rgba, rgba + acc * (1.0 - alpha))
-            cur = tile
+            return
 
-        @pl.when(cur < nt)
+        # ring path: identical DMA sequencing to the serial kernel (the
+        # semaphore accounting invariant and the final-flush rule are
+        # deadlock-critical; see _kernel_factory_k) — only the per-item
+        # compute is replaced by phase-1 slices
+        nsteps = pl.num_programs(0)
+
+        @pl.when(s == 0)
         def _():
-            out_ref[cur] = acc
+            state[0] = 0
+            state[1] = tile_ref[0]
+
+        def start_flush():
+            fc = state[0]
+            slot = jax.lax.rem(fc, RING)
+            pltpu.make_async_copy(
+                ring.at[slot], out_ref.at[state[1]], sems.at[slot]
+            ).start()
+            state[0] = fc + 1
+
+        def flush():
+            start_flush()
+            fc = state[0]
+            nslot = jax.lax.rem(fc, RING)
+
+            @pl.when(fc >= RING)
+            def _():
+                pltpu.make_async_copy(
+                    ring.at[nslot], out_ref.at[0], sems.at[nslot]
+                ).wait()
+
+        for kq in range(K):
+            i = s * K + kq
+            tile = tile_ref[i]
+            changed = (i > 0) & (tile != state[1])
+
+            @pl.when(changed)
+            def _():
+                flush()
+
+            state[1] = tile
+            rgba, alpha = rgba_k(kq)
+            slot = jax.lax.rem(state[0], RING)
+            prev = jnp.where(changed | (i == 0), 0.0, ring[slot])
+            ring[slot] = rgba + prev * (1.0 - alpha)
+
+        @pl.when(s == nsteps - 1)
+        def _():
+            start_flush()
+            for ss in range(RING):
+                @pl.when(ss < state[0])
+                def _():
+                    pltpu.make_async_copy(
+                        ring.at[ss], out_ref.at[0], sems.at[ss]
+                    ).wait()
 
     return kernel, s_slots, n_scalars
 
@@ -1848,7 +1923,6 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
             f.append("vout")
     if (
         kvec()
-        and "vout" in f                      # ring-flush path: not yet
         and "grad" not in f                  # in-kernel gradients: not yet
         and "pat" not in f                   # resident atlas scalar rows
         and ("wpack" in f or ("big" not in f and "clip" not in f))

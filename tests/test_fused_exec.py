@@ -483,7 +483,7 @@ def test_solid_skip_and_stop_guard_equivalence():
 # ---------------------------------------------------------------------------
 
 
-def _compare_kvec(svg: str, viewport, expect_kvec=True, tol=1e-5):
+def _compare_kvec(svg: str, viewport, expect_kvec=True, tol=1e-5, vout=True):
     """XLA executor vs the kvec kernel (interp), asserting kvec engaged.
 
     Lowers at tile 32 (the TPU default): the CPU default tile 128 cannot
@@ -492,15 +492,19 @@ def _compare_kvec(svg: str, viewport, expect_kvec=True, tol=1e-5):
     scene, _ids, _size = scene_from_str(svg)
     lowered = rp.lower_scene(scene, TR, viewport, False, tile=32)
     assert lowered is not None, "scene must lower"
-    prev = {k: os.environ.get(k) for k in ("SVGR_FUSED", "SVGR_KVEC")}
+    prev = {k: os.environ.get(k)
+            for k in ("SVGR_FUSED", "SVGR_KVEC", "SVGR_FUSED_VOUT")}
     try:
         os.environ["SVGR_FUSED"] = "0"
         ref = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
         os.environ["SVGR_FUSED"] = "interp"
         os.environ["SVGR_KVEC"] = "1"
+        if not vout:
+            os.environ["SVGR_FUSED_VOUT"] = "0"
         got = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
         feats = lowered.items["_device_cache"]["features"]
         assert feats is not None and ("kvec" in feats) == expect_kvec, feats
+        assert ("vout" in feats) == vout, feats
     finally:
         for k, v in prev.items():
             if v is None:
@@ -608,3 +612,20 @@ def test_kvec_random_featureful(seed):
         + defs + "".join(parts) + "</svg>"
     )
     _compare_kvec(svg, (0, 0, 64, 96))
+
+
+def test_kvec_ring_kernel():
+    """kvec phase 1 + the ring-flush compose path (canvas over budget)."""
+    _compare_kvec(
+        """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+        <defs>
+        <linearGradient id='lg'><stop offset='0' stop-color='#f00'/>
+        <stop offset='1' stop-color='#00f'/></linearGradient>
+        <clipPath id='c'><circle cx='30' cy='30' r='22'/></clipPath></defs>
+        <rect x='4' y='4' width='50' height='40' fill='url(#lg)' clip-path='url(#c)'/>
+        <circle cx='70' cy='32' r='20' fill='#2060c0' opacity='0.7'/>
+        <path d='M2 2 C 90 0, 4 60, 94 62 L 94 2 Z' fill='#208040' opacity='0.5'/>
+        </svg>""",
+        (0, 0, 64, 96),
+        vout=False,
+    )
