@@ -218,8 +218,12 @@ def kvec() -> bool:
     (measured 2.5-3.4x the summed pass count on the demos) — but the
     per-pass body is an (8,128)-register op, so the padding is cheap
     next to the deleted per-item overhead, and compose-only launches
-    (icons isolation levels: zero passes) skip winding entirely."""
-    return os.environ.get("SVGR_KVEC", "0") != "0"
+    (icons isolation levels: zero passes) skip winding entirely.
+
+    Measured on v5e (material-design 1488^2 raw executor): serial 1.41 ms
+    -> kvec 0.7-0.9 ms (~3.1 Gpx/s median; sub-ms configs jitter ~2x).
+    Bit-identical output to the serial kernel on hardware.  Default ON."""
+    return os.environ.get("SVGR_KVEC", "1") != "0"
 
 
 def pregather() -> bool:
@@ -1897,6 +1901,11 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
         share = float((
             (items["tex_idx"] >= 0) | (items["mask_idx"] >= 0)
         ).mean())
+        # (widening pretex to every kvec-eligible launch was measured a
+        # REGRESSION on icons.svg serving: the per-frame whole-stream
+        # pool gather (~74 MB at share 0.22) costs more than the
+        # vectorized kernel saves on a sparse launch — sparse launches
+        # keep the resident pool and the serial kernel)
         if share >= 0.3 and pretex():
             f.append("pretex")
         else:
@@ -1930,6 +1939,45 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
     ):
         f.append("kvec")
     return frozenset(f)
+
+
+def kvec_cluster(items, num_tiles: int, t_size: int):
+    """Host: permutation clustering tile runs by winding pass count.
+
+    The kvec kernel runs every item of a K-step to the step's MAX live
+    pass count; with tiles in raster order the demos pay 2.5-3.4x the
+    summed pass count in padding.  Tile runs are independent (z-order is
+    per tile), so reordering whole runs by their max pass count packs
+    similar items into the same steps.  Stable within a tile (z order
+    kept) and pads stay last.  Returns the permutation, or None when it
+    is the identity / does not apply.  Only valid for launches that will
+    compose via the VMEM-resident canvas ("vout"): the ring path's
+    membership probe (searchsorted) requires ascending tile ids.
+    """
+    import numpy as np
+
+    tid = np.asarray(items["tile_id"])
+    n = tid.shape[0]
+    n_real = int((tid < num_tiles).sum())
+    if n_real <= 1:
+        return None
+    lines = np.asarray(items["lines"])
+    g = LANES // t_size
+    s = lines.shape[1]
+    live = np.abs(lines).max(-1) > 0
+    last = np.where(live, np.arange(1, s + 1), 0).max(-1)
+    passes = (-(-last // g)).astype(np.int64)
+    passes[np.asarray(items["big_idx"]) >= 0] = 0
+    key = np.zeros(n, np.int64)
+    tmax = np.zeros(num_tiles + 1, np.int64)
+    np.maximum.at(tmax, tid[:n_real], passes[:n_real])
+    key[:n_real] = tmax[tid[:n_real]]
+    key[n_real:] = 1 << 40
+    # primary: run pass class; then tile id; then original index (z order)
+    perm = np.lexsort((np.arange(n), tid, key))
+    if (perm == np.arange(n)).all():
+        return None
+    return perm
 
 
 def pattern_rows(items):

@@ -1604,9 +1604,25 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         features = plan_features(
             items, bigs, clips, pool, patterns, t_size, num_tiles
         )
-        dev = {
-            k: jnp.asarray(v) for k, v in items.items() if not k.startswith("_")
-        }
+        host = {k: v for k, v in items.items() if not k.startswith("_")}
+        if (
+            features is not None and "kvec" in features
+            and "vout" in features and num_tiles is not None
+        ):
+            # cluster tile runs by pass count: the kvec kernel runs every
+            # item of a step to the step's max live pass count, so raster
+            # order pays 2.5-3.4x the summed passes in padding (see
+            # fused_exec.kvec_cluster; z order within a tile is kept)
+            from .ops.fused_exec import kvec_cluster
+
+            perm = kvec_cluster(items, num_tiles, t_size)
+            if perm is not None:
+                n = items["tile_id"].shape[0]
+                host = {
+                    k: (v[perm] if getattr(v, "shape", ())[:1] == (n,) else v)
+                    for k, v in host.items()
+                }
+        dev = {k: jnp.asarray(v) for k, v in host.items()}
         if features is not None and "pat" in features:
             from .ops.fused_exec import pattern_rows
 
