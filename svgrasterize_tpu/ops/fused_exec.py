@@ -203,6 +203,22 @@ def pretex() -> bool:
     return os.environ.get("SVGR_PRETEX", "1") != "0"
 
 
+def vstore() -> bool:
+    """Allow the "vstore" feature: branch-free phase-2 compose in the
+    kvec resident-canvas kernel.
+
+    The serial compose tail costs ~2 scalar-core regions per item (a
+    pl.when'd conditional canvas write plus a scalar-cond vector select).
+    vstore replaces both with straight-line code: the run-continuation
+    flag (host-static — tile runs are fixed at pack time) streams as vpar
+    row 4 and folds into the compose as an exact multiplicative blend
+    (acc*(1-a)*same, same in {0,1}), and EVERY item unconditionally
+    stores its running composite to its tile's canvas row (last writer of
+    a run wins; pad items are remapped at prep to rewrite the last real
+    tile with an unchanged value).  SVGR_VSTORE=0 disables."""
+    return os.environ.get("SVGR_VSTORE", "1") != "0"
+
+
 def kvec() -> bool:
     """Allow the "kvec" feature: vectorize phase 1 of the K-items kernel.
 
@@ -922,6 +938,30 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
 
             nt = out_ref.shape[0]
             i0 = s * K
+
+            if "vstore" in features:
+                # branch-free compose: the run-continuation flag (vpar
+                # row 4, host-static) folds in as an exact {0,1} blend
+                # and every item stores its running composite — the last
+                # writer of a run wins, so no conditional writes and no
+                # scalar-cond selects remain on the per-item path.  tile
+                # ids arrive via the pad-remapped "tile_store" prefetch,
+                # so every store lands inside the canvas.
+                def same4(kq):
+                    return lanes4(vpar_ref[kq : kq + 1, 4:5, :])[0]
+
+                tile = tile_ref[i0]
+                rgba, alpha = rgba_k(0)
+                prev = out_ref[tile]
+                acc = rgba + prev * (1.0 - alpha) * same4(0)
+                out_ref[tile] = acc
+                for kq in range(1, K):
+                    tile = tile_ref[i0 + kq]
+                    rgba, alpha = rgba_k(kq)
+                    acc = rgba + acc * (1.0 - alpha) * same4(kq)
+                    out_ref[tile] = acc
+                return
+
             tile0 = tile_ref[i0]
             rgba, alpha = rgba_k(0)
             j0 = jnp.maximum(i0 - 1, 0)
@@ -1374,18 +1414,37 @@ def prepare_fused(
     if "kvec" in features:
         # per-item scalars the vectorized pipeline needs as lane planes:
         # row 0 opacity, row 1 fill rule (0/1), row 2 tex flag, row 3
-        # mask flag — each broadcast across the 128 lanes
+        # mask flag, row 4 run-continuation flag (same tile as the
+        # previous item; pads chain through so a pad's compose is a
+        # no-op rewrite) — each broadcast across the 128 lanes
+        n_real = n
+        for feat in features:
+            if isinstance(feat, tuple) and feat[0] == "nreal":
+                n_real = max(1, min(int(feat[1]), n))
+        tid = items["tile_id"].astype(jnp.int32)
+        idx = jnp.arange(n)
+        same = jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), tid[1:] == tid[:-1]]
+        )
+        same = jnp.where(idx >= n_real, True, same)
         vrows = jnp.stack(
             [
                 items["opacity"].astype(f32),
                 items["fill_rule"].astype(f32),
                 (items["tex_idx"].astype(jnp.int32) >= 0).astype(f32),
                 (items["mask_idx"].astype(jnp.int32) >= 0).astype(f32),
+                same.astype(f32),
             ],
             axis=-1,
-        )  # (N, 4)
+        )  # (N, 5)
         prepared["vpar"] = jnp.broadcast_to(
-            vrows[:, :, None], (n, 4, LANES)
+            vrows[:, :, None], (n, 5, LANES)
+        )
+        # vstore's scalar-prefetch tile array: pads (sorted last) retarget
+        # the last REAL item's tile, so their unconditional stores rewrite
+        # that run's final value instead of escaping the canvas
+        prepared["tile_store"] = jnp.where(
+            idx >= n_real, tid[n_real - 1], tid
         )
     if not wpack:
         prepared["carries"] = carries
@@ -1572,7 +1631,10 @@ def execute_items_fused(
         features = features - {"kvec"}
 
     wpack = "wpack" in features
-    scalars = [tile_id]
+    vstore_on = (
+        "vstore" in features and kvec_on and "vout" in features
+    )
+    scalars = [prepared["tile_store"] if vstore_on else tile_id]
     tensors = [edges]
     if kvec_on:
         in_specs = [
@@ -1595,8 +1657,10 @@ def execute_items_fused(
         pl.BlockSpec((kb, 1, 4 * T), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     if kvec_on:
-        tensors.append(prepared["vpar"])
-        in_specs.append(pl.BlockSpec((kb, 4, LANES), lambda i, *s: (i, 0, 0),
+        vpar = prepared["vpar"]
+        tensors.append(vpar)
+        in_specs.append(pl.BlockSpec((kb, vpar.shape[1], LANES),
+                                     lambda i, *s: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
 
     k_stops = 1
@@ -1938,6 +2002,8 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
         and ("pretex" in f or ("tex" not in f and "mask" not in f))
     ):
         f.append("kvec")
+        if "vout" in f and vstore():
+            f.append("vstore")
     return frozenset(f)
 
 

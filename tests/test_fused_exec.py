@@ -95,6 +95,30 @@ def test_ring_kernel_gradients_clips_carries():
     )
 
 
+def test_vstore_off_matches():
+    """SVGR_VSTORE=0 keeps the branchy compose tail of the kvec vout
+    kernel covered now that the branch-free vstore path is the default;
+    the scene mixes single-item and multi-item tile runs so both the
+    run-continuation blend and the last-writer-wins stores are hit."""
+    prev = os.environ.get("SVGR_VSTORE")
+    try:
+        os.environ["SVGR_VSTORE"] = "0"
+        _compare(
+            """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
+            <rect x='4' y='4' width='88' height='56' fill='#d0d0d0'/>
+            <rect x='10' y='10' width='40' height='40' fill='#d04020' opacity='0.8'/>
+            <circle cx='30' cy='30' r='16' fill='#2060c0' opacity='0.7'/>
+            <path d='M60 10 L90 10 L75 40 Z' fill='#20a040'/>
+            </svg>""",
+            (0, 0, 64, 96),
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("SVGR_VSTORE", None)
+        else:
+            os.environ["SVGR_VSTORE"] = prev
+
+
 def test_isolation_pool_tex_and_mask():
     _compare(
         """<svg xmlns='http://www.w3.org/2000/svg' width='96' height='64'>
