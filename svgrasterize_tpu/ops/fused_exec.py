@@ -946,19 +946,22 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
                 # writer of a run wins, so no conditional writes and no
                 # scalar-cond selects remain on the per-item path.  tile
                 # ids arrive via the pad-remapped "tile_store" prefetch,
-                # so every store lands inside the canvas.
-                def same4(kq):
-                    return lanes4(vpar_ref[kq : kq + 1, 4:5, :])[0]
+                # so every store lands inside the canvas.  The whole
+                # carry factor (1-alpha)*same is one K-block op, leaving
+                # a mul+add+store tail per item ({0,1} blends and x*1.0
+                # are bit-exact, so this equals the branchy tail).
+                alpha_all = jnp.concatenate(
+                    [rgba_all[:, :, 3 * T : 4 * T]] * 4, axis=2
+                )                                      # (K, T, 4T)
+                fac_all = (1.0 - alpha_all) * lanes4(vpar_ref[:, 4:5, :])
 
                 tile = tile_ref[i0]
-                rgba, alpha = rgba_k(0)
                 prev = out_ref[tile]
-                acc = rgba + prev * (1.0 - alpha) * same4(0)
+                acc = rgba_all[0] + prev * fac_all[0]
                 out_ref[tile] = acc
                 for kq in range(1, K):
                     tile = tile_ref[i0 + kq]
-                    rgba, alpha = rgba_k(kq)
-                    acc = rgba + acc * (1.0 - alpha) * same4(kq)
+                    acc = rgba_all[kq] + acc * fac_all[kq]
                     out_ref[tile] = acc
                 return
 
