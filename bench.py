@@ -78,22 +78,53 @@ def _material_throughput(width: int | None, reps: int):
     t_lower = time.perf_counter() - t_lower
     gh, gw = lowered.grid
     items = lowered.items
-    dev = {k: jnp.asarray(v) for k, v in items.items()}
-    bigs = tuple(jnp.asarray(b) for b in lowered.bigs)
-    clips = jnp.asarray(lowered.clips) if lowered.clips.shape[0] else None
-    feats = plan_features(items, lowered.bigs, lowered.clips, None, None,
-                          lowered.tile, gh * gw)
+    from svgrasterize_tpu import render_plan as rp
+
     # the scene-static prep (expanded winding params + pre-pass stacks) is
     # computed once per plan in serving (render_plan._device_plan caches
-    # it), so the per-frame figure starts at the kernel — same contract
-    prep = (
-        prepare_fused_cached(dev, lowered.tile, bigs, clips, None, feats)
-        if feats is not None else None
+    # it), so the per-frame figure starts at the kernel — same contract.
+    # _device_plan also decides the launch structure: one fused launch, a
+    # canvas-chunked set of resident-canvas launches (4K), or None (XLA)
+    cache = rp._device_plan(
+        items, lowered.bigs, lowered.clips, None, None, lowered.tile,
+        gh * gw,
+    )
+    chunks = cache.get("chunks")
+    feats = cache["features"]
+    dev = cache["items"]
+    bigs = cache["bigs"]
+    clips = cache["clips"]
+    prep = cache.get("prepared")
+
+    chunk_ops = (
+        [(ch["items"], ch["prepared"])
+         for ch in chunks if "zero_rows" not in ch]
+        if chunks is not None else None
     )
 
     @jax.jit
-    def loop(dev, bigs, clips, prep, iters):
+    def loop(dev, bigs, clips, prep, iters, chunk_ops=None):
         def body(_i, carry):
+            if chunks is not None:
+                parts = []
+                live = iter(chunk_ops)
+                for ch in chunks:
+                    if "zero_rows" in ch:
+                        parts.append(jnp.zeros(
+                            (ch["zero_rows"], lowered.tile, 4 * lowered.tile),
+                            parts[0].dtype if parts else jnp.float32,
+                        ))
+                        continue
+                    c_items, c_prep = next(live)
+                    p = dict(c_prep)
+                    p["fpar"] = p["fpar"] + carry  # serialize iterations
+                    parts.append(execute_items_fused(
+                        c_items, lowered.tile, ch["num_tiles"],
+                        ch["bigs"], None, None, ch["clips"], ch["features"],
+                        prepared=p, planar_out=True,
+                    ))
+                tiles = jnp.concatenate(parts, axis=0)
+                return tiles[0, 0, 0] * 0.0
             if feats is not None:
                 p = dict(prep)
                 p["fpar"] = prep["fpar"] + carry  # serialize iterations
@@ -115,7 +146,7 @@ def _material_throughput(width: int | None, reps: int):
     def run_chain(k: int) -> float:
         start = time.perf_counter()
         # readback forces completion
-        float(loop(dev, bigs, clips, prep, jnp.int32(k)))
+        float(loop(dev, bigs, clips, prep, jnp.int32(k), chunk_ops))
         return time.perf_counter() - start
 
     run_chain(1)  # compile

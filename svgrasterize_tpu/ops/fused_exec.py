@@ -1329,6 +1329,7 @@ def _gather_map(pos):
 def prepare_fused(
     items: dict, t_size: int, big_lines=(), clip_cov=None, patterns=None,
     features=frozenset(), pool_rows: int = 0, static_pass: bool = False,
+    num_tiles: int = 0,
 ):
     """Scene-static device prep for the fused executor.
 

@@ -1594,6 +1594,8 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         + ":" + os.environ.get("SVGR_FUSED_UNROLL", "")
         + ":" + os.environ.get("SVGR_PRETEX", "")
         + ":" + os.environ.get("SVGR_KVEC", "")
+        + ":" + os.environ.get("SVGR_VSTORE", "")
+        + ":" + os.environ.get("SVGR_CHUNK_VOUT", "")
         # the prepared tex/mask scratch index is pool.shape[0]: the same
         # plan served with a tight (whole-program) vs pow2 (per-stage)
         # pool capacity must not share a cache entry
@@ -1604,6 +1606,24 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         features = plan_features(
             items, bigs, clips, pool, patterns, t_size, num_tiles
         )
+        # a plan whose canvas exceeds the VMEM budget can split into
+        # resident-canvas (vout) launches over tile ranges (SVGR_CHUNK_VOUT
+        # opt-in).  Measured NEUTRAL on 3840x3840: the final chunk concat
+        # re-pays exactly the membership-select traffic it deletes, and
+        # the ring kernel's "zout" (in-kernel zero DMAs + pad-remapped
+        # stores) removes that traffic without splitting — kept as a knob
+        # for canvases whose single launch cannot fit streams in VMEM.
+        vout_chunks = None
+        if (
+            features is not None and "vout" not in features
+            and num_tiles is not None and "pat" not in features
+            and os.environ.get("SVGR_CHUNK_VOUT", "0") == "1"
+        ):
+            vout_chunks = _chunk_fused_plan(
+                items, bigs, clips, t_size, num_tiles, for_vout=True
+            )
+            if vout_chunks is not None:
+                features = None  # routes the executors to the chunk path
         host = {k: v for k, v in items.items() if not k.startswith("_")}
         if (
             features is not None and "kvec" in features
@@ -1650,7 +1670,9 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
                 features,
                 pool_rows=pool.shape[0] if pool is not None else 0,
             )
-        if features is None and num_tiles is not None:
+        if vout_chunks is not None:
+            cache["chunks"] = vout_chunks
+        elif features is None and num_tiles is not None:
             from .ops.fused_exec import last_fallback_kind
 
             if last_fallback_kind() == "vmem":
@@ -1661,7 +1683,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
     return cache
 
 
-def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
+def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles, for_vout=False):
     """Host: partition the tile range into chunks whose referenced stacks
     fit the fused executor's VMEM budget.
 
@@ -1672,8 +1694,19 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
     its own items reference (indices remapped chunk-locally).  Returns a
     list of chunk dicts, or None when chunking does not apply (pattern
     paints, or a single tile alone over budget).
+
+    for_vout additionally budgets each chunk's CANVAS so every chunk
+    qualifies for the VMEM-resident (vout) kernel: a plan whose whole
+    canvas exceeds the budget runs the ring-flush kernel plus a
+    whole-canvas membership select (untouched rows hold garbage), ~0.7 ms
+    of pure HBM traffic at 3840x3840.  Chunk tile ranges then span only
+    [first touched, last touched] and untouched gaps between chunks are
+    emitted as {"zero_rows": n} entries the executors materialize as
+    zeros directly.
     """
-    from .ops.fused_exec import plan_features, stack_bytes, vmem_budget
+    from .ops.fused_exec import (
+        canvas_bytes, plan_features, pregather, stack_bytes, vmem_budget,
+    )
     from .parallel.scene import _flatten_big_classes
 
     if (items["pat_idx"] >= 0).any():
@@ -1684,6 +1717,10 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
         return None
     budget = vmem_budget()
     flat_big = _flatten_big_classes(bigs)
+    # under pregather the big/clip fields stream as per-item blocks
+    # instead of resident stacks — mirror plan_features' accounting or
+    # the walk splits far earlier than the kernel requires
+    pre = pregather()
 
     # walk tile runs, greedily accumulating referenced stack rows
     run_starts = np.concatenate(
@@ -1691,15 +1728,17 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
     )
     chunks_ix: list = []  # (i0, i1, t0, t1)
     cur_i0 = 0
-    cur_t0 = 0
+    cur_t0 = 0 if not for_vout else int(tile_id[0])
     cur_big: set = set()
     cur_clip: set = set()
     cur_pool: set = set()
 
-    def cost():
-        return stack_bytes(
-            len(cur_big) + len(cur_clip) + 2, len(cur_pool), t_size
-        )
+    def cost(t_hi=None):
+        rows = 0 if pre else len(cur_big) + len(cur_clip)
+        sb = stack_bytes(rows + 2, len(cur_pool), t_size)
+        if for_vout and t_hi is not None:
+            sb += canvas_bytes(t_hi - cur_t0, t_size)
+        return sb
 
     for r in range(len(run_starts) - 1):
         i0, i1 = int(run_starts[r]), int(run_starts[r + 1])
@@ -1708,27 +1747,39 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
         np_ = set(items["tex_idx"][i0:i1][items["tex_idx"][i0:i1] >= 0].tolist())
         np_ |= set(items["mask_idx"][i0:i1][items["mask_idx"][i0:i1] >= 0].tolist())
         trial = stack_bytes(
-            len(cur_big | nb) + len(cur_clip | nc) + 2,
+            (0 if pre else len(cur_big | nb) + len(cur_clip | nc)) + 2,
             len(cur_pool | np_), t_size,
         )
+        if for_vout:
+            trial += canvas_bytes(int(tile_id[i1 - 1]) + 1 - cur_t0, t_size)
         if trial > budget and i0 > cur_i0:
-            chunks_ix.append((cur_i0, i0, cur_t0, int(tile_id[i0])))
+            # close the chunk at its own last touched tile when canvases
+            # count: untouched tiles between chunks become zero entries
+            t1 = int(tile_id[i0 - 1]) + 1 if for_vout else int(tile_id[i0])
+            chunks_ix.append((cur_i0, i0, cur_t0, t1))
             cur_i0, cur_t0 = i0, int(tile_id[i0])
             cur_big, cur_clip, cur_pool = nb, nc, np_
-            if cost() > budget:
+            if cost(int(tile_id[i1 - 1]) + 1) > budget:
                 return None  # one tile run alone exceeds the budget
         else:
             cur_big |= nb
             cur_clip |= nc
             cur_pool |= np_
-    chunks_ix.append((cur_i0, n_real, cur_t0, num_tiles))
+    chunks_ix.append((
+        cur_i0, n_real, cur_t0,
+        int(tile_id[n_real - 1]) + 1 if for_vout else num_tiles,
+    ))
     if len(chunks_ix) < 2:
         return None
 
     import jax.numpy as jnp
 
     chunks = []
+    next_t0 = 0  # first canvas row not yet covered (for_vout gap tracking)
     for i0, i1, t0, t1 in chunks_ix:
+        if for_vout and t0 > next_t0:
+            chunks.append({"zero_rows": t0 - next_t0})
+        next_t0 = t1
         cnt = i1 - i0
         npad = 16
         while npad < cnt:
@@ -1780,6 +1831,11 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
             _PoolShape(len(pool_rows)) if len(pool_rows) else None,
             None, t_size, chunk_tiles,
         )
+        if for_vout and (features is None or "vout" not in features):
+            # only worth adopting when every launch gets the resident-
+            # canvas kernel — a ring chunk would re-pay the membership
+            # select; bail before any device prep work
+            return None
         chunk = {
             "items": {k: jnp.asarray(v) for k, v in sub.items()},
             "bigs": (jnp.asarray(sub_big),) if sub_big.shape[0] else (),
@@ -1797,6 +1853,8 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles):
                 None, features, pool_rows=len(pool_rows),
             )
         chunks.append(chunk)
+    if for_vout and next_t0 < num_tiles:
+        chunks.append({"zero_rows": num_tiles - next_t0})
     return chunks
 
 
@@ -1813,19 +1871,43 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
 
     cache = _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles)
     if cache["features"] is None and cache.get("chunks"):
-        canvases = []
-        for ch in cache["chunks"]:
-            sub_pool = (
-                pool[ch["pool_rows"]]
-                if (pool is not None and ch["pool_rows"] is not None)
-                else None
-            )
-            canvases.append(batch_exec.execute_plan(
-                ch["items"], t_size, ch["num_tiles"], ch["bigs"], sub_pool,
-                None, ch["clips"], features=ch["features"],
-                prepared=ch.get("prepared"),
-            ))
-        return jnp.concatenate(canvases, axis=0)
+        # ONE jitted program for all chunk launches: eagerly the 4-6
+        # per-chunk dispatches through a remote-tunnel TPU cost several
+        # ms each and drown the kernels (measured 8x on 3840x3840)
+        chunks = cache["chunks"]
+        prog = cache.get("_chunks_prog")
+        if prog is None:
+            import jax
+
+            def chunks_fn(chunk_ops, pool):
+                canvases = []
+                live = iter(chunk_ops)
+                for ch in chunks:
+                    if "zero_rows" in ch:
+                        canvases.append(jnp.zeros(
+                            (ch["zero_rows"], t_size, t_size, 4), DEVICE_FLOAT
+                        ))
+                        continue
+                    c_items, c_prep = next(live)
+                    sub_pool = (
+                        pool[ch["pool_rows"]]
+                        if (pool is not None and ch["pool_rows"] is not None)
+                        else None
+                    )
+                    canvases.append(batch_exec.execute_plan(
+                        c_items, t_size, ch["num_tiles"], ch["bigs"],
+                        sub_pool, None, ch["clips"], features=ch["features"],
+                        prepared=c_prep,
+                    ))
+                return jnp.concatenate(canvases, axis=0)
+
+            prog = jax.jit(chunks_fn)
+            cache["_chunks_prog"] = prog
+        chunk_ops = [
+            (ch["items"], ch.get("prepared"))
+            for ch in chunks if "zero_rows" not in ch
+        ]
+        return prog(chunk_ops, pool)
     return batch_exec.execute_plan(
         cache["items"],
         t_size,
@@ -1957,7 +2039,8 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
                   "SVGR_STATIC_PASSES", "SVGR_WIND_UNROLL",
                   "SVGR_PREPARED", "SVGR_PREGATHER", "SVGR_SOLID_SKIP",
                   "SVGR_SGUARD", "SVGR_PREGRAD", "SVGR_ABLATE",
-                  "SVGR_FUSED_UNROLL", "SVGR_PRETEX", "SVGR_KVEC")
+                  "SVGR_FUSED_UNROLL", "SVGR_PRETEX", "SVGR_KVEC",
+                  "SVGR_VSTORE", "SVGR_CHUNK_VOUT")
     )
     key = (tuple(viewport), bool(linear_rgb), t_size, mode)
     cached = lowered.items.get("_whole_program")
@@ -1991,27 +2074,61 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
         t_size, num_tiles,
     )
 
-    def _run(cache, rows, pool, patterns, prepared):
+    def _run(cache, ops, rows, pool, patterns):
         # every stage canvas stays channel-planar (N, T, 4T): the fused
         # kernel's native output layout, consumed as-is by the filter
         # batches and the pool — one whole-canvas shuffle copy per launch
         # (icons.svg: 5) drops to zero; callers de-planarize once at the end
+        if cache.get("chunks"):
+            # over-budget canvas split into resident-canvas launches over
+            # tile ranges; untouched gaps materialize as zeros directly
+            parts = []
+            live = iter(ops["chunks"])
+            for ch in cache["chunks"]:
+                if "zero_rows" in ch:
+                    parts.append(jnp.zeros(
+                        (ch["zero_rows"], t_size, 4 * t_size), DEVICE_FLOAT
+                    ))
+                    continue
+                c_items, c_prep = next(live)
+                sub_pool = None
+                if pool is not None and ch["pool_rows"] is not None:
+                    # chunk-local pool: referenced rows + the scratch row
+                    sub_pool = jnp.concatenate(
+                        [pool[ch["pool_rows"]], pool[-1:]], axis=0
+                    )
+                parts.append(execute_items_fused(
+                    c_items, t_size, ch["num_tiles"], ch["bigs"], sub_pool,
+                    None, ch["clips"], ch["features"], prepared=c_prep,
+                    planar_out=True,
+                ))
+            return jnp.concatenate(parts, axis=0)
         if cache["features"] is not None:
             return execute_items_fused(
-                cache["items"], t_size, rows, cache["bigs"], pool, patterns,
-                cache["clips"], cache["features"], prepared=prepared,
+                ops["items"], t_size, rows, cache["bigs"], pool, patterns,
+                cache["clips"], cache["features"], prepared=ops["prepared"],
                 planar_out=True,
             )
         return to_planar(batch_exec.execute_items(
-            cache["items"], t_size, rows, cache["bigs"], pool, patterns,
+            ops["items"], t_size, rows, cache["bigs"], pool, patterns,
             cache["clips"],
         ))
+
+    def _cache_ops(cache):
+        # the scene-static device arrays enter as PROGRAM ARGUMENTS (see
+        # fn below) — per chunk when the cache is a chunked plan
+        if cache.get("chunks"):
+            return {"chunks": [
+                (ch["items"], ch.get("prepared"))
+                for ch in cache["chunks"] if "zero_rows" not in ch
+            ]}
+        return {"items": cache["items"], "prepared": cache.get("prepared")}
 
     # the scene-static prepared arrays (expanded winding params, pre-pass
     # winding stacks) enter as PROGRAM ARGUMENTS, not closure captures —
     # captured concrete arrays would be embedded in the executable as
     # constants (100+ MB programs, useless persistent-cache entries)
-    def fn(g_items, main_items, atlas, g_prepared, main_prepared):
+    def fn(g_ops, main_ops, atlas):
         # channel-planar pool (+1 trailing scratch row for idx == -1
         # gathers) end-to-end: the executors consume it as-is instead of
         # paying a whole-pool concatenate + layout transpose per launch
@@ -2019,29 +2136,24 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
             jnp.zeros((cap + 1, t_size, 4 * t_size), DEVICE_FLOAT)
             if groups else None
         )
-        for g, gc, dev, prep in zip(groups, g_caches, g_items, g_prepared):
-            gc = dict(gc, items=dev)
+        for g, gc, ops in zip(groups, g_caches, g_ops):
             canvas = _run(
-                gc, g["rows"],
+                gc, ops, g["rows"],
                 pool if g["needs_pool"] else None,
                 atlas if bool((g["items"]["pat_idx"] >= 0).any()) else None,
-                prep,
             )
             pool = _apply_group_post(
                 canvas, pool, g, grid_w, viewport, linear_rgb, t_size,
                 planar=True,
             )
-        mc = dict(main_cache, items=main_items)
-        return _run(mc, num_tiles, pool, atlas if main_pat else None,
-                    main_prepared)
+        return _run(main_cache, main_ops, num_tiles, pool,
+                    atlas if main_pat else None)
 
     program = jax.jit(fn)
     operands = (
-        [gc["items"] for gc in g_caches],
-        main_cache["items"],
+        [_cache_ops(gc) for gc in g_caches],
+        _cache_ops(main_cache),
         jnp.asarray(atlas_np) if atlas_np is not None else None,
-        [gc.get("prepared") for gc in g_caches],
-        main_cache.get("prepared"),
     )
     lowered.items["_whole_program"] = (key, lambda ops: program(*ops), operands)
     prog = lowered.items["_whole_program"]

@@ -294,6 +294,61 @@ def test_vmem_chunked_execution():
     assert np.abs(ref - got).max() <= 1e-5
 
 
+def test_canvas_chunked_vout_execution():
+    """A canvas over the VMEM budget splits into resident-canvas (vout)
+    launches over tile ranges — instead of the ring kernel plus the
+    whole-canvas membership select — with untouched gaps emitted as
+    zero rows.  The scene leaves the first and last tile columns
+    untouched so the gap entries are exercised."""
+    svg = """<svg xmlns='http://www.w3.org/2000/svg' width='320' height='64'>
+    <defs><linearGradient id='g'><stop offset='0' stop-color='red'/>
+    <stop offset='1' stop-color='blue'/></linearGradient>
+    <clipPath id='c'><circle cx='100' cy='32' r='24'/></clipPath></defs>
+    <rect x='40' y='8' width='240' height='48' fill='url(#g)'/>
+    <rect x='70' y='10' width='60' height='44' fill='#20a040'
+          clip-path='url(#c)' opacity='0.8'/>
+    <circle cx='200' cy='32' r='24' fill='#c03020' opacity='0.6'/>
+    </svg>"""
+    scene, _ids, _size = scene_from_str(svg)
+    viewport = (0, 0, 64, 320)
+    lowered = rp.lower_scene(scene, TR, viewport, False, tile=32)
+    assert lowered is not None
+
+    prev = {k: os.environ.get(k)
+            for k in ("SVGR_FUSED", "SVGR_VMEM_BUDGET", "SVGR_CHUNK_VOUT")}
+    try:
+        os.environ["SVGR_FUSED"] = "0"
+        ref = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        os.environ["SVGR_FUSED"] = "interp"
+        os.environ["SVGR_CHUNK_VOUT"] = "1"
+        # admits ~3 canvas tiles per launch (plus streams/scratch)
+        os.environ["SVGR_VMEM_BUDGET"] = str(4 * 32 * 128 * 4 + 2 * 32 * 128 * 4)
+        got = np.asarray(rp.execute_lowered(lowered, viewport[:2], False))
+        cache = lowered.items["_device_cache"]
+        assert cache["features"] is None and cache.get("chunks"), (
+            "canvas-over-budget plan must chunk"
+        )
+        chunks = cache["chunks"]
+        live = [c for c in chunks if "zero_rows" not in c]
+        assert len(live) >= 2, chunks
+        assert all("vout" in c["features"] for c in live), (
+            "every live chunk must get the resident-canvas kernel"
+        )
+        assert any("zero_rows" in c for c in chunks), (
+            "untouched tile gaps should emit zero rows"
+        )
+        assert sum(
+            c.get("zero_rows", c.get("num_tiles", 0)) for c in chunks
+        ) == lowered.grid[0] * lowered.grid[1]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert np.abs(ref - got).max() <= 1e-5
+
+
 def test_prepared_prep_matches_inline_prep():
     """The cached scene-static prep (prepare_fused, stored on the plan by
     _device_plan) must be byte-identical to inlining the prep into every
