@@ -203,6 +203,20 @@ def pretex() -> bool:
     return os.environ.get("SVGR_PRETEX", "1") != "0"
 
 
+def zout() -> bool:
+    """Allow the "zout" feature: in-kernel zeroing of untouched canvas
+    rows on ring-path (canvas-over-VMEM) launches.
+
+    Without it the ring kernel's output keeps a +1 pad scratch row and
+    garbage in untouched rows, forcing a post-kernel [:num_tiles] slice
+    plus a membership select — two full-canvas HBM round trips (~0.7 ms
+    at 3840x3840).  zout remaps pad items to the last real tile (their
+    flushes rewrite its final value), drops the scratch row, and DMAs
+    zeros into the untouched rows at step 0 from a VMEM scratch tile,
+    windowed to bound in-flight copies.  SVGR_ZOUT=0 disables."""
+    return os.environ.get("SVGR_ZOUT", "1") != "0"
+
+
 def vstore() -> bool:
     """Allow the "vstore" feature: branch-free phase-2 compose in the
     kvec resident-canvas kernel.
@@ -755,6 +769,43 @@ def _kernel_factory(t_size: int, k_stops: int, features: frozenset):
 RING = 8
 
 
+ZWIN = 16  # in-flight window for untouched-row zero fills (zout)
+
+
+def _zout_fill(s, out_ref, zrows_ref, zsrc, zsem, t_size):
+    """Step-0 zero fill of untouched canvas rows by windowed async copies.
+
+    zrows_ref is [count, row ids...] (scalar prefetch, host-static).  The
+    window bounds in-flight descriptors; every start is waited before the
+    item loop runs, so the fills can never race a ring flush (flushes
+    target touched rows only — disjoint)."""
+
+    @pl.when(s == 0)
+    def _():
+        zsrc[...] = jnp.zeros((t_size, 4 * t_size), DEVICE_FLOAT)
+        n0 = zrows_ref[0]
+
+        def start(j, c):
+            pltpu.make_async_copy(
+                zsrc, out_ref.at[zrows_ref[1 + j]], zsem
+            ).start()
+
+            @pl.when(j >= ZWIN)
+            def _():
+                # same-shape descriptor waits the same sem + byte count
+                pltpu.make_async_copy(zsrc, out_ref.at[0], zsem).wait()
+
+            return c
+
+        jax.lax.fori_loop(0, n0, start, 0)
+
+        def drain(j, c):
+            pltpu.make_async_copy(zsrc, out_ref.at[0], zsem).wait()
+            return c
+
+        jax.lax.fori_loop(0, jnp.minimum(n0, ZWIN), drain, 0)
+
+
 def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
     """Vectorized-phase-1 K-items kernel (the "kvec" feature; vout only).
 
@@ -790,9 +841,12 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
     pre_grad = "pregrad_paint" in features
     has_tex = "tex" in features
     has_mask = "mask" in features
+    has_zout = "zout" in features and not vout
 
     s_slots = {"tile": 0, "smax": 1}
-    n_scalars = 2
+    if has_zout:
+        s_slots["zrows"] = 2
+    n_scalars = len(s_slots)
 
     def kernel(*refs):
         tile_ref = refs[0]
@@ -818,6 +872,9 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
             ring = next(it)           # (RING, T, 4T) VMEM scratch
             state = next(it)          # (2,) SMEM: flush count, cur tile
             sems = next(it)           # (RING,) DMA semaphores
+            if has_zout:
+                zsrc = next(it)       # (T, 4T) VMEM zero source
+                zsem = next(it)       # untouched-row fill semaphore
 
         s = pl.program_id(0)
         f32 = DEVICE_FLOAT
@@ -995,6 +1052,9 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
         # compute is replaced by phase-1 slices
         nsteps = pl.num_programs(0)
 
+        if has_zout:
+            _zout_fill(s, out_ref, refs[s_slots["zrows"]], zsrc, zsem, T)
+
         @pl.when(s == 0)
         def _():
             state[0] = 0
@@ -1092,11 +1152,13 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
     pretex_on = "pretex" in features
 
     s_slots = {"tile": 0}
+    has_zout = "zout" in features and not vout
     for name, on in (("big", has_big and not pre),
                      ("clip", has_clip and not pre),
                      ("tex", has_tex and not pretex_on),
                      ("mask", has_mask and not pretex_on),
-                     ("pat", has_pat)):
+                     ("pat", has_pat),
+                     ("zrows", has_zout)):
         if on:
             s_slots[name] = len(s_slots)
     n_scalars = len(s_slots)
@@ -1142,6 +1204,9 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
             ring = next(it)          # (RING, T, 4T) VMEM scratch
             state = next(it)         # (2,) SMEM: flush count, cur tile
             sems = next(it)          # (RING,) DMA semaphores
+            if has_zout:
+                zsrc = next(it)      # (T, 4T) VMEM zero source
+                zsem = next(it)      # untouched-row fill semaphore
 
         s = pl.program_id(0)
         nsteps = pl.num_programs(0)
@@ -1250,6 +1315,10 @@ def _kernel_factory_k(t_size: int, k_stops: int, features: frozenset,
                 out_ref[cur] = acc
 
             return
+
+        if has_zout:
+            _zout_fill(s, out_ref, scalar_refs[s_slots["zrows"]],
+                       zsrc, zsem, T)
 
         @pl.when(s == 0)
         def _():
@@ -1415,18 +1484,39 @@ def prepare_fused(
         "colorv": colorv,
         "tile_id": items["tile_id"].astype(jnp.int32),
     }
+    n_real = n
+    for feat in features:
+        if isinstance(feat, tuple) and feat[0] == "nreal":
+            n_real = max(1, min(int(feat[1]), n))
+    if "kvec" in features or "zout" in features:
+        # pad-remapped scalar-prefetch tile array (vstore + zout): pads
+        # (sorted last) retarget the last REAL item's tile, so their
+        # stores/flushes rewrite that run's final value instead of
+        # escaping into a scratch canvas row — which lets the canvas
+        # drop the +1 scratch row and the whole-canvas [:num_tiles]
+        # slice copy it forced
+        tid = items["tile_id"].astype(jnp.int32)
+        idx = jnp.arange(n)
+        prepared["tile_store"] = jnp.where(
+            idx >= n_real, tid[n_real - 1], tid
+        )
+    if "zout" in features and num_tiles:
+        # untouched canvas rows, front-packed behind their count: the
+        # ring kernel zero-fills them by DMA at step 0, replacing the
+        # XLA membership select that re-streamed the canvas through HBM
+        # twice (~0.7 ms at 3840x3840).  tile_id is sorted on ring plans.
+        probe = jnp.arange(num_tiles, dtype=jnp.int32)
+        pos = jnp.clip(jnp.searchsorted(tid, probe), 0, n - 1)
+        touched = tid[pos] == probe
+        order = jnp.argsort(touched.astype(jnp.int32), stable=True)
+        count = (num_tiles - touched.sum()).astype(jnp.int32)
+        prepared["zrows"] = jnp.concatenate([count[None], probe[order]])
     if "kvec" in features:
         # per-item scalars the vectorized pipeline needs as lane planes:
         # row 0 opacity, row 1 fill rule (0/1), row 2 tex flag, row 3
         # mask flag, row 4 run-continuation flag (same tile as the
         # previous item; pads chain through so a pad's compose is a
         # no-op rewrite) — each broadcast across the 128 lanes
-        n_real = n
-        for feat in features:
-            if isinstance(feat, tuple) and feat[0] == "nreal":
-                n_real = max(1, min(int(feat[1]), n))
-        tid = items["tile_id"].astype(jnp.int32)
-        idx = jnp.arange(n)
         same = jnp.concatenate(
             [jnp.zeros((1,), jnp.bool_), tid[1:] == tid[:-1]]
         )
@@ -1443,12 +1533,6 @@ def prepare_fused(
         )  # (N, 5)
         prepared["vpar"] = jnp.broadcast_to(
             vrows[:, :, None], (n, 5, LANES)
-        )
-        # vstore's scalar-prefetch tile array: pads (sorted last) retarget
-        # the last REAL item's tile, so their unconditional stores rewrite
-        # that run's final value instead of escaping the canvas
-        prepared["tile_store"] = jnp.where(
-            idx >= n_real, tid[n_real - 1], tid
         )
     if not wpack:
         prepared["carries"] = carries
@@ -1568,7 +1652,7 @@ _prepare_jit = None
 
 def prepare_fused_cached(items, t_size, big_lines=(), clip_cov=None,
                          patterns=None, features=frozenset(),
-                         pool_rows: int = 0):
+                         pool_rows: int = 0, num_tiles: int = 0):
     """Jitted prepare_fused (one program instead of op-by-op dispatches —
     the remote tunnel pays ~0.4s per eager dispatch)."""
     global _prepare_jit
@@ -1576,12 +1660,13 @@ def prepare_fused_cached(items, t_size, big_lines=(), clip_cov=None,
         _prepare_jit = jax.jit(
             prepare_fused,
             static_argnames=(
-                "t_size", "features", "pool_rows", "static_pass"
+                "t_size", "features", "pool_rows", "static_pass",
+                "num_tiles",
             ),
         )
     return _prepare_jit(
         items, t_size, tuple(big_lines or ()), clip_cov, patterns,
-        frozenset(features), pool_rows, static_passes(),
+        frozenset(features), pool_rows, static_passes(), num_tiles,
     )
 
 
@@ -1613,6 +1698,7 @@ def execute_items_fused(
                 if pool is not None else 0
             ),
             static_pass=static_passes(),
+            num_tiles=num_tiles,
         )
 
     edges = prepared["edges"]
@@ -1638,7 +1724,10 @@ def execute_items_fused(
     vstore_on = (
         "vstore" in features and kvec_on and "vout" in features
     )
-    scalars = [prepared["tile_store"] if vstore_on else tile_id]
+    zout_on = "zout" in features and kb > 1 and "zrows" in prepared
+    scalars = [
+        prepared["tile_store"] if (vstore_on or zout_on) else tile_id
+    ]
     tensors = [edges]
     if kvec_on:
         in_specs = [
@@ -1760,7 +1849,11 @@ def execute_items_fused(
             passes[: grid_n * kb].reshape(grid_n, kb)
             .max(axis=1).astype(jnp.int32)
         )
+    if zout_on:
+        scalars.append(prepared["zrows"])
     if kb > 1:
+        if not zout_on:
+            features = features - {"zout"}
         kernel, _slots, n_scalars = _kernel_factory_k(T, k_stops, features, kb)
         if use_vout:
             grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1772,18 +1865,27 @@ def execute_items_fused(
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             )
         else:
+            scratch = [
+                pltpu.VMEM((RING, T, 4 * T), f32),
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SemaphoreType.DMA((RING,)),
+            ]
+            if zout_on:
+                # zero source tile + completion semaphore for the
+                # untouched-row fills
+                scratch += [
+                    pltpu.VMEM((T, 4 * T), f32),
+                    pltpu.SemaphoreType.DMA,
+                ]
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=n_scalars,
                 grid=(-(-n_real // kb),),
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec(memory_space=pl.ANY),
-                scratch_shapes=[
-                    pltpu.VMEM((RING, T, 4 * T), f32),
-                    pltpu.SMEM((2,), jnp.int32),
-                    pltpu.SemaphoreType.DMA((RING,)),
-                ],
+                scratch_shapes=scratch,
             )
     else:
+        features = features - {"zout"}
         kernel, _slots, n_scalars = _kernel_factory(T, k_stops, features)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_scalars,
@@ -1794,9 +1896,10 @@ def execute_items_fused(
         )
     assert n_scalars == len(scalars)
     # vout: no pad scratch row — the kernel predicates pad-item writes off
-    # (a post-kernel [:num_tiles] slice copied the whole canvas); the ring
-    # and v1 kernels keep the +1 row to absorb pad flushes
-    out_rows = num_tiles if use_vout else num_tiles + 1
+    # (a post-kernel [:num_tiles] slice copied the whole canvas); zout
+    # ring launches remap pads instead; other ring and v1 kernels keep
+    # the +1 row to absorb pad flushes
+    out_rows = num_tiles if (use_vout or zout_on) else num_tiles + 1
     canvas128 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1812,9 +1915,9 @@ def execute_items_fused(
         interpret=_interpret(),
     )(*scalars, *tensors)
 
-    if use_vout:
-        # the resident-canvas kernel zero-fills every row at step 0, so
-        # untouched tiles are already exact zeros — no membership pass
+    if use_vout or zout_on:
+        # vout zero-fills every row at step 0; zout ring launches DMA
+        # zeros into untouched rows — either way no membership pass
         canvas = canvas128
     else:
         # tiles no item touched hold garbage (their output block was never
@@ -1998,6 +2101,11 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
             <= vmem_budget()
         ):
             f.append("vout")
+        elif zout():
+            # ring path: zero untouched rows in-kernel and remap pads so
+            # the output needs neither the +1 scratch row nor the
+            # post-kernel membership select (two canvas HBM round trips)
+            f.append("zout")
     if (
         kvec()
         and "grad" not in f                  # in-kernel gradients: not yet

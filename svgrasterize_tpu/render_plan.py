@@ -1596,6 +1596,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         + ":" + os.environ.get("SVGR_KVEC", "")
         + ":" + os.environ.get("SVGR_VSTORE", "")
         + ":" + os.environ.get("SVGR_CHUNK_VOUT", "")
+        + ":" + os.environ.get("SVGR_ZOUT", "")
         # the prepared tex/mask scratch index is pool.shape[0]: the same
         # plan served with a tight (whole-program) vs pow2 (per-stage)
         # pool capacity must not share a cache entry
@@ -1669,6 +1670,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
                 if (patterns is not None and "pat" in features) else None,
                 features,
                 pool_rows=pool.shape[0] if pool is not None else 0,
+                num_tiles=num_tiles or 0,
             )
         if vout_chunks is not None:
             cache["chunks"] = vout_chunks
@@ -1851,6 +1853,7 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles, for_vout=False):
             chunk["prepared"] = prepare_fused_cached(
                 chunk["items"], t_size, chunk["bigs"], chunk["clips"],
                 None, features, pool_rows=len(pool_rows),
+                num_tiles=chunk_tiles,
             )
         chunks.append(chunk)
     if for_vout and next_t0 < num_tiles:
@@ -2040,7 +2043,7 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
                   "SVGR_PREPARED", "SVGR_PREGATHER", "SVGR_SOLID_SKIP",
                   "SVGR_SGUARD", "SVGR_PREGRAD", "SVGR_ABLATE",
                   "SVGR_FUSED_UNROLL", "SVGR_PRETEX", "SVGR_KVEC",
-                  "SVGR_VSTORE", "SVGR_CHUNK_VOUT")
+                  "SVGR_VSTORE", "SVGR_CHUNK_VOUT", "SVGR_ZOUT")
     )
     key = (tuple(viewport), bool(linear_rgb), t_size, mode)
     cached = lowered.items.get("_whole_program")
