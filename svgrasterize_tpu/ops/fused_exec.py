@@ -203,6 +203,16 @@ def pretex() -> bool:
     return os.environ.get("SVGR_PRETEX", "1") != "0"
 
 
+def kres() -> bool:
+    """Allow the "kres" feature: kvec with a VMEM-resident pool.
+
+    Sparse tex/mask launches (pool share < the pretex threshold) used to
+    fall back to the fully serial kernel; kres keeps phase 1 (winding,
+    coverage, paint) vectorized across the K block and does only the
+    pool row reads + blends per item in phase 2.  SVGR_KRES=0 disables."""
+    return os.environ.get("SVGR_KRES", "1") != "0"
+
+
 def zout() -> bool:
     """Allow the "zout" feature: in-kernel zeroing of untouched canvas
     rows on ring-path (canvas-over-VMEM) launches.
@@ -842,15 +852,21 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
     has_tex = "tex" in features
     has_mask = "mask" in features
     has_zout = "zout" in features and not vout
+    kres_on = "kres" in features  # resident pool, per-item phase-2 blends
 
-    s_slots = {"tile": 0, "smax": 1}
+    s_slots = {"tile": 0}
+    if kres_on and has_tex:
+        s_slots["tex"] = len(s_slots)
+    if kres_on and has_mask:
+        s_slots["mask"] = len(s_slots)
+    s_slots["smax"] = len(s_slots)
     if has_zout:
-        s_slots["zrows"] = 2
+        s_slots["zrows"] = len(s_slots)
     n_scalars = len(s_slots)
 
     def kernel(*refs):
-        tile_ref = refs[0]
-        smax_ref = refs[1]
+        tile_ref = refs[s_slots["tile"]]
+        smax_ref = refs[s_slots["smax"]]
         it = iter(refs[n_scalars:])
         edges_ref = next(it)          # (P, K, 8, 128) pass-major
         if not wpack:
@@ -858,15 +874,19 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
         _iparams_ref = next(it)       # (K, 1, 8) SMEM (phase-1 needs none)
         _fparams_ref = next(it)       # (K, 1, 24) SMEM
         color_ref = next(it)          # (K, 1, 4T)
-        vpar_ref = next(it)           # (K, 4, 128): op, rule, texf, maskf
+        vpar_ref = next(it)           # (K, 5, 128): op, rule, texf, maskf, same
         if pre_grad:
             grad_ref = next(it)       # (K, T, 4T)
         if wpack:
             wind_ref = next(it)       # (K, T, 128)
-        if has_tex:
-            tex_ref = next(it)        # (K, T, 4T) streamed pool rows
-        if has_mask:
-            msk_ref = next(it)
+        if kres_on:
+            if has_tex or has_mask:
+                pool_ref = next(it)   # (P+1, T, 4T) VMEM-resident pool
+        else:
+            if has_tex:
+                tex_ref = next(it)    # (K, T, 4T) streamed pool rows
+            if has_mask:
+                msk_ref = next(it)
         out_ref = next(it)            # vout: (num_tiles, T, 4T) VMEM
         if not vout:                  # else HBM + manual ring DMA
             ring = next(it)           # (RING, T, 4T) VMEM scratch
@@ -961,24 +981,50 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
             paint = jnp.broadcast_to(
                 color_ref[...].reshape(K, 1, 4 * T), (K, T, 4 * T)
             )
-        if has_tex:
-            texf = lanes4(vpar_ref[:, 2:3, :])     # (K, 1, 4T) in {0,1}
-            paint = paint * (1.0 - texf) + tex_ref[...] * texf
-        if has_mask:
-            mb = msk_ref[...]
-            lum_tt = (
-                mb[:, :, 0:T] * 0.2125
-                + mb[:, :, T : 2 * T] * 0.7154
-                + mb[:, :, 2 * T : 3 * T] * 0.072
-            )
-            lum = jnp.concatenate([lum_tt] * 4, axis=2)
-            maskf = lanes4(vpar_ref[:, 3:4, :])
-            mask128 = mask128 * (lum * maskf + (1.0 - maskf))
+        if not kres_on:
+            if has_tex:
+                texf = lanes4(vpar_ref[:, 2:3, :])  # (K, 1, 4T) in {0,1}
+                paint = paint * (1.0 - texf) + tex_ref[...] * texf
+            if has_mask:
+                mb = msk_ref[...]
+                lum_tt = (
+                    mb[:, :, 0:T] * 0.2125
+                    + mb[:, :, T : 2 * T] * 0.7154
+                    + mb[:, :, 2 * T : 3 * T] * 0.072
+                )
+                lum = jnp.concatenate([lum_tt] * 4, axis=2)
+                maskf = lanes4(vpar_ref[:, 3:4, :])
+                mask128 = mask128 * (lum * maskf + (1.0 - maskf))
 
-        rgba_all = mask128 * paint                 # (K, T, 4T)
+            rgba_all = mask128 * paint             # (K, T, 4T)
 
         # ---- phase 2: serial tile-run compose (static unroll) ---------
         def rgba_k(kq):
+            if kres_on:
+                # resident-pool blends per item: same formulas as the
+                # streamed (K,.) blends above, sliced to this item —
+                # only the dynamic pool row reads stay on the per-item
+                # path (sparse launches; most items skip via {0,1} flags)
+                i = s * K + kq
+                p = paint[kq]
+                if has_tex:
+                    texf = lanes4(vpar_ref[kq : kq + 1, 2:3, :])[0]
+                    p = p * (1.0 - texf) + (
+                        pool_ref[refs[s_slots["tex"]][i]] * texf
+                    )
+                m = mask128[kq]
+                if has_mask:
+                    mb = pool_ref[refs[s_slots["mask"]][i]]  # (T, 4T)
+                    lum_tt = (
+                        mb[:, 0:T] * 0.2125
+                        + mb[:, T : 2 * T] * 0.7154
+                        + mb[:, 2 * T : 3 * T] * 0.072
+                    )
+                    lum = jnp.concatenate([lum_tt] * 4, axis=1)
+                    maskf = lanes4(vpar_ref[kq : kq + 1, 3:4, :])[0]
+                    m = m * (lum * maskf + (1.0 - maskf))
+                r = m * p
+                return r, pltpu.repeat(r[:, 3 * T : 4 * T], 4, axis=1)
             r = rgba_all[kq]                       # static slice (T, 4T)
             return r, pltpu.repeat(r[:, 3 * T : 4 * T], 4, axis=1)
 
@@ -1003,10 +1049,28 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
                 # writer of a run wins, so no conditional writes and no
                 # scalar-cond selects remain on the per-item path.  tile
                 # ids arrive via the pad-remapped "tile_store" prefetch,
-                # so every store lands inside the canvas.  The whole
-                # carry factor (1-alpha)*same is one K-block op, leaving
-                # a mul+add+store tail per item ({0,1} blends and x*1.0
-                # are bit-exact, so this equals the branchy tail).
+                # so every store lands inside the canvas.
+                if kres_on:
+                    # per-item rgba (pool blends); carry factor per item
+                    def fac(kq, alpha):
+                        same = lanes4(vpar_ref[kq : kq + 1, 4:5, :])[0]
+                        return (1.0 - alpha) * same
+
+                    tile = tile_ref[i0]
+                    rgba, alpha = rgba_k(0)
+                    acc = rgba + out_ref[tile] * fac(0, alpha)
+                    out_ref[tile] = acc
+                    for kq in range(1, K):
+                        tile = tile_ref[i0 + kq]
+                        rgba, alpha = rgba_k(kq)
+                        acc = rgba + acc * fac(kq, alpha)
+                        out_ref[tile] = acc
+                    return
+
+                # the whole carry factor (1-alpha)*same is one K-block
+                # op, leaving a mul+add+store tail per item ({0,1}
+                # blends and x*1.0 are bit-exact, so this equals the
+                # branchy tail)
                 alpha_all = jnp.concatenate(
                     [rgba_all[:, :, 3 * T : 4 * T]] * 4, axis=2
                 )                                      # (K, T, 4T)
@@ -1718,7 +1782,7 @@ def execute_items_fused(
         # degenerate launch (n not divisible by any K): the v1 kernel
         # wants the classic item-major layout back
         edges = edges.transpose(1, 0, 2, 3)
-        features = features - {"kvec"}
+        features = features - {"kvec", "kres"}
 
     wpack = "wpack" in features
     vstore_on = (
@@ -2111,10 +2175,18 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
         and "grad" not in f                  # in-kernel gradients: not yet
         and "pat" not in f                   # resident atlas scalar rows
         and ("wpack" in f or ("big" not in f and "clip" not in f))
-        and ("pretex" in f or ("tex" not in f and "mask" not in f))
     ):
-        f.append("kvec")
-        if "vout" in f and vstore():
+        if "pretex" not in f and ("tex" in f or "mask" in f):
+            # sparse pool use: keep the pool VMEM-resident and do the
+            # per-item pool blends in phase 2 ("kres") — phase 1 still
+            # vectorizes winding/coverage/paint across the K block.
+            # (Streaming the whole pool per item, pretex, was measured a
+            # regression at share 0.22: ~74 MB/frame of gather traffic.)
+            if kres():
+                f.extend(["kvec", "kres"])
+        else:
+            f.append("kvec")
+        if "kvec" in f and "vout" in f and vstore():
             f.append("vstore")
     return frozenset(f)
 

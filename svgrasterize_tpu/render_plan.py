@@ -1597,6 +1597,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         + ":" + os.environ.get("SVGR_VSTORE", "")
         + ":" + os.environ.get("SVGR_CHUNK_VOUT", "")
         + ":" + os.environ.get("SVGR_ZOUT", "")
+        + ":" + os.environ.get("SVGR_KRES", "")
         # the prepared tex/mask scratch index is pool.shape[0]: the same
         # plan served with a tight (whole-program) vs pow2 (per-stage)
         # pool capacity must not share a cache entry
@@ -2043,7 +2044,8 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
                   "SVGR_PREPARED", "SVGR_PREGATHER", "SVGR_SOLID_SKIP",
                   "SVGR_SGUARD", "SVGR_PREGRAD", "SVGR_ABLATE",
                   "SVGR_FUSED_UNROLL", "SVGR_PRETEX", "SVGR_KVEC",
-                  "SVGR_VSTORE", "SVGR_CHUNK_VOUT", "SVGR_ZOUT")
+                  "SVGR_VSTORE", "SVGR_CHUNK_VOUT", "SVGR_ZOUT",
+                  "SVGR_KRES")
     )
     key = (tuple(viewport), bool(linear_rgb), t_size, mode)
     cached = lowered.items.get("_whole_program")
