@@ -1,0 +1,85 @@
+"""Randomized fused-executor equivalence sweep (slow lane).
+
+test_fuzz_parity anchors the INTERPRETER to the reference; this sweep
+anchors the fused Pallas executor (interpret mode) to the XLA executor on
+random documents, across the kernel feature axes the curated fused tests
+hit only pointwise: vstore (branch-free vout compose), zout (ring path
+with in-kernel zero fill), kres (resident-pool phase-2 blends), and the
+serial kernels with every one of them disabled.  Reuses the fuzz
+generators of test_fuzz_parity so the documents mix gradients, strokes,
+masks, group opacity, and clips.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import test_fuzz_parity as F
+from svgrasterize_tpu import scene_from_str
+from svgrasterize_tpu.core.transform import Transform
+import svgrasterize_tpu.render_plan as rp
+
+TR = Transform().matrix(0, 1, 0, 1, 0, 0)
+
+# (env overrides, expected feature present, expected feature absent)
+MODES = [
+    ({}, None, None),  # defaults: vout+vstore on small canvases
+    ({"SVGR_FUSED_VOUT": "0"}, "zout", "vout"),  # ring + zout
+    ({"SVGR_FUSED_VOUT": "0", "SVGR_ZOUT": "0"}, None, "vout"),  # plain ring
+    ({"SVGR_VSTORE": "0"}, None, "vstore"),  # branchy vout tail
+    ({"SVGR_KVEC": "0"}, None, "kvec"),  # serial kernels
+    ({"SVGR_PRETEX": "0"}, None, "pretex"),  # kres where tex/mask appear
+]
+
+N = int(os.environ.get("SVGR_FUZZ_SWEEP", "3"))
+
+
+def _docs(base: int, count: int):
+    rng = np.random.default_rng(0)
+    for seed in range(base, base + count):
+        rng = np.random.default_rng(seed)
+        yield F._random_doc(rng)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("overrides,want,veto", MODES,
+                         ids=lambda v: str(v)[:40])
+def test_fused_random_docs_match_xla(overrides, want, veto):
+    prev = {k: os.environ.get(k)
+            for k in ("SVGR_FUSED", "SVGR_FUSED_VOUT", "SVGR_ZOUT",
+                      "SVGR_VSTORE", "SVGR_KVEC", "SVGR_PRETEX")}
+    seen_want = False
+    try:
+        for doc in _docs(7000, N):
+            scene, _ids, size = scene_from_str(doc)
+            if scene is None:
+                continue
+            w, h = int(size[0]), int(size[1])
+            viewport = (0, 0, h, w)
+            lowered = rp.lower_scene(scene, TR, viewport, False, tile=32)
+            if lowered is None:
+                continue
+            os.environ["SVGR_FUSED"] = "0"
+            for k in ("SVGR_FUSED_VOUT", "SVGR_ZOUT", "SVGR_VSTORE",
+                      "SVGR_KVEC", "SVGR_PRETEX"):
+                os.environ.pop(k, None)
+            ref = np.asarray(rp.execute_lowered(lowered, (0, 0), False))
+            os.environ["SVGR_FUSED"] = "interp"
+            os.environ.update(overrides)
+            got = np.asarray(rp.execute_lowered(lowered, (0, 0), False))
+            feats = lowered.items["_device_cache"]["features"]
+            if feats is not None:
+                if want is not None and want in feats:
+                    seen_want = True
+                if veto is not None:
+                    assert veto not in feats, (veto, feats)
+            err = np.abs(ref - got).max()
+            assert err <= 2e-5, (err, sorted(map(str, feats or [])), doc[:160])
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    del seen_want  # feature presence varies per doc; the veto is the gate
