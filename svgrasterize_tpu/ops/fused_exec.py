@@ -874,7 +874,8 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
         _iparams_ref = next(it)       # (K, 1, 8) SMEM (phase-1 needs none)
         _fparams_ref = next(it)       # (K, 1, 24) SMEM
         color_ref = next(it)          # (K, 1, 4T)
-        vpar_ref = next(it)           # (K, 5, 128): op, rule, texf, maskf, same
+        vpar_ref = next(it)           # (K, 8, 128): op, rule, texf, maskf,
+        #                               same, 3 sublane-padding rows
         if pre_grad:
             grad_ref = next(it)       # (K, T, 4T)
         if wpack:
@@ -1592,12 +1593,20 @@ def prepare_fused(
                 (items["tex_idx"].astype(jnp.int32) >= 0).astype(f32),
                 (items["mask_idx"].astype(jnp.int32) >= 0).astype(f32),
                 same.astype(f32),
+                jnp.zeros((n,), f32),  # rows 5-7: sublane padding so one
+                jnp.zeros((n,), f32),  # item = exactly one (8, 128) tile
+                jnp.zeros((n,), f32),
             ],
             axis=-1,
-        )  # (N, 5)
+        )  # (N, 8)
+        # committed as 2D (N*8, 128): a 2D array has only one possible
+        # layout, so the launch program's reshape back to (N, 8, 128) is
+        # a tile-aligned bitcast.  Committing the 3D form let the prep
+        # jit pick {2,0,1}, which cost a whole-array layout copy at every
+        # serve call (22 us on icons' main program alone).
         prepared["vpar"] = jnp.broadcast_to(
-            vrows[:, :, None], (n, 5, LANES)
-        )
+            vrows[:, :, None], (n, 8, LANES)
+        ).reshape(n * 8, LANES)
     if not wpack:
         prepared["carries"] = carries
 
@@ -1814,7 +1823,7 @@ def execute_items_fused(
         pl.BlockSpec((kb, 1, 4 * T), lambda i, *s: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     if kvec_on:
-        vpar = prepared["vpar"]
+        vpar = prepared["vpar"].reshape(-1, 8, LANES)  # bitcast (see prep)
         tensors.append(vpar)
         in_specs.append(pl.BlockSpec((kb, vpar.shape[1], LANES),
                                      lambda i, *s: (i, 0, 0),
