@@ -273,12 +273,14 @@ def _build_chunk(group, grid_w: int, t_size: int, chain_linear: bool) -> dict:
     }
 
 
-def _planar_convert(x, to_straight: bool, gamma: str | None):
-    """Layer.convert math on channel-planar (B, 4, H, W) batches; the
-    same piecewise formulas as core.color, with channels on axis 1."""
+def _planar_convert(x, to_straight: bool, gamma: str | None, axis: int = 1):
+    """Layer.convert math on channel-planar batches; the same piecewise
+    formulas as core.color, with channels on `axis` (4 entries)."""
     import jax.numpy as jnp
+    from jax import lax
 
-    rgb, alpha = x[:, :3], x[:, 3:]
+    rgb = lax.slice_in_dim(x, 0, 3, axis=axis)
+    alpha = lax.slice_in_dim(x, 3, 4, axis=axis)
     if to_straight:
         safe = jnp.where(alpha > 0.0001, alpha, 1.0)
         rgb = jnp.where(alpha > 0.0001, rgb / safe, rgb)
@@ -298,7 +300,61 @@ def _planar_convert(x, to_straight: bool, gamma: str | None):
         )
     if not to_straight:  # straight -> premultiplied
         rgb = rgb * alpha
-    return jnp.concatenate([rgb, alpha], axis=1)
+    return jnp.concatenate([rgb, alpha], axis=axis)
+
+
+def _apply_chunk_folded(rows, ck: dict, t_size: int, linear_rgb: bool):
+    """apply_chunk's math with the tiled->image de-interleave folded into
+    the band matmuls (SVGR_CHUNK_FOLD experiment).
+
+    Instead of materializing channel-planar (B, 4, H, W) images, the
+    gathered rows stay in their tiled (B, NSi, NSj, Tr, c, Tc) form and
+    the band operators contract (tile-index, in-tile) axis PAIRS —
+    dot_general normalization then decides the relayout, which it can
+    fuse into the matmul's operand reads instead of paying separate
+    reshape/transpose copies (the per-call op chain those cost on
+    icons.svg was ~2x the matmuls themselves).  Same taps, HIGHEST
+    precision, same reduction elements as the image-form pair.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    T = t_size
+    B, NSi, NSj, NOi, NOj = ck["B"], ck["NSi"], ck["NSj"], ck["NOi"], ck["NOj"]
+    hi = jax.lax.Precision.HIGHEST
+
+    span = rows.reshape(B, NSi, NSj, T, 4, T)  # (b, si, sj, sr, c, sc)
+    amask = jnp.asarray([0.0, 0.0, 0.0, 1.0], span.dtype)
+    span = jnp.where(
+        ck["src_alpha"][:, None, None, None, None, None],
+        span * amask[:, None],
+        span,
+    )
+    chain_linear = ck["chain_linear"]
+    gamma_in = gamma_out = None
+    if chain_linear != linear_rgb:
+        gamma_in = "to_linear" if chain_linear else "to_srgb"
+        gamma_out = "to_srgb" if chain_linear else "to_linear"
+    span = _planar_convert(span, to_straight=True, gamma=gamma_in, axis=4)
+
+    bh6 = jnp.asarray(ck["bh"]).reshape(B, NOi, T, NSi, T)
+    bw6 = jnp.asarray(ck["bw"]).reshape(B, NOj, T, NSj, T)
+    z = jax.lax.dot_general(  # -> (b, oi, or, sj, c, sc)
+        bh6, span,
+        dimension_numbers=(((3, 4), (1, 3)), ((0,), (0,))),
+        precision=hi,
+    )
+    out = jax.lax.dot_general(  # -> (b, oj, oc, oi, or, c)
+        bw6, z,
+        dimension_numbers=(((3, 4), (3, 5)), ((0,), (0,))),
+        precision=hi,
+    )
+    out = _planar_convert(out, to_straight=False, gamma=gamma_out, axis=5)
+    tiles = (
+        out.transpose(0, 3, 1, 4, 5, 2)  # (b, oi, oj, or, c, oc)
+        .reshape(B * NOi * NOj, T, 4 * T)
+    )
+    return tiles[jnp.asarray(ck["out_idx"])]
 
 
 def apply_chunk(canvas, ck: dict, t_size: int, linear_rgb: bool,
@@ -327,6 +383,9 @@ def apply_chunk(canvas, ck: dict, t_size: int, linear_rgb: bool,
     rows = jnp.concatenate([canvas, pad_row], axis=0)[
         jnp.asarray(np.where(ck["lut"] < 0, sent, ck["lut"]))
     ]  # (B, S, T, T, 4) or planar (B, S, T, 4T)
+
+    if planar and os.environ.get("SVGR_CHUNK_FOLD", "0") != "0":
+        return _apply_chunk_folded(rows, ck, t_size, linear_rgb)
     if planar:
         span = (
             rows.reshape(B, NSi, NSj, T, 4, T)

@@ -860,6 +860,11 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
     if kres_on and has_mask:
         s_slots["mask"] = len(s_slots)
     s_slots["smax"] = len(s_slots)
+    if kres_on and (has_tex or has_mask) and vout:
+        # per-step pool flag: steps whose K items are all pool-free (the
+        # common case on sparse tex/mask launches) take a pure K-block
+        # compose tail — no per-item pool row reads, no per-item blends
+        s_slots["pmax"] = len(s_slots)
     if has_zout:
         s_slots["zrows"] = len(s_slots)
     n_scalars = len(s_slots)
@@ -867,6 +872,7 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
     def kernel(*refs):
         tile_ref = refs[s_slots["tile"]]
         smax_ref = refs[s_slots["smax"]]
+        pmax_ref = refs[s_slots["pmax"]] if "pmax" in s_slots else None
         it = iter(refs[n_scalars:])
         edges_ref = next(it)          # (P, K, 8, 128) pass-major
         if not wpack:
@@ -1057,15 +1063,40 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
                         same = lanes4(vpar_ref[kq : kq + 1, 4:5, :])[0]
                         return (1.0 - alpha) * same
 
-                    tile = tile_ref[i0]
-                    rgba, alpha = rgba_k(0)
-                    acc = rgba + out_ref[tile] * fac(0, alpha)
-                    out_ref[tile] = acc
-                    for kq in range(1, K):
-                        tile = tile_ref[i0 + kq]
-                        rgba, alpha = rgba_k(kq)
-                        acc = rgba + acc * fac(kq, alpha)
+                    @pl.when(pmax_ref[s] > 0)
+                    def _pool_tail():
+                        tile = tile_ref[i0]
+                        rgba, alpha = rgba_k(0)
+                        acc = rgba + out_ref[tile] * fac(0, alpha)
                         out_ref[tile] = acc
+                        for kq in range(1, K):
+                            tile = tile_ref[i0 + kq]
+                            rgba, alpha = rgba_k(kq)
+                            acc = rgba + acc * fac(kq, alpha)
+                            out_ref[tile] = acc
+
+                    @pl.when(pmax_ref[s] == 0)
+                    def _fast_tail():
+                        # all K items pool-free: their tex/mask flags are
+                        # 0, so the per-item pool blends are exact
+                        # identities (x*1 + row*0 == x for finite rows)
+                        # and the whole tail collapses to the K-block
+                        # form below
+                        rgba_nt = mask128 * paint          # (K, T, 4T)
+                        alpha_nt = jnp.concatenate(
+                            [rgba_nt[:, :, 3 * T : 4 * T]] * 4, axis=2
+                        )
+                        fac_nt = (1.0 - alpha_nt) * lanes4(
+                            vpar_ref[:, 4:5, :]
+                        )
+                        tile = tile_ref[i0]
+                        acc = rgba_nt[0] + out_ref[tile] * fac_nt[0]
+                        out_ref[tile] = acc
+                        for kq in range(1, K):
+                            tile = tile_ref[i0 + kq]
+                            acc = rgba_nt[kq] + acc * fac_nt[kq]
+                            out_ref[tile] = acc
+
                     return
 
                 # the whole carry factor (1-alpha)*same is one K-block
@@ -1922,6 +1953,23 @@ def execute_items_fused(
             passes[: grid_n * kb].reshape(grid_n, kb)
             .max(axis=1).astype(jnp.int32)
         )
+        if ("kres" in features and use_vout
+                and ("tex" in features or "mask" in features)):
+            # per-step pool flag (mirrors the factory's "pmax" slot):
+            # rows below the scratch index are real pool references
+            scratch = pool.shape[0] - (1 if pool.ndim == 3 else 0)
+            flag = jnp.zeros(n, jnp.int32)
+            if "tex" in features:
+                flag = flag | (prepared["tex_rows"] < scratch).astype(
+                    jnp.int32
+                )
+            if "mask" in features:
+                flag = flag | (prepared["mask_rows"] < scratch).astype(
+                    jnp.int32
+                )
+            scalars.append(
+                flag[: grid_n * kb].reshape(grid_n, kb).max(axis=1)
+            )
     if zout_on:
         scalars.append(prepared["zrows"])
     if kb > 1:
