@@ -78,3 +78,57 @@ def test_mixed_chains_partition():
     got, n1 = _render(MIXED, batch=True)
     assert n1 == 2, n1
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_folded_chunk_matches_default():
+    """SVGR_CHUNK_FOLD (band matmuls contracting tiled axis pairs) must
+    reproduce the image-form chunk math to float rounding."""
+    import jax
+    import jax.numpy as jnp
+
+    from svgrasterize_tpu.ops import filter_batch as fb
+
+    rng = np.random.default_rng(7)
+    T = 32
+    B, NSi, NSj, NOi, NOj = 3, 2, 3, 3, 2
+    n_rows = 20
+    canvas = jnp.asarray(rng.random((n_rows, T, 4 * T)), jnp.float32)
+    lut = rng.integers(-1, n_rows, (B, NSi * NSj)).astype(np.int32)
+    out_idx = []
+    for b in range(B):
+        for _ in range(2):
+            di, dj = rng.integers(0, NOi), rng.integers(0, NOj)
+            out_idx.append((b * NOi + di) * NOj + dj)
+    u = rng.random(5)
+    u /= u.sum()
+    v = rng.random(3)
+    v /= v.sum()
+    ck = {
+        "B": B, "NSi": NSi, "NSj": NSj, "NOi": NOi, "NOj": NOj,
+        "chain_linear": True, "lut": lut,
+        "bh": np.stack(
+            [fb._band(u, 40, 3, -2, NOi * T, NSi * T) for _ in range(B)]
+        ).astype(np.float32),
+        "bw": np.stack(
+            [fb._band(v, 70, 5, 1, NOj * T, NSj * T) for _ in range(B)]
+        ).astype(np.float32),
+        "src_alpha": np.array([True, False, False]),
+        "out_idx": np.array(out_idx, np.int32),
+        "pool_idx": list(range(len(out_idx))),
+    }
+    prev = os.environ.get("SVGR_CHUNK_FOLD")
+    try:
+        os.environ["SVGR_CHUNK_FOLD"] = "0"
+        ref = jax.jit(
+            lambda c: fb.apply_chunk(c, ck, T, False, planar=True)
+        )(canvas)
+        os.environ["SVGR_CHUNK_FOLD"] = "1"
+        got = jax.jit(
+            lambda c: fb.apply_chunk(c, ck, T, False, planar=True)
+        )(canvas)
+    finally:
+        if prev is None:
+            os.environ.pop("SVGR_CHUNK_FOLD", None)
+        else:
+            os.environ["SVGR_CHUNK_FOLD"] = prev
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
