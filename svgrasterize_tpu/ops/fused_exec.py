@@ -2280,8 +2280,20 @@ def kvec_cluster(items, num_tiles: int, t_size: int):
     np.maximum.at(tmax, tid[:n_real], passes[:n_real])
     key[:n_real] = tmax[tid[:n_real]]
     key[n_real:] = 1 << 40
-    # primary: run pass class; then tile id; then original index (z order)
-    perm = np.lexsort((np.arange(n), tid, key))
+    # secondary: run pool-ness — clustering pool-referencing runs into as
+    # few K-steps as possible lets the kres per-step gate ("pmax") route
+    # the remaining steps through the pool-free K-block compose tail
+    pool = (
+        (np.asarray(items["tex_idx"]) >= 0)
+        | (np.asarray(items["mask_idx"]) >= 0)
+    ).astype(np.int64)
+    pkey = np.zeros(n, np.int64)
+    pmax = np.zeros(num_tiles + 1, np.int64)
+    np.maximum.at(pmax, tid[:n_real], pool[:n_real])
+    pkey[:n_real] = pmax[tid[:n_real]]
+    # primary: run pass class; then pool-ness; then tile id; then
+    # original index (z order within a tile is kept)
+    perm = np.lexsort((np.arange(n), tid, pkey, key))
     if (perm == np.arange(n)).all():
         return None
     return perm
