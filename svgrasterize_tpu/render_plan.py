@@ -1598,6 +1598,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         + ":" + os.environ.get("SVGR_CHUNK_VOUT", "")
         + ":" + os.environ.get("SVGR_ZOUT", "")
         + ":" + os.environ.get("SVGR_KRES", "")
+        + ":" + os.environ.get("SVGR_SUBPOOL", "")
         # the prepared tex/mask scratch index is pool.shape[0]: the same
         # plan served with a tight (whole-program) vs pow2 (per-stage)
         # pool capacity must not share a cache entry
@@ -1644,6 +1645,35 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
                     k: (v[perm] if getattr(v, "shape", ())[:1] == (n,) else v)
                     for k, v in host.items()
                 }
+        pool_sub = None
+        if (
+            features is not None
+            and os.environ.get("SVGR_SUBPOOL", "0") == "1"
+            and "pretex" not in features
+            and ("tex" in features or "mask" in features)
+        ):
+            # launch-local pool (same scheme as _chunk_fused_plan): the
+            # kernel's resident operand becomes a gather of just the rows
+            # this launch references, so the full pool buffer is no
+            # longer a kernel input and XLA may update the per-level
+            # pool DUS in place instead of copying the whole pool.
+            # NOTE: only the default/serving executors apply the gather;
+            # parallel/scene's sharded exec passes the full pool and must
+            # not see remapped indices (SVGR_SUBPOOL stays opt-in).
+            ti = np.asarray(host["tex_idx"])
+            mi = np.asarray(host["mask_idx"])
+            rows = np.unique(np.concatenate([ti[ti >= 0], mi[mi >= 0]]))
+            if len(rows):
+                lut = np.full(int(rows.max()) + 1, -1, np.int32)
+                lut[rows] = np.arange(len(rows), dtype=np.int32)
+                host = dict(host)
+                host["tex_idx"] = np.where(
+                    ti >= 0, lut[np.maximum(ti, 0)], ti
+                ).astype(ti.dtype)
+                host["mask_idx"] = np.where(
+                    mi >= 0, lut[np.maximum(mi, 0)], mi
+                ).astype(mi.dtype)
+                pool_sub = jnp.asarray(rows.astype(np.int32))
         dev = {k: jnp.asarray(v) for k, v in host.items()}
         if features is not None and "pat" in features:
             from .ops.fused_exec import pattern_rows
@@ -1657,6 +1687,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
             "bigs": tuple(jnp.asarray(b) for b in bigs),
             "clips": jnp.asarray(clips) if clips.shape[0] else None,
             "features": features,
+            "pool_rows": pool_sub,
         }
         if features is not None and os.environ.get("SVGR_PREPARED") != "0":
             # scene-static fused prep (lane-broadcast winding params +
@@ -1670,7 +1701,10 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
                 jnp.asarray(patterns)
                 if (patterns is not None and "pat" in features) else None,
                 features,
-                pool_rows=pool.shape[0] if pool is not None else 0,
+                pool_rows=(
+                    int(pool_sub.shape[0]) if pool_sub is not None
+                    else pool.shape[0] if pool is not None else 0
+                ),
                 num_tiles=num_tiles or 0,
             )
         if vout_chunks is not None:
@@ -1912,6 +1946,15 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
             for ch in chunks if "zero_rows" not in ch
         ]
         return prog(chunk_ops, pool)
+    if (
+        pool is not None and cache.get("pool_rows") is not None
+        and cache["features"] is not None
+    ):
+        # launch-local pool (indices in cache["items"] are remapped)
+        pool = (
+            jnp.concatenate([pool[cache["pool_rows"]], pool[-1:]], axis=0)
+            if pool.ndim == 3 else pool[cache["pool_rows"]]
+        )
     return batch_exec.execute_plan(
         cache["items"],
         t_size,
@@ -2109,6 +2152,12 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
                 ))
             return jnp.concatenate(parts, axis=0)
         if cache["features"] is not None:
+            if pool is not None and cache.get("pool_rows") is not None:
+                # launch-local pool: referenced rows + the scratch row
+                # (frees the full pool buffer for in-place level updates)
+                pool = jnp.concatenate(
+                    [pool[cache["pool_rows"]], pool[-1:]], axis=0
+                )
             return execute_items_fused(
                 ops["items"], t_size, rows, cache["bigs"], pool, patterns,
                 cache["clips"], cache["features"], prepared=ops["prepared"],
