@@ -30,6 +30,8 @@ MODES = [
     ({"SVGR_VSTORE": "0"}, None, "vstore"),  # branchy vout tail
     ({"SVGR_KVEC": "0"}, None, "kvec"),  # serial kernels
     ({"SVGR_PRETEX": "0"}, None, "pretex"),  # kres where tex/mask appear
+    # launch-local pool gather (remapped tex/mask rows + in-place DUS)
+    ({"SVGR_PRETEX": "0", "SVGR_SUBPOOL": "1"}, None, "pretex"),
 ]
 
 N = int(os.environ.get("SVGR_FUZZ_SWEEP", "3"))
@@ -48,7 +50,8 @@ def _docs(base: int, count: int):
 def test_fused_random_docs_match_xla(overrides, want, veto):
     prev = {k: os.environ.get(k)
             for k in ("SVGR_FUSED", "SVGR_FUSED_VOUT", "SVGR_ZOUT",
-                      "SVGR_VSTORE", "SVGR_KVEC", "SVGR_PRETEX")}
+                      "SVGR_VSTORE", "SVGR_KVEC", "SVGR_PRETEX",
+                      "SVGR_SUBPOOL")}
     seen_want = False
     try:
         for doc in _docs(7000, N):
@@ -62,7 +65,7 @@ def test_fused_random_docs_match_xla(overrides, want, veto):
                 continue
             os.environ["SVGR_FUSED"] = "0"
             for k in ("SVGR_FUSED_VOUT", "SVGR_ZOUT", "SVGR_VSTORE",
-                      "SVGR_KVEC", "SVGR_PRETEX"):
+                      "SVGR_KVEC", "SVGR_PRETEX", "SVGR_SUBPOOL"):
                 os.environ.pop(k, None)
             ref = np.asarray(rp.execute_lowered(lowered, (0, 0), False))
             os.environ["SVGR_FUSED"] = "interp"
