@@ -129,7 +129,8 @@ def prepass_k() -> int:
 
 def _ablate() -> str:
     """Measurement hook: skip kernel stages to attribute frame time.
-    '' (off) | 'stub' | 'nowind' | 'nocov'."""
+    '' (off) | 'stub' | 'nowind' | 'nocov' | 'nochain' (kvec: break the
+    phase-2 compose dependency chain, keep every store)."""
     return os.environ.get("SVGR_ABLATE", "")
 
 
@@ -945,7 +946,9 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
             )
 
         accs = tuple(jnp.zeros((K, 8, LANES), f32) for _ in range(B))
-        accs = jax.lax.fori_loop(0, smax_ref[s], body, accs)
+        ablate = _ablate()
+        if ablate not in ("nowind", "stub"):
+            accs = jax.lax.fori_loop(0, smax_ref[s], body, accs)
 
         def foldg(a):                              # (K, 8, 128) -> (K, 8, T)
             w = a[:, :, 0:T]
@@ -1004,6 +1007,10 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
                 mask128 = mask128 * (lum * maskf + (1.0 - maskf))
 
             rgba_all = mask128 * paint             # (K, T, 4T)
+            if ablate == "stub":
+                # phase-2-only measurement: constant item tiles, phase 1
+                # (winding/coverage/paint) dropped entirely
+                rgba_all = jnp.full((K, T, 4 * T), 0.25, f32)
 
         # ---- phase 2: serial tile-run compose (static unroll) ---------
         def rgba_k(kq):
@@ -1112,6 +1119,12 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
                 prev = out_ref[tile]
                 acc = rgba_all[0] + prev * fac_all[0]
                 out_ref[tile] = acc
+                if ablate == "nochain":
+                    # dependency-chain measurement: same stores, but each
+                    # item's value is independent (WRONG output)
+                    for kq in range(1, K):
+                        out_ref[tile_ref[i0 + kq]] = rgba_all[kq]
+                    return
                 for kq in range(1, K):
                     tile = tile_ref[i0 + kq]
                     acc = rgba_all[kq] + acc * fac_all[kq]

@@ -2088,7 +2088,7 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
                   "SVGR_SGUARD", "SVGR_PREGRAD", "SVGR_ABLATE",
                   "SVGR_FUSED_UNROLL", "SVGR_PRETEX", "SVGR_KVEC",
                   "SVGR_VSTORE", "SVGR_CHUNK_VOUT", "SVGR_ZOUT",
-                  "SVGR_KRES")
+                  "SVGR_KRES", "SVGR_SUBPOOL", "SVGR_CHUNK_FOLD")
     )
     key = (tuple(viewport), bool(linear_rgb), t_size, mode)
     cached = lowered.items.get("_whole_program")
