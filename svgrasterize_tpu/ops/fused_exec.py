@@ -244,6 +244,23 @@ def vstore() -> bool:
     return os.environ.get("SVGR_VSTORE", "1") != "0"
 
 
+def kscan() -> bool:
+    """Compose the vstore tail with a log2(K) Kogge-Stone scan instead of
+    the serial per-item chain (SVGR_KSCAN=1, default off pending device
+    A/B).
+
+    The vstore recurrence acc_k = rgba_k + fac_k * acc_{k-1} is a linear
+    first-order recurrence whose run boundaries are already encoded in
+    fac (the run-continuation flag zeroes it at run starts), so it admits
+    an associative scan: pairs (F, R) combine as (F2*F1, R2 + F2*R1).
+    log2(K) levels of (K, T, 4T) block ops replace the K-step serial
+    chain of scalar-sequenced mul+add+store — ~6x the raw VPU flops, but
+    straight-line with no per-item dependency.  Stores stay per item
+    (last writer of a run wins), so output is fp-reassociated but
+    otherwise identical; equivalence tests compare with tolerance."""
+    return os.environ.get("SVGR_KSCAN", "0") == "1"
+
+
 def kvec() -> bool:
     """Allow the "kvec" feature: vectorize phase 1 of the K-items kernel.
 
@@ -1042,6 +1059,26 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
             r = rgba_all[kq]                       # static slice (T, 4T)
             return r, pltpu.repeat(r[:, 3 * T : 4 * T], 4, axis=1)
 
+        def scan_chain(rgba_kb, fac_kb, prev):
+            # log2(K) Kogge-Stone inclusive scan of the linear recurrence
+            # acc_k = rgba_k + fac_k * acc_{k-1}, acc_{-1} = prev.  Run
+            # boundaries need no segmentation: fac is 0 at run starts
+            # (the continuation flag), so the running product F kills any
+            # cross-run leak.  Identity padding is (F=1, R=0).
+            F, R = fac_kb, rgba_kb
+            d = 1
+            while d < K:
+                pf = jnp.ones((d,) + F.shape[1:], f32)
+                pr = jnp.zeros((d,) + R.shape[1:], f32)
+                Fs = jnp.concatenate([pf, F[: K - d]], axis=0)
+                Rs = jnp.concatenate([pr, R[: K - d]], axis=0)
+                R = R + F * Rs
+                F = F * Fs
+                d *= 2
+            return R + F * prev[None]
+
+        scan_on = "kscan" in features
+
         if vout:
             @pl.when(s == 0)
             def _():
@@ -1096,6 +1133,13 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
                         fac_nt = (1.0 - alpha_nt) * lanes4(
                             vpar_ref[:, 4:5, :]
                         )
+                        if scan_on:
+                            acc_nt = scan_chain(
+                                rgba_nt, fac_nt, out_ref[tile_ref[i0]]
+                            )
+                            for kq in range(K):
+                                out_ref[tile_ref[i0 + kq]] = acc_nt[kq]
+                            return
                         tile = tile_ref[i0]
                         acc = rgba_nt[0] + out_ref[tile] * fac_nt[0]
                         out_ref[tile] = acc
@@ -1114,6 +1158,14 @@ def _kernel_factory_kvec(t_size: int, features: frozenset, k_items: int):
                     [rgba_all[:, :, 3 * T : 4 * T]] * 4, axis=2
                 )                                      # (K, T, 4T)
                 fac_all = (1.0 - alpha_all) * lanes4(vpar_ref[:, 4:5, :])
+
+                if scan_on and ablate != "nochain":
+                    acc_all = scan_chain(
+                        rgba_all, fac_all, out_ref[tile_ref[i0]]
+                    )
+                    for kq in range(K):
+                        out_ref[tile_ref[i0 + kq]] = acc_all[kq]
+                    return
 
                 tile = tile_ref[i0]
                 prev = out_ref[tile]
@@ -2258,6 +2310,8 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
             f.append("kvec")
         if "kvec" in f and "vout" in f and vstore():
             f.append("vstore")
+            if kscan():
+                f.append("kscan")
     return frozenset(f)
 
 

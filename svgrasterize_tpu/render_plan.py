@@ -1599,6 +1599,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         + ":" + os.environ.get("SVGR_ZOUT", "")
         + ":" + os.environ.get("SVGR_KRES", "")
         + ":" + os.environ.get("SVGR_SUBPOOL", "")
+        + ":" + os.environ.get("SVGR_KSCAN", "")
         # the prepared tex/mask scratch index is pool.shape[0]: the same
         # plan served with a tight (whole-program) vs pow2 (per-stage)
         # pool capacity must not share a cache entry
@@ -2088,7 +2089,8 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
                   "SVGR_SGUARD", "SVGR_PREGRAD", "SVGR_ABLATE",
                   "SVGR_FUSED_UNROLL", "SVGR_PRETEX", "SVGR_KVEC",
                   "SVGR_VSTORE", "SVGR_CHUNK_VOUT", "SVGR_ZOUT",
-                  "SVGR_KRES", "SVGR_SUBPOOL", "SVGR_CHUNK_FOLD")
+                  "SVGR_KRES", "SVGR_SUBPOOL", "SVGR_CHUNK_FOLD",
+                  "SVGR_KSCAN")
     )
     key = (tuple(viewport), bool(linear_rgb), t_size, mode)
     cached = lowered.items.get("_whole_program")

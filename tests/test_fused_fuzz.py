@@ -32,6 +32,8 @@ MODES = [
     ({"SVGR_PRETEX": "0"}, None, "pretex"),  # kres where tex/mask appear
     # launch-local pool gather (remapped tex/mask rows + in-place DUS)
     ({"SVGR_PRETEX": "0", "SVGR_SUBPOOL": "1"}, None, "pretex"),
+    # Kogge-Stone scan compose tail (fp-reassociated vstore)
+    ({"SVGR_KSCAN": "1"}, "kscan", None),
 ]
 
 N = int(os.environ.get("SVGR_FUZZ_SWEEP", "3"))
@@ -51,7 +53,7 @@ def test_fused_random_docs_match_xla(overrides, want, veto):
     prev = {k: os.environ.get(k)
             for k in ("SVGR_FUSED", "SVGR_FUSED_VOUT", "SVGR_ZOUT",
                       "SVGR_VSTORE", "SVGR_KVEC", "SVGR_PRETEX",
-                      "SVGR_SUBPOOL")}
+                      "SVGR_SUBPOOL", "SVGR_KSCAN")}
     seen_want = False
     try:
         for doc in _docs(7000, N):
@@ -65,7 +67,8 @@ def test_fused_random_docs_match_xla(overrides, want, veto):
                 continue
             os.environ["SVGR_FUSED"] = "0"
             for k in ("SVGR_FUSED_VOUT", "SVGR_ZOUT", "SVGR_VSTORE",
-                      "SVGR_KVEC", "SVGR_PRETEX", "SVGR_SUBPOOL"):
+                      "SVGR_KVEC", "SVGR_PRETEX", "SVGR_SUBPOOL",
+                      "SVGR_KSCAN"):
                 os.environ.pop(k, None)
             ref = np.asarray(rp.execute_lowered(lowered, (0, 0), False))
             os.environ["SVGR_FUSED"] = "interp"
