@@ -71,8 +71,72 @@ INHERITED_ATTRS = frozenset(
         "font-weight",
         "font-style",
         "text-anchor",
+        "visibility",
     }
 )
+
+# Definition-only elements: never rendered directly, so `display`/conditional
+# processing must not stop their registration (they stay referenceable).
+_DEFINITION_TAGS = frozenset(
+    {
+        "defs", "linearGradient", "radialGradient", "clipPath", "mask",
+        "filter", "pattern", "marker", "symbol", "font", "style", "script",
+        "title", "desc", "metadata",
+    }
+)
+
+# Graphics/text leaves where `visibility: hidden` suppresses rendering (on a
+# container it only cascades — a child can reset `visibility: visible`).
+_VISIBILITY_LEAF_TAGS = frozenset(
+    {
+        "path", "rect", "circle", "ellipse", "line", "polygon", "polyline",
+        "text", "image", "use",
+    }
+)
+
+# SVG 1.1 static feature-string prefixes this rasterizer claims
+# (requiredFeatures values outside these evaluate false).
+_FEATURE_PREFIXES = (
+    "http://www.w3.org/TR/SVG11/feature#",
+    "http://www.w3.org/TR/SVG/feature#",
+    "org.w3c.svg",
+    "org.w3c.dom.svg",
+)
+
+
+def conditional_ok(attrs: dict, language: str = "en") -> bool:
+    """SVG 1.1 5.8 conditional processing (beyond the reference — it has no
+    <switch>/conditional support at all).
+
+    * requiredFeatures: true when absent; an empty value is false; otherwise
+      every listed feature must be an SVG 1.1 static feature string.
+    * requiredExtensions: true only when absent — no extensions are
+      implemented and an empty value is itself false per spec (this is the
+      attribute Illustrator/Inkscape exports use to pick their vector
+      fallback inside <switch>).
+    * systemLanguage: true when absent; otherwise some entry must match the
+      user language by exact tag or dash-prefix (SVG 1.1 5.8.5).
+    """
+    feats = attrs.get("requiredFeatures")
+    if feats is not None:
+        listed = feats.split()
+        if not listed or not all(
+            f.startswith(_FEATURE_PREFIXES) for f in listed
+        ):
+            return False
+    if attrs.get("requiredExtensions") is not None:
+        # no extensions are implemented, and per spec an empty value is
+        # itself false — so any presence of the attribute fails
+        return False
+    langs = attrs.get("systemLanguage")
+    if langs is not None:
+        # lenient primary-subtag match (a static rasterizer with user
+        # language "en" should render systemLanguage="en-US" content)
+        wanted = language.lower().split("-")[0]
+        tags = [t.strip().lower() for t in langs.split(",") if t.strip()]
+        if not any(t == wanted or t.split("-")[0] == wanted for t in tags):
+            return False
+    return True
 
 
 def _local_tag(element) -> str:
@@ -1139,6 +1203,22 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
         attrs = cascade_attrs(element.attrib, inherited, ids.get("\x00css"), tag)
         inherit_down = {k: v for k, v in attrs.items() if k in INHERITED_ATTRS}
 
+        if tag not in _DEFINITION_TAGS:
+            # display: none removes the whole subtree (no visibility-style
+            # override in descendants); conditional processing attributes
+            # apply to any rendered element, not only <switch> children
+            # (SVG 1.1 5.8).  Both are beyond the reference.
+            if attrs.get("display", "").strip().lower() == "none":
+                return []
+            if not conditional_ok(attrs):
+                return []
+        if (
+            tag in _VISIBILITY_LEAF_TAGS
+            and attrs.get("visibility", "").strip().lower()
+            in ("hidden", "collapse")
+        ):
+            return []
+
         group: list = []
         if tag == "svg":
             # negotiate the viewport BEFORE walking children so their
@@ -1226,6 +1306,20 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
         elif tag == "g":
             for child in element:
                 group.extend(walk(child, inherit_down))
+
+        elif tag == "switch":
+            # beyond the reference: render the FIRST direct child whose
+            # conditional attributes evaluate true (SVG 1.1 5.8.1) —
+            # the standard vector-fallback idiom of Illustrator exports
+            for child in element:
+                if _local_tag(child) in _DEFINITION_TAGS:
+                    continue  # title/desc/defs are not switch candidates
+                child_attrs = cascade_attrs(
+                    child.attrib, None, ids.get("\x00css"), _local_tag(child)
+                )
+                if conditional_ok(child_attrs):
+                    group.extend(walk(child, inherit_down))
+                    break
 
         elif tag == "defs":
             for child in element:

@@ -582,3 +582,115 @@ def test_percentage_root_svg_against_viewbox():
         scene, _ids, size = scene_from_str(doc)
     assert tuple(size) == (400, 300)
     assert scene is not None
+
+
+# ------------------------------------------------------------------------------
+# display / visibility / <switch> conditional processing (beyond the reference)
+# ------------------------------------------------------------------------------
+def _scene_of(doc: str):
+    scene, _ids, _size = scene_from_str(doc)
+    return scene
+
+
+def test_display_none_removes_subtree():
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <rect width="10" height="10" fill="red" display="none"/>
+      <g style="display:none"><circle cx="5" cy="5" r="4" fill="blue"/></g>
+      <rect x="12" width="10" height="10" fill="green"/>
+    </svg>"""
+    visible = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <rect x="12" width="10" height="10" fill="green"/>
+    </svg>"""
+    assert repr(_scene_of(doc)) == repr(_scene_of(visible))
+
+
+def test_display_none_does_not_break_references():
+    # display on definition elements must not stop their registration
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <defs style="display:none">
+        <linearGradient id="lg"><stop offset="0" stop-color="red"/>
+        <stop offset="1" stop-color="blue"/></linearGradient>
+      </defs>
+      <rect width="32" height="32" fill="url(#lg)"/>
+    </svg>"""
+    scene, ids, _size = scene_from_str(doc)
+    assert scene is not None and "lg" in ids
+
+
+def test_visibility_hidden_and_child_override():
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <rect width="10" height="10" fill="red" visibility="hidden"/>
+      <g visibility="hidden">
+        <rect x="12" width="10" height="10" fill="blue"/>
+        <rect x="24" width="6" height="6" fill="green" visibility="visible"/>
+      </g>
+    </svg>"""
+    visible = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <g>
+        <rect x="24" width="6" height="6" fill="green" visibility="visible"/>
+      </g>
+    </svg>"""
+    assert repr(_scene_of(doc)) == repr(_scene_of(visible))
+
+
+def test_switch_picks_first_passing_child():
+    # the Illustrator vector-fallback idiom: the first child requires an
+    # unimplemented extension, the plain <g> fallback renders
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <switch>
+        <title>pick one</title>
+        <g requiredExtensions="http://ns.adobe.com/AdobeIllustrator/10.0/">
+          <rect width="10" height="10" fill="red"/>
+        </g>
+        <g><rect x="12" width="10" height="10" fill="green"/></g>
+        <g><rect x="24" width="6" height="6" fill="blue"/></g>
+      </switch>
+    </svg>"""
+    visible = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <g><rect x="12" width="10" height="10" fill="green"/></g>
+    </svg>"""
+    assert repr(_scene_of(doc)) == repr(_scene_of(visible))
+
+
+def test_switch_system_language():
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <switch>
+        <rect width="8" height="8" fill="red" systemLanguage="fr,de"/>
+        <rect x="10" width="8" height="8" fill="green" systemLanguage="en-US"/>
+        <rect x="20" width="8" height="8" fill="blue"/>
+      </switch>
+    </svg>"""
+    visible = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <rect x="10" width="8" height="8" fill="green" systemLanguage="en-US"/>
+    </svg>"""
+    assert repr(_scene_of(doc)) == repr(_scene_of(visible))
+
+
+def test_conditional_attrs_outside_switch():
+    from svgrasterize_tpu.frontend.svg import conditional_ok
+
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <rect width="8" height="8" fill="red" systemLanguage="zh"/>
+      <rect x="10" width="8" height="8" fill="green"
+            requiredFeatures="http://www.w3.org/TR/SVG11/feature#Shape"/>
+      <rect x="20" width="8" height="8" fill="blue" requiredFeatures=""/>
+    </svg>"""
+    visible = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <rect x="10" width="8" height="8" fill="green"/>
+    </svg>"""
+    assert repr(_scene_of(doc)) == repr(_scene_of(visible))
+    assert conditional_ok({})
+    assert not conditional_ok({"requiredExtensions": ""})
+    assert conditional_ok({"systemLanguage": "en-GB"})
+    assert not conditional_ok({"requiredFeatures": "urn:unknown"})
