@@ -1303,7 +1303,10 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
         elif tag == "path":
             group.extend(build_shape_scenes(attrs, ids, fg))
 
-        elif tag == "g":
+        elif tag in ("g", "a"):
+            # <a> renders as a transparent container (links have no visual
+            # effect in a static rasterizer); the reference warns and drops
+            # the anchor's graphic children
             for child in element:
                 group.extend(walk(child, inherit_down))
 

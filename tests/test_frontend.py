@@ -694,3 +694,20 @@ def test_conditional_attrs_outside_switch():
     assert not conditional_ok({"requiredExtensions": ""})
     assert conditional_ok({"systemLanguage": "en-GB"})
     assert not conditional_ok({"requiredFeatures": "urn:unknown"})
+
+
+def test_anchor_renders_children():
+    # <a> is a transparent container (the reference drops its children)
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <a href="https://example.org" transform="translate(2,2)">
+        <rect width="10" height="10" fill="green"/>
+      </a>
+    </svg>"""
+    visible = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <g transform="translate(2,2)">
+        <rect width="10" height="10" fill="green"/>
+      </g>
+    </svg>"""
+    assert repr(_scene_of(doc)) == repr(_scene_of(visible))
