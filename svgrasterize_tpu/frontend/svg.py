@@ -1624,6 +1624,38 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
     if css_text.strip():
         ids["\x00css"] = parse_stylesheet(css_text)
     default_color = np.array([0.0, 0.0, 0.0, 1.0], dtype=FLOAT) if fg is None else fg
+
+    # FORWARD REFERENCES (beyond the reference, which walks strictly
+    # sequentially): register definition elements up front so url(#)/href
+    # targets declared later in the document (defs-at-end exports) still
+    # resolve.  Definitions re-register during the main walk with the full
+    # attribute cascade/viewport context, so backward references are
+    # unaffected; the pre-pass is best-effort (warnings suppressed, errors
+    # ignored) and skips definitions nested inside an already-walked one.
+    # <font> is excluded: FontsDB.register appends, so a pre-pass plus the
+    # main walk would register every document font twice
+    _PREBUILD_TAGS = frozenset(
+        {
+            "defs", "linearGradient", "radialGradient", "clipPath", "mask",
+            "filter", "pattern", "marker", "symbol",
+        }
+    )
+    # two rounds so definitions referencing LATER definitions (gradient
+    # href chains) re-register against a fully populated registry
+    for _round in range(2):
+        walked: set = set()
+        for el in root.iter():
+            if _local_tag(el) not in _PREBUILD_TAGS or id(el) in walked:
+                continue
+            for sub in el.iter():
+                walked.add(id(sub))
+            try:
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    walk(el, {"color": default_color})
+            except Exception:
+                pass  # the main walk reports real problems with context
+
     group = walk(root, {"color": default_color}, top=True, forced_width=width)
     ids.pop("\x00base", None)  # internal plumbing, not part of the registry
     ids.pop("\x00css", None)

@@ -711,3 +711,70 @@ def test_anchor_renders_children():
       </g>
     </svg>"""
     assert repr(_scene_of(doc)) == repr(_scene_of(visible))
+
+
+def test_forward_references_defs_at_end():
+    # url(#)/href targets declared AFTER their use (defs-at-end exports);
+    # the reference walks sequentially and drops all of them
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <rect width="16" height="16" fill="url(#lg)"/>
+      <use href="#sym" x="16" y="16" width="16" height="16"/>
+      <rect x="16" width="16" height="16" clip-path="url(#cp)" fill="green"/>
+      <defs>
+        <linearGradient id="lg"><stop offset="0" stop-color="red"/>
+        <stop offset="1" stop-color="blue"/></linearGradient>
+        <symbol id="sym" viewBox="0 0 8 8">
+          <circle cx="4" cy="4" r="3" fill="black"/>
+        </symbol>
+        <clipPath id="cp"><rect x="18" width="8" height="8"/></clipPath>
+      </defs>
+    </svg>"""
+    fwd, ids, _size = scene_from_str(doc)
+    assert {"lg", "sym", "cp"} <= set(ids)
+    reordered = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <defs>
+        <linearGradient id="lg"><stop offset="0" stop-color="red"/>
+        <stop offset="1" stop-color="blue"/></linearGradient>
+        <symbol id="sym" viewBox="0 0 8 8">
+          <circle cx="4" cy="4" r="3" fill="black"/>
+        </symbol>
+        <clipPath id="cp"><rect x="18" width="8" height="8"/></clipPath>
+      </defs>
+      <rect width="16" height="16" fill="url(#lg)"/>
+      <use href="#sym" x="16" y="16" width="16" height="16"/>
+      <rect x="16" width="16" height="16" clip-path="url(#cp)" fill="green"/>
+    </svg>"""
+    assert repr(fwd) == repr(_scene_of(reordered))
+
+
+def test_forward_gradient_href_chain():
+    # a gradient inheriting stops from one declared later in the document
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="16" height="16">
+      <rect width="16" height="16" fill="url(#a)"/>
+      <linearGradient id="a" href="#b" x1="0" x2="1"/>
+      <linearGradient id="b"><stop offset="0" stop-color="red"/>
+      <stop offset="1" stop-color="blue"/></linearGradient>
+    </svg>"""
+    scene, ids, _size = scene_from_str(doc)
+    assert len(ids["a"].stops) == 2
+
+    # the rect (earlier in document order) must hold the RESOLVED gradient,
+    # not a stale 0-stop pre-pass registration
+    from svgrasterize_tpu.scene import RENDER_FILL
+
+    def first_fill_paint(node):
+        kind, args = node
+        if kind == RENDER_FILL:
+            return args[1]
+        for child in args:
+            if isinstance(child, tuple) and len(child) == 2:
+                found = first_fill_paint(child)
+                if found is not None:
+                    return found
+        return None
+
+    paint = first_fill_paint(scene)
+    assert paint is not None and len(paint.stops) == 2
