@@ -72,6 +72,8 @@ INHERITED_ATTRS = frozenset(
         "font-style",
         "text-anchor",
         "visibility",
+        # xml:space is XML-inherited; ElementTree expands the prefix
+        "{http://www.w3.org/XML/1998/namespace}space",
     }
 )
 
@@ -1111,12 +1113,25 @@ def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
             return [], (pen_x, pen_y), pending_space
 
         text = text.replace("\n", " ")
-        lead = " " if text[0] in " \t" and len(text) > 1 and not pending_space else ""
-        trail = " " if text[-1] in " \t" else ""
-        collapsed = " ".join(filter(None, text.strip().split()))
-        if not collapsed:
-            return [], (pen_x, pen_y), pending_space
-        collapsed = lead + collapsed + trail
+        if run_attrs.get(
+            "{http://www.w3.org/XML/1998/namespace}space"
+        ) == "preserve":
+            # xml:space="preserve" (beyond the reference): newlines/tabs
+            # become spaces but runs of spaces stay verbatim
+            collapsed = text.replace("\t", " ")
+            if not collapsed:
+                return [], (pen_x, pen_y), pending_space
+            trail = " " if collapsed.endswith(" ") else ""
+        else:
+            lead = (
+                " " if text[0] in " \t" and len(text) > 1 and not pending_space
+                else ""
+            )
+            trail = " " if text[-1] in " \t" else ""
+            collapsed = " ".join(filter(None, text.strip().split()))
+            if not collapsed:
+                return [], (pen_x, pen_y), pending_space
+            collapsed = lead + collapsed + trail
 
         size = parse_float(run_attrs.get("font-size", str(DEFAULT_FONT_SIZE)))
         font = fonts.resolve(

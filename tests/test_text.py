@@ -238,3 +238,33 @@ def test_text_path_styled_tspans(db):
     _, red_xs = np.nonzero(red)
     _, black_xs = np.nonzero(black)
     assert black_xs.min() < red_xs.min() < red_xs.max() < black_xs.max()
+
+
+def test_xml_space_preserve():
+    # xml:space="preserve" keeps space runs verbatim (beyond the reference);
+    # default handling collapses them, so the preserved line must be wider
+    from svgrasterize_tpu.frontend.svg import scene_from_str
+    from svgrasterize_tpu.core.transform import Transform
+
+    def text_width(body: str) -> float:
+        doc = (
+            '<svg xmlns="http://www.w3.org/2000/svg" width="400" height="40">'
+            f"{body}</svg>"
+        )
+        from svgrasterize_tpu.text.fonts import DEFAULT_FONTS, FontsDB
+
+        fonts = FontsDB()
+        fonts.register_file(DEFAULT_FONTS)
+        scene, _ids, _size = scene_from_str(doc, fonts=fonts)
+        assert scene is not None
+        _layer, hull = scene.render(
+            Transform(), viewport=(0, 0, 40, 400)
+        )
+        pts = hull.raw_points
+        return float(pts[:, 0].max() - pts[:, 0].min())
+
+    plain = text_width('<text x="4" y="20" font-size="16">a   b</text>')
+    kept = text_width(
+        '<text x="4" y="20" font-size="16" xml:space="preserve">a   b</text>'
+    )
+    assert kept > plain + 1.0
