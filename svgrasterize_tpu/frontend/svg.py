@@ -72,6 +72,7 @@ INHERITED_ATTRS = frozenset(
         "font-style",
         "text-anchor",
         "visibility",
+        "paint-order",
         # xml:space is XML-inherited; ElementTree expands the prefix
         "{http://www.w3.org/XML/1998/namespace}space",
     }
@@ -329,7 +330,8 @@ def build_shape_scenes(attrs: dict, ids: dict, fg, path: Path | None = None) -> 
             return []
         path = Path.from_svg(data)
 
-    group = []
+    parts: dict = {"fill": [], "stroke": [], "markers": []}
+    group = parts["fill"]
     fill = attrs.get("fill")
     if fill is not None:
         fill = attrs.get("color") if fill == "currentColor" else parse_paint(fill, ids)
@@ -369,10 +371,18 @@ def build_shape_scenes(attrs: dict, ids: dict, fg, path: Path | None = None) -> 
         stroke_opacity = parse_float(attrs.get("stroke-opacity"))
         if stroke_opacity is not None:
             scene = scene.opacity(stroke_opacity)
-        group.append(scene)
+        parts["stroke"].append(scene)
 
-    group.extend(_marker_scenes(attrs, ids, path))
-    return group
+    parts["markers"].extend(_marker_scenes(attrs, ids, path))
+
+    # paint-order (SVG 2, beyond the reference): listed layers paint first,
+    # omitted ones follow in normal order (fill, stroke, markers)
+    order = [
+        kw for kw in (attrs.get("paint-order") or "").split()
+        if kw in parts
+    ]
+    order += [kw for kw in ("fill", "stroke", "markers") if kw not in order]
+    return [scene for kw in order for scene in parts[kw]]
 
 
 def _marker_scenes(attrs: dict, ids: dict, path: Path) -> list:

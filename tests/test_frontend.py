@@ -778,3 +778,32 @@ def test_forward_gradient_href_chain():
 
     paint = first_fill_paint(scene)
     assert paint is not None and len(paint.stops) == 2
+
+
+def test_paint_order_stroke_first():
+    # paint-order="stroke" paints the stroke UNDER the fill (SVG 2; the
+    # outlined-text idiom).  Scene order must flip, nothing else.
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <rect width="16" height="16" fill="green" stroke="black"
+            stroke-width="4" paint-order="stroke"/>
+    </svg>"""
+    normal = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <rect width="16" height="16" fill="green" stroke="black"
+            stroke-width="4"/>
+    </svg>"""
+    from svgrasterize_tpu.scene import RENDER_FILL, RENDER_STROKE
+
+    def kinds(scene):
+        kind, args = scene
+        if kind in (RENDER_FILL, RENDER_STROKE):
+            return [kind]
+        out = []
+        for child in args:
+            if isinstance(child, tuple) and len(child) == 2:
+                out.extend(kinds(child))
+        return out
+
+    assert kinds(_scene_of(normal)) == [RENDER_FILL, RENDER_STROKE]
+    assert kinds(_scene_of(doc)) == [RENDER_STROKE, RENDER_FILL]
