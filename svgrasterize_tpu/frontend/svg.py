@@ -1204,6 +1204,7 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
     fonts = FontsDB() if fonts is None else fonts
     ids: dict = {"\x00base": base}
     doc_size: list = [None]
+    prepass_mode: list = [False]  # True while the definition pre-pass walks
     # current viewport (w, h) for resolving percentage lengths (SVG 1.1
     # 7.10) — pushed per <svg> from its viewBox / negotiated size; the
     # reference has no such notion and mis-scales "%" with a warning
@@ -1470,6 +1471,11 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
             return []
 
         elif tag == "font":
+            if prepass_mode[0]:
+                # fonts register by APPENDING to the FontsDB: the definition
+                # pre-pass must not add a duplicate for every <font> that
+                # lives inside <defs> (fonts.svgz is exactly that layout)
+                return []
             font = build_font(element)
             if font is not None:
                 elem_id = attrs.get("id")
@@ -1667,19 +1673,23 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
     )
     # two rounds so definitions referencing LATER definitions (gradient
     # href chains) re-register against a fully populated registry
-    for _round in range(2):
-        walked: set = set()
-        for el in root.iter():
-            if _local_tag(el) not in _PREBUILD_TAGS or id(el) in walked:
-                continue
-            for sub in el.iter():
-                walked.add(id(sub))
-            try:
-                with warnings.catch_warnings():
-                    warnings.simplefilter("ignore")
-                    walk(el, {"color": default_color})
-            except Exception:
-                pass  # the main walk reports real problems with context
+    prepass_mode[0] = True
+    try:
+        for _round in range(2):
+            walked: set = set()
+            for el in root.iter():
+                if _local_tag(el) not in _PREBUILD_TAGS or id(el) in walked:
+                    continue
+                for sub in el.iter():
+                    walked.add(id(sub))
+                try:
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore")
+                        walk(el, {"color": default_color})
+                except Exception:
+                    pass  # the main walk reports real problems with context
+    finally:
+        prepass_mode[0] = False
 
     group = walk(root, {"color": default_color}, top=True, forced_width=width)
     ids.pop("\x00base", None)  # internal plumbing, not part of the registry

@@ -268,3 +268,19 @@ def test_xml_space_preserve():
         '<text x="4" y="20" font-size="16" xml:space="preserve">a   b</text>'
     )
     assert kept > plain + 1.0
+
+
+def test_fonts_register_once():
+    # the definition pre-pass must not duplicate <font> registrations
+    # (fonts.svgz is <defs> wrapping the font elements)
+    from svgrasterize_tpu.text.fonts import DEFAULT_FONTS, FontsDB
+
+    db = FontsDB()
+    db.register_file(DEFAULT_FONTS)
+    fonts = db.all_fonts()
+    assert len(fonts) == len({id(f) for f in fonts})
+    by_key = {}
+    for f in fonts:
+        key = (f.family, f.weight, f.style)
+        assert key not in by_key, f"duplicate registration: {key}"
+        by_key[key] = f
