@@ -1101,21 +1101,45 @@ def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
     leading/trailing space is preserved only when it glues adjacent chunks.
     """
 
+    def pos_lists(run_attrs):
+        """Pop x/dx/y/dy as (scalar, per-char list) pairs.
+
+        SVG allows whitespace/comma-separated lists that position each
+        character individually (beyond the reference, which crashes on
+        them); a single value keeps the full parse_size unit handling.
+        """
+        out = {}
+        for key in ("x", "dx", "y", "dy"):
+            raw = run_attrs.pop(key, None)
+            if raw is None:
+                out[key] = (None, None)
+                continue
+            try:
+                vals = parse_float_list(raw)
+            except ValueError:
+                vals = None  # unit-suffixed scalar, e.g. "12px"
+            if vals is not None and len(vals) > 1:
+                out[key] = (vals[0], vals)
+            else:
+                out[key] = (parse_size(raw), None)
+        return out
+
     def layout_run(text, run_attrs, pen, pending_space):
         # NOTE: pops mutate run_attrs on purpose — x/y/dx/dy reposition the
         # pen once per element; later runs of the same element must not
         # re-apply them (they continue from the advanced pen position).
         pen_x, pen_y = pen
-        x = parse_size(run_attrs.pop("x", None))
+        pos = pos_lists(run_attrs)
+        x, x_list = pos["x"]
         if x is not None:
             pen_x = x
-        dx = parse_size(run_attrs.pop("dx", None))
+        dx, dx_list = pos["dx"]
         if dx is not None:
             pen_x += dx
-        y = parse_size(run_attrs.pop("y", None))
+        y, y_list = pos["y"]
         if y is not None:
             pen_y = y
-        dy = parse_size(run_attrs.pop("dy", None))
+        dy, dy_list = pos["dy"]
         if dy is not None:
             pen_y += dy
 
@@ -1151,6 +1175,32 @@ def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
         )
         if font is None:
             return [], (pen_x, pen_y), pending_space
+
+        if any(lst is not None for lst in (x_list, dx_list, y_list, dy_list)):
+            # per-character positioning: each char shapes alone (explicit
+            # positions break ligatures, as in browsers) and the lists
+            # apply per SVG 1.1 10.5 — exhausted lists continue the pen
+            subpaths: list = []
+            for i, ch in enumerate(collapsed):
+                if x_list is not None and i > 0 and i < len(x_list):
+                    pen_x = x_list[i]
+                if dx_list is not None and i > 0 and i < len(dx_list):
+                    pen_x += dx_list[i]
+                if y_list is not None and i > 0 and i < len(y_list):
+                    pen_y = y_list[i]
+                if dy_list is not None and i > 0 and i < len(dy_list):
+                    pen_y += dy_list[i]
+                ch_path, ch_adv = font.str_to_path(size, ch)
+                if ch_path.subpaths:
+                    move = Transform().translate(pen_x, pen_y)
+                    subpaths.extend(ch_path.transform(move).subpaths)
+                pen_x += ch_adv
+            scenes = (
+                build_shape_scenes(run_attrs, ids, fg, Path(subpaths))
+                if subpaths else []
+            )
+            return scenes, (pen_x, pen_y), bool(trail)
+
         path, advance = font.str_to_path(size, collapsed)
 
         move = Transform().translate(pen_x, pen_y)
@@ -1175,7 +1225,12 @@ def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
             scenes.extend(tail)
         return scenes, pen, pending_space
 
-    start_x = parse_float(attrs.get("x", "0"))
+    raw_start = attrs.get("x", "0")
+    try:
+        start_vals = parse_float_list(raw_start)
+        start_x = start_vals[0] if start_vals else 0.0
+    except ValueError:
+        start_x = parse_size(raw_start) or 0.0  # unit-suffixed scalar
     scenes, (end_x, _end_y), _space = walk(element, attrs, (0.0, 0.0), True)
 
     anchor = attrs.get("text-anchor")

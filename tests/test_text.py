@@ -284,3 +284,32 @@ def test_fonts_register_once():
         key = (f.family, f.weight, f.style)
         assert key not in by_key, f"duplicate registration: {key}"
         by_key[key] = f
+
+
+def test_text_x_list_per_character(db):
+    # x/dx lists position each character individually (SVG 1.1 10.5; the
+    # reference crashes on list-valued x).  Each glyph must land in its
+    # own column, and exhausted lists continue the pen normally.
+    import io
+
+    import numpy as np
+
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.frontend.svg import scene_from_xml
+
+    doc = """<svg xmlns='http://www.w3.org/2000/svg' width='160' height='40'>
+    <text x="10 60 110" y="24" font-size="16" font-family="monospace">iii</text>
+    </svg>"""
+    scene, _ids, _size = scene_from_xml(io.StringIO(doc), fonts=db)
+    assert scene is not None
+    layer, _ = scene.render(
+        Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 40, 160)
+    )
+    img = np.zeros((40, 160), np.float32)
+    a = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)[..., 3]
+    img[layer.x : layer.x + layer.height, layer.y : layer.y + layer.width] = a
+    cols = np.nonzero(img.max(axis=0) > 0.3)[0]
+    # three well-separated clusters near x=10, 60, 110
+    assert cols.min() >= 8 and cols.max() <= 125
+    gaps = np.diff(cols)
+    assert (gaps > 20).sum() == 2, f"expected 3 clusters, cols={cols}"
