@@ -74,15 +74,23 @@ def main(argv=None) -> int:
         transform = transform @ opts.transform
 
     t_parse = time.monotonic()
-    if opts.svg.endswith(".path"):
-        with open(opts.svg, encoding="utf-8") as file:
-            path = Path.from_svg(file.read())
-        opts.bg = parse_color("white") if opts.bg is None else opts.bg
-        fg = parse_color("black") if opts.fg is None else opts.fg
-        scene = Scene.fill(path, fg)
-        ids, size = {}, None
-    else:
-        scene, ids, size = scene_from_filepath(opts.svg, opts.fg, opts.width, fonts)
+    try:
+        if opts.svg.endswith(".path"):
+            with open(opts.svg, encoding="utf-8") as file:
+                path = Path.from_svg(file.read())
+            opts.bg = parse_color("white") if opts.bg is None else opts.bg
+            fg = parse_color("black") if opts.fg is None else opts.fg
+            scene = Scene.fill(path, fg)
+            ids, size = {}, None
+        else:
+            scene, ids, size = scene_from_filepath(
+                opts.svg, opts.fg, opts.width, fonts
+            )
+    except (SyntaxError, ValueError, UnicodeDecodeError) as exc:
+        # etree.ParseError is a SyntaxError subclass; report malformed
+        # inputs cleanly instead of dumping a traceback
+        sys.stderr.write(f"[error] cannot parse {opts.svg}: {exc}\n")
+        return 1
     t_parse = time.monotonic() - t_parse
 
     if scene is None:

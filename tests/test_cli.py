@@ -64,3 +64,14 @@ def test_path_file_input(tmp_path):
     assert main([str(pfile), out]) == 0
     img = np.asarray(read_png(open(out, "rb")))
     assert img[4, 16, 3] > 200  # filled triangle interior
+
+
+def test_cli_malformed_xml_clean_error(tmp_path, capsys):
+    from svgrasterize_tpu.cli import main
+
+    bad = tmp_path / "bad.svg"
+    bad.write_text('<svg xmlns="http://www.w3.org/2000/svg"><rect')
+    rc = main([str(bad), str(tmp_path / "out.png"), "--platform", "cpu"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "[error] cannot parse" in err
