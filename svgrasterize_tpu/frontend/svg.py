@@ -1733,7 +1733,23 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
         for _round in range(2):
             walked: set = set()
             for el in root.iter():
-                if _local_tag(el) not in _PREBUILD_TAGS or id(el) in walked:
+                tag_l = _local_tag(el)
+                # id-bearing geometry leaves also pre-register so a <use>
+                # earlier in the document resolves them (their tail
+                # registration stores the local subtree, exactly what the
+                # main walk re-registers; text/image stay main-walk-only —
+                # pre-walking them would shape against not-yet-registered
+                # document fonts / re-read image files)
+                forward_leaf = (
+                    tag_l in (
+                        "path", "rect", "circle", "ellipse", "line",
+                        "polygon", "polyline",
+                    )
+                    and el.get("id") is not None
+                )
+                if (
+                    tag_l not in _PREBUILD_TAGS and not forward_leaf
+                ) or id(el) in walked:
                     continue
                 for sub in el.iter():
                     walked.add(id(sub))

@@ -807,3 +807,21 @@ def test_paint_order_stroke_first():
 
     assert kinds(_scene_of(normal)) == [RENDER_FILL, RENDER_STROKE]
     assert kinds(_scene_of(doc)) == [RENDER_STROKE, RENDER_FILL]
+
+
+def test_forward_use_of_plain_shape():
+    # <use> of an id-bearing shape declared later, outside any <defs>
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <use href="#star" x="16"/>
+      <path id="star" d="M4 12 L8 4 L12 12 Z" fill="purple"/>
+    </svg>"""
+    backward = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="32" height="32">
+      <path id="star" d="M4 12 L8 4 L12 12 Z" fill="purple"/>
+      <use href="#star" x="16"/>
+    </svg>"""
+    fwd = repr(_scene_of(doc))
+    bwd = repr(_scene_of(backward))
+    # same two draws, order swapped: compare sorted node lines
+    assert sorted(fwd.splitlines()) == sorted(bwd.splitlines())
