@@ -1726,6 +1726,19 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
             "filter", "pattern", "marker", "symbol",
         }
     )
+    # ids actually referenced anywhere in the document — the leaf pre-walk
+    # below is gated on this so unreferenced authoring ids (icons.svg has
+    # hundreds) cost nothing
+    import re as _re
+
+    referenced: set = set()
+    for el in root.iter():
+        for value in el.attrib.values():
+            if value.startswith("#"):
+                referenced.add(value[1:])
+            else:
+                referenced.update(_re.findall(r"url\(\s*#([^)\s]+)\s*\)", value))
+
     # two rounds so definitions referencing LATER definitions (gradient
     # href chains) re-register against a fully populated registry
     prepass_mode[0] = True
@@ -1745,7 +1758,7 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
                         "path", "rect", "circle", "ellipse", "line",
                         "polygon", "polyline",
                     )
-                    and el.get("id") is not None
+                    and el.get("id") in referenced
                 )
                 if (
                     tag_l not in _PREBUILD_TAGS and not forward_leaf
