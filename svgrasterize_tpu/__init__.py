@@ -6,13 +6,26 @@ stroke geometry) and device-side pixel work (coverage, paint, composition,
 filters), designed to scale across TPU meshes via jax.sharding.
 """
 
+def default_cache_dir() -> str:
+    """Default persistent-compile-cache location: XDG_CACHE_HOME (or
+    ~/.cache) — NOT /tmp, which is wiped between sessions and turned the
+    driver's round-2 bench run into cold remote compiles that ate the
+    whole time budget."""
+    import os
+
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "svgrasterize_tpu", "jax")
+
+
 def _setup_compile_cache() -> None:
     """Persistent XLA compilation cache (the framework's analogue of
     checkpoint/resume: compiled scene-shape programs survive restarts).
     Disable with SVGR_COMPILE_CACHE=0."""
     import os
 
-    cache = os.environ.get("SVGR_COMPILE_CACHE", "/tmp/jax_cache")
+    cache = os.environ.get("SVGR_COMPILE_CACHE", default_cache_dir())
     if not cache or cache == "0":
         return
     try:

@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     parser.add_argument("--as-path", action="store_true", help="dump the scene as SVG path data")
     parser.add_argument("--profile", action="store_true", help="print timing breakdown to stderr")
     parser.add_argument(
+        "--verbose", action="store_true",
+        help="print full tracebacks for input errors (also: SVGR_DEBUG=1)",
+    )
+    parser.add_argument(
         "--platform",
         default=os.environ.get("SVGR_PLATFORM"),
         help="force a JAX platform (e.g. cpu, tpu); default: runtime's choice",
@@ -53,11 +57,10 @@ def main(argv=None) -> int:
 
     if opts.platform:
         jax.config.update("jax_platforms", opts.platform)
-    cache_dir = os.environ.get("SVGR_COMPILE_CACHE", "/tmp/jax_cache")
-    if cache_dir:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # the persistent compile cache itself is configured by the package
+    # import (svgrasterize_tpu._setup_compile_cache); enable the XLA-level
+    # caches on top for CLI one-shots
+    if os.environ.get("SVGR_COMPILE_CACHE", "1") not in ("", "0"):
         jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
     if not os.path.exists(opts.svg):
@@ -88,8 +91,17 @@ def main(argv=None) -> int:
             )
     except (SyntaxError, ValueError, UnicodeDecodeError) as exc:
         # etree.ParseError is a SyntaxError subclass; report malformed
-        # inputs cleanly instead of dumping a traceback
-        sys.stderr.write(f"[error] cannot parse {opts.svg}: {exc}\n")
+        # inputs cleanly instead of dumping a traceback.  The exception
+        # class distinguishes genuine parse errors from internal bugs that
+        # surface as ValueError deep in scene construction; --verbose (or
+        # SVGR_DEBUG=1) prints the full traceback for the latter.
+        sys.stderr.write(
+            f"[error] cannot parse {opts.svg}: {type(exc).__name__}: {exc}\n"
+        )
+        if opts.verbose or os.environ.get("SVGR_DEBUG"):
+            import traceback
+
+            traceback.print_exc()
         return 1
     t_parse = time.monotonic() - t_parse
 

@@ -1143,6 +1143,14 @@ def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
         if dy is not None:
             pen_y += dy
 
+        # visibility: hidden suppresses the glyphs but NOT the pen advance
+        # (layout is unaffected; a nested tspan can reset to visible since
+        # visibility is in INHERITED_ATTRS).  display: none is handled in
+        # the element walk below — it prunes layout too.
+        hidden = run_attrs.get("visibility", "").strip().lower() in (
+            "hidden", "collapse"
+        )
+
         if not text:
             return [], (pen_x, pen_y), pending_space
 
@@ -1197,14 +1205,16 @@ def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
                 pen_x += ch_adv
             scenes = (
                 build_shape_scenes(run_attrs, ids, fg, Path(subpaths))
-                if subpaths else []
+                if subpaths and not hidden else []
             )
             return scenes, (pen_x, pen_y), bool(trail)
 
         path, advance = font.str_to_path(size, collapsed)
 
         move = Transform().translate(pen_x, pen_y)
-        scenes = [s.transform(move) for s in build_shape_scenes(run_attrs, ids, fg, path)]
+        scenes = [] if hidden else [
+            s.transform(move) for s in build_shape_scenes(run_attrs, ids, fg, path)
+        ]
         return scenes, (pen_x + advance, pen_y), bool(trail)
 
     def walk(node, node_attrs, pen, pending_space):
@@ -1214,13 +1224,24 @@ def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
                 child_attrs = cascade_attrs(
                     child.attrib, node_attrs, ids.get("\x00css"), _local_tag(child)
                 )
+                # display: none prunes the subtree INCLUDING its pen advance
+                # (unlike visibility, which only hides glyphs — layout_run)
+                if child_attrs.get("display", "").strip().lower() == "none":
+                    tail, pen, pending_space = layout_run(
+                        child.tail, node_attrs, pen, pending_space
+                    )
+                    scenes.extend(tail)
+                    continue
                 sub, pen, pending_space = walk(child, child_attrs, pen, pending_space)
                 scenes.extend(sub)
             elif _local_tag(child) == "textPath":
                 child_attrs = cascade_attrs(
                     child.attrib, node_attrs, ids.get("\x00css"), "textPath"
                 )
-                scenes.extend(_text_path_scenes(child, child_attrs, fonts, ids, fg))
+                if child_attrs.get("display", "").strip().lower() != "none":
+                    scenes.extend(
+                        _text_path_scenes(child, child_attrs, fonts, ids, fg)
+                    )
             tail, pen, pending_space = layout_run(child.tail, node_attrs, pen, pending_space)
             scenes.extend(tail)
         return scenes, pen, pending_space
@@ -1247,6 +1268,27 @@ def build_text(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> list:
 # ------------------------------------------------------------------------------
 # document walker
 # ------------------------------------------------------------------------------
+class _IdRegistry(dict):
+    """The document id registry, with an opt-in miss counter.
+
+    During the forward-reference pre-pass every url(#)/href resolution
+    funnels through .get(); counting the round-1 misses bounds the longest
+    unresolved definition chain, which sets how many repair rounds the
+    pre-pass needs (a→b→c declared later needs one round per link)."""
+
+    counting = False
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.misses = 0
+
+    def get(self, key, default=None):
+        # "\x00"-prefixed keys are internal plumbing (css/base), not ids
+        if self.counting and key not in self and not str(key).startswith("\x00"):
+            self.misses += 1
+        return super().get(key, default)
+
+
 def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
                    base: str | None = None):
     """Build a Scene from an SVG file object.
@@ -1257,7 +1299,7 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
     base: directory external resource references (feImage) resolve against.
     """
     fonts = FontsDB() if fonts is None else fonts
-    ids: dict = {"\x00base": base}
+    ids: dict = _IdRegistry({"\x00base": base})
     doc_size: list = [None]
     prepass_mode: list = [False]  # True while the definition pre-pass walks
     # current viewport (w, h) for resolving percentage lengths (SVG 1.1
@@ -1739,11 +1781,18 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
             else:
                 referenced.update(_re.findall(r"url\(\s*#([^)\s]+)\s*\)", value))
 
-    # two rounds so definitions referencing LATER definitions (gradient
-    # href chains) re-register against a fully populated registry
+    # adaptive rounds so definitions referencing LATER definitions (gradient
+    # href chains) re-register against a fully populated registry: round 1's
+    # unresolved-lookup count bounds the longest forward chain, so run that
+    # many repair rounds (capped — genuinely missing ids also count misses).
+    # A fixed 2 rounds left depth-≥3 chains (a→b→c all declared later)
+    # silently stale: round 2's re-read of b predates b's own re-registration
     prepass_mode[0] = True
+    ids.counting = True
+    n_rounds = 1
     try:
-        for _round in range(2):
+        _round = 0
+        while _round < n_rounds:
             walked: set = set()
             for el in root.iter():
                 tag_l = _local_tag(el)
@@ -1772,8 +1821,12 @@ def scene_from_xml(file, fg=None, width=None, fonts: FontsDB | None = None,
                         walk(el, {"color": default_color})
                 except Exception:
                     pass  # the main walk reports real problems with context
+            if _round == 0:
+                n_rounds = 1 + min(ids.misses, 7)
+            _round += 1
     finally:
         prepass_mode[0] = False
+        ids.counting = False
 
     group = walk(root, {"color": default_color}, top=True, forced_width=width)
     ids.pop("\x00base", None)  # internal plumbing, not part of the registry

@@ -1858,6 +1858,7 @@ def execute_items_fused(
     f32 = DEVICE_FLOAT
     T = t_size
     features = frozenset(features)
+    _STATS["fused_launches"] += 1
     if prepared is None:
         prepared = prepare_fused(
             items, T, big_lines, clip_cov, patterns, features,
@@ -2142,6 +2143,8 @@ def _backend_is_tpu() -> bool:
 
 _FALLBACK_SEEN: set = set()
 _LAST_REASON: list = [None]
+_FALLBACK_LOG: list = []  # every rejection, NOT deduped (tests/dryrun audit)
+_STATS = {"fused_launches": 0}
 
 
 def _fallback(reason: str, kind: str = "other"):
@@ -2152,6 +2155,7 @@ def _fallback(reason: str, kind: str = "other"):
     import warnings
 
     _LAST_REASON[0] = kind
+    _FALLBACK_LOG.append((kind, reason))
     if reason not in _FALLBACK_SEEN:
         _FALLBACK_SEEN.add(reason)
         warnings.warn(f"fused executor unavailable: {reason}; "
@@ -2162,6 +2166,14 @@ def _fallback(reason: str, kind: str = "other"):
 def last_fallback_kind():
     """The structured reason of the most recent plan_features rejection."""
     return _LAST_REASON[0]
+
+
+def fallback_audit():
+    """Snapshot for callers that must PROVE the fused path ran: returns
+    (fused_launch_count, tuple of every (kind, reason) rejection so far).
+    Compare before/after a render; see tests/test_parallel_scene.py and
+    __graft_entry__.dryrun_multichip stage 3."""
+    return _STATS["fused_launches"], tuple(_FALLBACK_LOG)
 
 
 def plan_features(items, bigs, clips, pool, patterns, t_size: int,

@@ -86,8 +86,19 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
         m_dev, s_big = 0, 0
 
     items = {k: v for k, v in items.items() if not k.startswith("_")}
+    # Padding rows must follow the single-chip pack's pad conventions
+    # (render_plan._pack): index fields pad with -1 — a zero fill would make
+    # every pad item read as "uses pattern/texture/mask row 0", which both
+    # wastes kernel work and (worse) made plan_features reject every
+    # pattern-free sharded program as "pattern paints without an atlas".
+    pad_fill = {
+        "big_idx": -1, "tex_idx": -1, "mask_idx": -1,
+        "clip_idx": -1, "pat_idx": -1,
+        "stop_offsets": 1.0, "pat_wh": 1.0,
+    }
     stacked = {
-        k: np.zeros((n_devices, n_dev, *v.shape[1:]), v.dtype) for k, v in items.items()
+        k: np.full((n_devices, n_dev, *v.shape[1:]), pad_fill.get(k, 0), v.dtype)
+        for k, v in items.items()
     }
     stacked_big = np.zeros((n_devices, m_dev, s_big, 4), DEVICE_FLOAT)
 
@@ -171,8 +182,14 @@ def sharded_render_plan(
                 pool_l, patterns_l, clips_l, features,
             )
         else:
+            # pat_rows/pat_pos are fused-executor companions; their (Q,)
+            # shape does not chunk with the (N,) item stream
+            xla_items = {
+                k: v for k, v in local_items.items()
+                if k not in ("pat_rows", "pat_pos")
+            }
             canvas = batch_exec.execute_items(
-                local_items, t_size, tiles_per_dev, big, pool_l, patterns_l, clips_l
+                xla_items, t_size, tiles_per_dev, big, pool_l, patterns_l, clips_l
             )
         return canvas[None]
 
@@ -211,14 +228,12 @@ def sharded_exec_fn(mesh: Mesh):
         from ..ops.fused_exec import plan_features
 
         st_items, st_big, _tpd = partition_plan(items, bigs, num_tiles, n_devices)
-        # per-shard capability set: presence tests over all shards, VMEM
-        # budget against the per-device flattened big class
-        flat = {
-            k: st_items[k].reshape(-1, *st_items[k].shape[2:])
-            for k in ("pat_idx", "kind", "tex_idx", "mask_idx")
-        }
+        # per-shard capability set: presence/share tests over the ORIGINAL
+        # (pre-partition) items — per-device pow2 padding would dilute the
+        # pool-use share that picks pretex vs kres — with the VMEM budget
+        # checked against the per-device flattened big class
         features = plan_features(
-            flat, (st_big[0],) if st_big.shape[1] else (),
+            items, (st_big[0],) if st_big.shape[1] else (),
             clips if clips.shape[0] else None, pool, patterns, t_size,
         )
         canvas = sharded_render_plan(

@@ -780,6 +780,39 @@ def test_forward_gradient_href_chain():
     assert paint is not None and len(paint.stops) == 2
 
 
+def test_forward_gradient_href_chain_deep():
+    # depth-4 forward href chain a->b->c->d, all declared after the consumer:
+    # the pre-pass must run one repair round per link (a fixed 2 rounds left
+    # the consumer holding a stale 0-stop 'a' and rendered an empty scene)
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="16" height="16">
+      <rect width="16" height="16" fill="url(#a)"/>
+      <linearGradient id="a" href="#b" x1="0" x2="1"/>
+      <linearGradient id="b" href="#c"/>
+      <linearGradient id="c" href="#d"/>
+      <linearGradient id="d"><stop offset="0" stop-color="red"/>
+      <stop offset="1" stop-color="blue"/></linearGradient>
+    </svg>"""
+    scene, ids, _size = scene_from_str(doc)
+    assert len(ids["a"].stops) == 2
+
+    from svgrasterize_tpu.scene import RENDER_FILL
+
+    def first_fill_paint(node):
+        kind, args = node
+        if kind == RENDER_FILL:
+            return args[1]
+        for child in args:
+            if isinstance(child, tuple) and len(child) == 2:
+                found = first_fill_paint(child)
+                if found is not None:
+                    return found
+        return None
+
+    paint = first_fill_paint(scene)
+    assert paint is not None and len(paint.stops) == 2
+
+
 def test_paint_order_stroke_first():
     # paint-order="stroke" paints the stroke UNDER the fill (SVG 2; the
     # outlined-text idiom).  Scene order must flip, nothing else.

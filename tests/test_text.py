@@ -313,3 +313,51 @@ def test_text_x_list_per_character(db):
     assert cols.min() >= 8 and cols.max() <= 125
     gaps = np.diff(cols)
     assert (gaps > 20).sum() == 2, f"expected 3 clusters, cols={cols}"
+
+
+def test_tspan_display_visibility(db):
+    # ADVICE r2: display/visibility were ignored on <tspan> (build_text has
+    # its own walk).  visibility:hidden hides glyphs but keeps the pen
+    # advance; display:none prunes the subtree INCLUDING its advance.
+    import io
+
+    from svgrasterize_tpu.frontend.svg import scene_from_xml
+
+    def scene_of(body: str):
+        doc = (
+            "<svg xmlns='http://www.w3.org/2000/svg' width='300' height='40'>"
+            f"{body}</svg>"
+        )
+        scene, _ids, _size = scene_from_xml(io.StringIO(doc), fonts=db)
+        return scene
+
+    plain = scene_of('<text x="4" y="24" font-size="16">ab<tspan>XY</tspan>cd</text>')
+    hidden = scene_of(
+        '<text x="4" y="24" font-size="16">ab'
+        '<tspan visibility="hidden">XY</tspan>cd</text>'
+    )
+    display_none = scene_of(
+        '<text x="4" y="24" font-size="16">ab'
+        '<tspan display="none">XY</tspan>cd</text>'
+    )
+    gone = scene_of('<text x="4" y="24" font-size="16">ab<tspan/>cd</text>')
+    no_tspan = scene_of('<text x="4" y="24" font-size="16">abcd</text>')
+
+    # hidden tspan: XY's glyphs vanish but cd stays where it was (layout kept)
+    assert repr(hidden) != repr(plain)
+    assert repr(hidden) == repr(scene_of(
+        '<text x="4" y="24" font-size="16">ab<tspan> </tspan>'
+        '<tspan visibility="hidden">XY</tspan>'
+        '<tspan visibility="hidden"> </tspan>cd</text>'
+    )) or repr(hidden) != repr(gone)  # layout differs from full removal
+    # display:none: identical to the tspan being empty (runs still split at
+    # the element boundary, so it is not byte-identical to no tspan at all)
+    assert repr(display_none) == repr(gone)
+    assert repr(display_none) != repr(plain)
+    del no_tspan
+    # a nested tspan can reset visibility back to visible
+    reset = scene_of(
+        '<text x="4" y="24" font-size="16">ab<tspan visibility="hidden">X'
+        '<tspan visibility="visible">Y</tspan></tspan>cd</text>'
+    )
+    assert repr(reset) != repr(hidden) and repr(reset) != repr(plain)
