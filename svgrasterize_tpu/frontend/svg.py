@@ -938,9 +938,11 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
     spacing is parsed ("auto" renders like the default "exact", which the
     spec permits).  <tspan> children are styled runs: each run cascades
     its own fill/font-* attributes (plus dx, an extra shift along the
-    path) and continues the pen from the previous run's arc position;
-    x/y repositioning inside a textPath is ignored (glyph placement is
-    arc-length driven).
+    path) and continues the pen from the previous run's arc position.
+    tspan x re-anchors the pen arc-length (with y: to the projection of
+    the new point onto the path); dy shifts the baseline along the path
+    normal.  The reference supports none of this
+    (/root/reference/svgrasterize.py:9-13).
     """
     import math
 
@@ -967,12 +969,29 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
         return []
 
     # styled runs: the textPath's own text, then tspan children (with the
-    # usual attribute cascade), tails in the parent's style — document order
+    # usual attribute cascade), tails in the parent's style — document order.
+    # tspan x/y/dy become ("pos", …) repositioning events in the stream:
+    # x re-anchors the pen's arc length (with y too, to the projection of
+    # the new point onto the path), dy shifts the baseline along the
+    # normal.  The cascade copies parent attrs wholesale, so positional
+    # keys are POPPED when their element's event is emitted — nested
+    # tspans must not re-apply them.
     runs: list = []
 
-    def _collect(node, node_attrs):
+    def _collect(node, node_attrs, top=False):
+        pos = {
+            key: node_attrs.pop(key)
+            for key in ("x", "y", "dx", "dy")
+            if key in node_attrs
+        }
+        # the textPath's own x/y (inherited from <text>) are consumed by
+        # the <text> layout, not re-applied here; its dx still applies
+        if top:
+            pos = {k: v for k, v in pos.items() if k == "dx"}
+        if pos:
+            runs.append(("pos", pos, None))
         if node.text:
-            runs.append((node.text, node_attrs))
+            runs.append(("text", node.text, node_attrs))
         for child in node:
             if _local_tag(child) == "tspan":
                 child_attrs = cascade_attrs(
@@ -980,9 +999,9 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
                 )
                 _collect(child, child_attrs)
             if child.tail:
-                runs.append((child.tail, node_attrs))
+                runs.append(("text", child.tail, node_attrs))
 
-    _collect(element, attrs)
+    _collect(element, dict(attrs), top=True)
     if not runs:
         return []
 
@@ -1008,8 +1027,9 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
         normal = np.stack([-t[:, 1], t[:, 0]], axis=1)
         return pos + normal * pts[:, 1:2]
 
-    def place_run(text, run_attrs, pen_u):
-        """Lay one styled run starting at arc position pen_u (user units).
+    def place_run(text, run_attrs, pen_u, v_off=0.0):
+        """Lay one styled run starting at arc position pen_u (user units);
+        v_off shifts the baseline along the path normal (tspan dy).
         Returns (subpaths, next pen_u)."""
         size = parse_float(run_attrs.get("font-size", str(DEFAULT_FONT_SIZE)))
         font = fonts.resolve(
@@ -1039,7 +1059,7 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
                 from ..geom.path import PATH_ARC, PATH_CUBIC
 
                 flat = glyph.path.transform(
-                    Transform().translate(base, 0.0) @ glyph_scale
+                    Transform().translate(base, v_off) @ glyph_scale
                 )
                 for sub in flat.subpaths:
                     warped = []
@@ -1063,17 +1083,57 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
                 Transform()
                 .translate(point[0], point[1])
                 .rotate(angle)
-                .translate(-width / 2, 0.0)
+                .translate(-width / 2, v_off)
                 @ glyph_scale
             )
             subpaths.extend(glyph.path.transform(tr).subpaths)
         return subpaths, pen_u + advance * scale
 
+    def _first_size(raw):
+        """First value of a possibly list-valued positional attribute
+        (runs shape whole, so only the run-level position applies)."""
+        if raw is None:
+            return None
+        try:
+            vals = parse_float_list(raw)
+        except ValueError:
+            vals = None
+        if vals:
+            return float(vals[0])
+        return parse_size(raw)
+
     scenes: list = []
     pen_u = start_offset
+    v_off = 0.0
     prev_space = True  # leading whitespace never renders
-    for raw, run_attrs in runs:
-        text = raw.replace("\n", " ")
+    for kind_r, payload, run_attrs in runs:
+        if kind_r == "pos":
+            # x re-anchors the pen's arc position (SVG 1.1 10.13.2: a new
+            # absolute offset along the path); with y too, the new point
+            # projects onto the path (closest point) — the reference
+            # ignores both (/root/reference/svgrasterize.py:9-13)
+            x = _first_size(payload.get("x"))
+            y = _first_size(payload.get("y"))
+            if x is not None and y is not None:
+                p = np.array([x, y], dtype=FLOAT)
+                rel = p[None, :] - points[:-1]
+                t = np.clip(
+                    (rel * seg_vec).sum(1) / (safe_len * safe_len), 0.0, 1.0
+                )
+                foot = points[:-1] + seg_vec * t[:, None]
+                d2 = ((p[None, :] - foot) ** 2).sum(1)
+                seg = int(np.argmin(d2))
+                pen_u = float(cum[seg] + t[seg] * seg_len[seg])
+            elif x is not None:
+                pen_u = x
+            dx = _first_size(payload.get("dx"))
+            if dx is not None:
+                pen_u += dx
+            dy = _first_size(payload.get("dy"))
+            if dy is not None:
+                v_off += dy
+            continue
+        text = payload.replace("\n", " ")
         lead = " " if text[0] in " \t" and not prev_space else ""
         trail = " " if text[-1] in " \t" else ""
         collapsed = " ".join(filter(None, text.strip().split()))
@@ -1085,10 +1145,8 @@ def _text_path_scenes(element, attrs: dict, fonts: FontsDB, ids: dict, fg) -> li
             collapsed = lead + collapsed + trail
         prev_space = bool(trail) or not collapsed.strip()
         run_attrs = dict(run_attrs)
-        dx = parse_size(run_attrs.pop("dx", None))
-        if dx is not None:
-            pen_u += dx
-        subpaths, pen_u = place_run(collapsed, run_attrs, pen_u)
+        run_attrs.pop("dx", None)  # consumed by the element's pos event
+        subpaths, pen_u = place_run(collapsed, run_attrs, pen_u, v_off)
         if subpaths:
             scenes.extend(build_shape_scenes(run_attrs, ids, fg, Path(subpaths)))
     return scenes

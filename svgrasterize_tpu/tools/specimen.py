@@ -178,8 +178,8 @@ def specimen(
     return scene.to_path(Transform()), wh
 
 
-def render_sheet(scene, size_wh, output) -> bool:
-    """Rasterize the sheet scene on device (black ink on white) to PNG."""
+def rasterize_sheet(scene, size_wh):
+    """Rasterize the sheet scene on device (black ink on white) -> Layer."""
     from ..core.layer import Layer, merge_at
     from ..render_plan import render_fast
 
@@ -196,9 +196,17 @@ def render_sheet(scene, size_wh, output) -> bool:
         layer = Layer(canvas, (0, 0), pre_alpha=True, linear_rgb=False)
     else:
         layer, _hull = result
-    layer = layer.background(jnp.asarray([1.0, 1.0, 1.0, 1.0]))
-    with open(output, "wb") as file:
-        layer.write_png(file)
+    return layer.background(jnp.asarray([1.0, 1.0, 1.0, 1.0]))
+
+
+def render_sheet(scene, size_wh, output) -> bool:
+    """Rasterize and write PNG to `output` (a path or '-' for stdout)."""
+    layer = rasterize_sheet(scene, size_wh)
+    if output == "-":
+        layer.write_png(sys.stdout.buffer)
+    else:
+        with open(output, "wb") as file:
+            layer.write_png(file)
     return True
 
 
@@ -251,27 +259,37 @@ def main(argv=None) -> int:
     out_format = args.format or (
         os.path.splitext(args.output)[1][1:].lower() if args.output else "png"
     )
-    output = args.output or "-"
+    output = args.output  # None: terminal preview (png) / stdout (text)
+
+    def write_text(data: str) -> None:
+        if output is None or output == "-":
+            sys.stdout.write(data)
+        else:
+            with open(output, "w", encoding="utf-8") as file:
+                file.write(data)
 
     if out_format == "json":
-        with open(output, "w", encoding="utf-8") as file:
-            json.dump(font.glyph_names(), file)
+        write_text(json.dumps(font.glyph_names()))
         return 0
 
     scene, size_wh = specimen_scene(font, args.size, args.cols, args.baseline)
     if out_format == "path":
-        with open(output, "w", encoding="utf-8") as file:
-            file.write(scene.to_path(Transform()).to_svg())
+        write_text(scene.to_path(Transform()).to_svg())
     elif out_format == "svg":
-        with open(output, "w", encoding="utf-8") as file:
-            file.write(
-                _SHEET_SVG.format(
-                    w=int(size_wh[0]), h=int(size_wh[1]),
-                    d=scene.to_path(Transform()).to_svg(),
-                )
+        write_text(
+            _SHEET_SVG.format(
+                w=int(size_wh[0]), h=int(size_wh[1]),
+                d=scene.to_path(Transform()).to_svg(),
             )
+        )
     elif out_format == "png":
-        if not render_sheet(scene, size_wh, output):
+        if output is None:
+            # no output file: show the sheet in the terminal, matching the
+            # reference tool (/root/reference/font_speciment.py:126,152-155)
+            from ..utils.debug import show_layer
+
+            show_layer(rasterize_sheet(scene, size_wh))
+        elif not render_sheet(scene, size_wh, output):
             sys.stderr.write("[error] nothing to render\n")
             return 1
     else:

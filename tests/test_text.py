@@ -361,3 +361,64 @@ def test_tspan_display_visibility(db):
         '<tspan visibility="visible">Y</tspan></tspan>cd</text>'
     )
     assert repr(reset) != repr(hidden) and repr(reset) != repr(plain)
+
+
+def test_text_path_tspan_repositioning(db):
+    """x on a tspan inside textPath re-anchors the pen's arc position
+    (SVG 1.1 10.13.2); dy shifts the baseline along the path normal.
+    Closes the last documented text-layout gap (round-2 verdict #8)."""
+    import io
+
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.frontend.svg import scene_from_xml
+
+    def cov_of(body: str):
+        svg = (
+            "<svg xmlns='http://www.w3.org/2000/svg' width='220' height='80'>"
+            "<defs><path id='c' d='M10 40 L210 40'/></defs>"
+            f"<text font-size='16'>{body}</text></svg>"
+        )
+        scene, _ids, _size = scene_from_xml(io.StringIO(svg), fonts=db)
+        assert scene is not None
+        layer, _ = scene.render(
+            Transform().matrix(0, 1, 0, 1, 0, 0), viewport=(0, 0, 80, 220)
+        )
+        img = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)
+        cov = np.zeros((80, 220), bool)
+        sub = img[..., 3] > 0.3
+        cov[layer.x:layer.x + layer.height, layer.y:layer.y + layer.width] = sub
+        return cov
+
+    # x=120 re-anchors the second run far right of where the pen would be
+    plain = cov_of("<textPath href='#c'>ab<tspan>cd</tspan></textPath>")
+    moved = cov_of("<textPath href='#c'>ab<tspan x='120'>cd</tspan></textPath>")
+    assert plain.any() and moved.any()
+    assert moved.sum(0).nonzero()[0].max() > plain.sum(0).nonzero()[0].max() + 60
+
+    # startOffset equivalence: re-anchoring to x=120 places 'cd' where a
+    # startOffset=120 textPath places it (straight path from x=10: arc 120
+    # lands at user x=130)
+    anchored = cov_of(
+        "<textPath href='#c' startOffset='120'>cd</textPath>"
+    )
+    moved_only = moved & ~plain  # the 'cd' ink (ab overlaps plain)
+    a_cols = anchored.sum(0).nonzero()[0]
+    m_cols = moved_only.sum(0).nonzero()[0]
+    assert abs(int(a_cols.min()) - int(m_cols.min())) <= 2
+
+    # x+y together: the new POINT projects onto the path (closest point).
+    # The path starts at user x=10, so projecting (120, 70) re-anchors to
+    # arc 110 — 10 px left of the arc-offset-120 anchor (x alone is a new
+    # absolute offset ALONG the path per SVG 1.1 10.13.2, not a user-space
+    # coordinate)
+    proj = cov_of(
+        "<textPath href='#c'>ab<tspan x='120' y='70'>cd</tspan></textPath>"
+    )
+    p_cols = (proj & ~plain).sum(0).nonzero()[0]
+    assert abs(int(p_cols.min()) - (int(m_cols.min()) - 10)) <= 2
+
+    # dy shifts the baseline off the path; rows move down
+    dy = cov_of("<textPath href='#c'>ab<tspan dy='20'>cd</tspan></textPath>")
+    dy_rows = (dy & ~plain).sum(1).nonzero()[0]
+    base_rows = (moved_only).sum(1).nonzero()[0]
+    assert dy_rows.max() > base_rows.max() + 10

@@ -80,3 +80,40 @@ def test_specimen_sheet(tmp_path):
     assert img.shape[:2] == (80, 32)
     # black ink present on the white background
     assert (img[..., :3].min(-1) < 0.5).sum() > 20
+
+
+def test_specimen_output_dispatch(tmp_path, capsys, monkeypatch):
+    """No output -> terminal preview; '-' -> stdout; text formats too
+    (round-2 verdict: output='-' used to create a file literally named '-')."""
+    from svgrasterize_tpu.tools import specimen as spec
+
+    src = tmp_path / "font.svg"
+    src.write_text(
+        '<svg xmlns="http://www.w3.org/2000/svg"><defs>'
+        '<font id="f"><font-face font-family="Tiny" units-per-em="1000"/>'
+        '<glyph unicode="a" horiz-adv-x="500" d="M100 0 L400 0 L400 600 L100 600 Z"/>'
+        "</font></defs></svg>"
+    )
+    monkeypatch.chdir(tmp_path)
+
+    # no output + png: renders to the terminal (truecolor half-blocks)
+    shown = []
+    monkeypatch.setattr(
+        "svgrasterize_tpu.utils.debug.show_layer",
+        lambda layer, out=None: shown.append(np.asarray(layer.image).shape),
+    )
+    assert spec.main([str(src), "-s", "16", "--cols", "2"]) == 0
+    assert shown and shown[0][-1] == 4
+    assert not os.path.exists(str(tmp_path / "-"))
+
+    # text formats with no output go to stdout, and '-' means stdout too
+    assert spec.main([str(src), "-f", "path", "-s", "16"]) == 0
+    out1 = capsys.readouterr().out
+    assert "M" in out1 or "L" in out1
+    assert spec.main([str(src), "-", "-f", "svg", "-s", "16"]) == 0
+    assert "<svg" in capsys.readouterr().out
+    assert spec.main([str(src), "-", "-f", "json"]) == 0
+    import json as _json
+
+    assert isinstance(_json.loads(capsys.readouterr().out), dict)
+    assert not os.path.exists(str(tmp_path / "-"))
