@@ -235,7 +235,7 @@ def _runner_4k():
     return run, w * h / 1e6
 
 
-def _runner_atlas(replicate: int = 8, cell: int = 128):
+def _runner_atlas(replicate: int = 4, cell: int = 192):
     """Sprite-atlas batch: the 13 demo icons replicated into a >=2 Mpx
     atlas served as ONE tiled plan.  Round 2 measured a 0.2 Mpx atlas
     where per-call dispatch (~0.9 ms) dominated — the config was measuring
@@ -311,7 +311,10 @@ def bench_scene():
         run, mpx = _runner_4k()
         return run, lambda per: round(mpx / per, 2)
 
-    # phase A: build + one cheap reading per config, headline first
+    # phase A: build + one cheap reading per config, headline first.
+    # SVGR_BENCH_CONFIGS=key,key filters the matrix (debug / CPU smoke)
+    only = os.environ.get("SVGR_BENCH_CONFIGS")
+    only = {k.strip() for k in only.split(",")} if only else None
     for key, build in (
         ("material_1488_mpx_s", build_material),
         ("icons_serve_ms", build_icons),
@@ -319,10 +322,19 @@ def bench_scene():
         ("sprite_atlas_mpx_s", build_atlas),
         ("material_3840_mpx_s", build_4k),
     ):
+        if only is not None and key not in only:
+            continue
+        if key != "material_1488_mpx_s" and remaining() < 30:
+            # builds pay the (persistent-cached) compiles; a stone-cold
+            # cache can exceed any driver timeout, so bail gracefully —
+            # the cache rides ~/.cache now, so the NEXT run captures all
+            errors[key] = "skipped: bench time budget exhausted (capture)"
+            continue
         try:
             run, to_value = build()
             configs[key] = to_value(_quick_slope(run, 4))
             runners[key] = (run, to_value)
+            print(f"[bench] captured {key}={configs[key]}", file=sys.stderr)
         except Exception as exc:  # record, never sink the other configs
             errors[key] = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -2177,12 +2177,17 @@ def fallback_audit():
 
 
 def plan_features(items, bigs, clips, pool, patterns, t_size: int,
-                  num_tiles: int | None = None):
+                  num_tiles: int | None = None,
+                  subpool_rows: int | None = None):
     """Host-side: the static feature set for the fused path, or None when
     the plan (or platform) requires the XLA executor.  `items` here are the
     host numpy arrays of a lowered plan.  With num_tiles, the set carries
     the real (non-padding) item count so the kernel grid skips the
-    trailing pads."""
+    trailing pads.  subpool_rows: the caller will hand the kernel a
+    gathered sub-pool of that many rows (render_plan vpool/subpool), so
+    the VMEM budget charges the sub-pool, not the full pool capacity —
+    a 2+ Mpx sprite atlas carries 5-12k pool rows but any one launch
+    references a fraction of them."""
     mode = os.environ.get("SVGR_FUSED", "")
     _LAST_REASON[0] = None
     if mode == "0":
@@ -2277,6 +2282,8 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
         # keep the resident pool and the serial kernel)
         if share >= 0.3 and pretex():
             f.append("pretex")
+        elif subpool_rows is not None:
+            pool_rows += subpool_rows + 1  # + scratch row
         else:
             pool_rows += pool.shape[0]
     if n_pat:

@@ -42,6 +42,23 @@ DRYRUN_DOC = """
   <path d="M20 180 L128 20 L236 180 Z" fill="green"/>
 </svg>"""
 
+# multi-pass + pattern scene: group opacity and a mask force isolation
+# passes (replicated pool rows over DCN), the pattern fill forces a
+# replicated pattern atlas — the full operand-replication surface
+MULTIPASS_DOC = """
+<svg xmlns="http://www.w3.org/2000/svg" width="256" height="192">
+  <defs>
+    <mask id="m"><rect x="16" y="16" width="224" height="160" fill="white"/>
+      <circle cx="128" cy="96" r="40" fill="black"/></mask>
+    <pattern id="p" width="16" height="16" patternUnits="userSpaceOnUse">
+      <rect width="8" height="8" fill="#aa2200"/></pattern>
+  </defs>
+  <rect x="8" y="8" width="240" height="176" fill="url(#p)"/>
+  <g opacity="0.6"><rect x="40" y="40" width="120" height="80" fill="blue"/>
+    <circle cx="170" cy="120" r="50" fill="red"/></g>
+  <rect x="60" y="30" width="150" height="130" fill="#00aa88" mask="url(#m)"/>
+</svg>"""
+
 
 def initialize(coordinator: str, num_processes: int, process_id: int) -> None:
     """Wire jax.distributed; afterwards jax.devices() spans all hosts."""
@@ -63,9 +80,12 @@ def global_mesh(axis: str = "data"):
     return Mesh(np.asarray(jax.devices()), (axis,))
 
 
-def worker(coordinator: str, num_processes: int, process_id: int) -> None:
+def worker(coordinator: str, num_processes: int, process_id: int,
+           full: bool = False) -> None:
     """One process of the multi-host dryrun; prints one `[distributed] ok`
-    line on success (rank 0)."""
+    line on success (rank 0).  With full, also runs a multi-pass + pattern
+    plan (pool/atlas replication over DCN) and a sharded sprite-atlas
+    batch — the slow-lane 4-process test."""
     initialize(coordinator, num_processes, process_id)
 
     import jax
@@ -97,11 +117,50 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> None:
     total = float(jax.jit(jnp.sum)(tiles))
     finite = bool(jnp.isfinite(tiles).all())
     assert finite, "non-finite canvas on the global mesh"
+
+    if not full:
+        if process_id == 0:
+            gh, gw = lowered.grid
+            print(
+                f"[distributed] ok processes={num_processes} "
+                f"devices={n_global} grid={gh}x{gw} checksum={total:.2f}",
+                flush=True,
+            )
+        return
+
+    # stage 2: a MULTI-PASS plan with a pattern — isolation-pass pool rows
+    # and the pattern atlas replicate to every process over DCN
+    scene2, _ids2, _size2 = scene_from_str(MULTIPASS_DOC)
+    lowered2 = lower_scene(scene2, tr, (0, 0, 192, 256), False, tile=32)
+    assert lowered2 is not None and lowered2.groups, "stage 2 needs passes"
+    assert lowered2.patterns is not None, "stage 2 needs a pattern atlas"
+    tiles2 = execute_lowered(lowered2, (0, 0), False, exec_fn=sharded_exec_fn(mesh))
+    tiles2.block_until_ready()
+    assert bool(jnp.isfinite(tiles2).all())
+    total2 = float(jax.jit(jnp.sum)(tiles2))
+
+    # stage 3: a sharded sprite-atlas batch — batch documents land in
+    # disjoint tile ranges, so tile sharding is document sharding
+    from .atlas import render_atlas
+
+    docs = []
+    for color in ("#c03020", "#2060c0", "#20a040", "#a020c0"):
+        d, _i, ds = scene_from_str(
+            f"<svg xmlns='http://www.w3.org/2000/svg' width='48' height='48'>"
+            f"<circle cx='24' cy='24' r='20' fill='{color}'/></svg>"
+        )
+        docs.append((d, (float(ds[0]), float(ds[1]))))
+    atlas_layer = render_atlas(docs, cell=64, mesh=mesh)
+    atlas_layer.image.block_until_ready()
+    assert bool(jnp.isfinite(atlas_layer.image).all())
+    total3 = float(jax.jit(jnp.sum)(atlas_layer.image))
+
     if process_id == 0:
         gh, gw = lowered.grid
         print(
             f"[distributed] ok processes={num_processes} devices={n_global} "
-            f"grid={gh}x{gw} checksum={total:.2f}",
+            f"grid={gh}x{gw} checksum={total:.2f} "
+            f"multipass={total2:.2f} atlas={total3:.2f}",
             flush=True,
         )
 
@@ -113,7 +172,7 @@ def _free_port() -> int:
 
 
 def spawn_local(num_processes: int = 2, devices_per_process: int = 2,
-                timeout: float = 600.0) -> str:
+                timeout: float = 600.0, full: bool = False) -> str:
     """Run the dryrun as real separate OS processes on virtual CPU devices.
 
     This exercises the full jax.distributed path (coordinator service, DCN
@@ -138,7 +197,7 @@ def spawn_local(num_processes: int = 2, devices_per_process: int = 2,
                     sys.executable, "-m", "svgrasterize_tpu.parallel.distributed",
                     "--worker", "--coordinator", coordinator,
                     "--processes", str(num_processes), "--id", str(pid),
-                ],
+                ] + (["--full"] if full else []),
                 env=env_base,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,
@@ -168,6 +227,8 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="multi-host render dryrun")
     parser.add_argument("--worker", action="store_true",
                         help="run as one rank (internal)")
+    parser.add_argument("--full", action="store_true",
+                        help="also run the multipass + atlas stages")
     parser.add_argument("--coordinator", default=None)
     parser.add_argument("--processes", type=int, default=2)
     parser.add_argument("--id", type=int, default=0)
@@ -181,9 +242,9 @@ def main(argv=None) -> int:
             import jax
 
             jax.config.update("jax_platforms", "cpu")
-        worker(args.coordinator, args.processes, args.id)
+        worker(args.coordinator, args.processes, args.id, full=args.full)
         return 0
-    print(spawn_local(args.processes, args.devices_per_process))
+    print(spawn_local(args.processes, args.devices_per_process, full=args.full))
     return 0
 
 

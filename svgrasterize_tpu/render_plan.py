@@ -1427,8 +1427,12 @@ def _group_post_program(group, grid_w, viewport, linear_rgb, t_size):
 
 
 def _apply_group_post(canvas, pool, group, grid_w, viewport, linear_rgb, t_size,
-                      planar: bool = False):
+                      planar: bool = False, return_rows: bool = False):
     """Traceable post-op stage for one group: (canvas, pool) -> pool.
+
+    With return_rows, the level's NEW pool rows are returned directly
+    (no dynamic-update-slice into a big pool buffer) — the vpool serving
+    program keeps per-level row blocks instead; pool may be None then.
 
     Single-blur filter parts (the dominant population in filter-heavy
     scenes) execute in a few batched-matmul chunks instead of one op
@@ -1452,8 +1456,11 @@ def _apply_group_post(canvas, pool, group, grid_w, viewport, linear_rgb, t_size,
     if os.environ.get("SVGR_ABLATE", "").startswith("nopost"):
         # measurement hook: zero pool rows, no filter/gather work — the
         # serve delta vs this attributes the post-op stage's device time
-        shape = ((group["pool_n"], t_size, 4 * t_size) if pool.ndim == 3
+        is_planar = planar or (pool is not None and pool.ndim == 3)
+        shape = ((group["pool_n"], t_size, 4 * t_size) if is_planar
                  else (group["pool_n"], t_size, t_size, 4))
+        if return_rows:
+            return jnp.zeros(shape, DEVICE_FLOAT)
         return lax.dynamic_update_slice_in_dim(
             pool, jnp.zeros(shape, DEVICE_FLOAT), group["pool_lo"], axis=0
         )
@@ -1501,12 +1508,14 @@ def _apply_group_post(canvas, pool, group, grid_w, viewport, linear_rgb, t_size,
         perm = np.empty(len(pos), np.int64)
         perm[np.asarray(pos)] = np.arange(len(pos))
         new_rows = new_rows[jnp.asarray(perm, jnp.int32)]
-    if pool.ndim == 3 and not planar:
+    if pool is not None and pool.ndim == 3 and not planar:
         # per-stage callers hand interleaved rows into a planar pool:
         # convert only the level's NEW rows — never the whole pool
         new_rows = new_rows.transpose(0, 1, 3, 2).reshape(
             -1, t_size, 4 * t_size
         )
+    if return_rows:
+        return new_rows
     return lax.dynamic_update_slice_in_dim(pool, new_rows, lo, axis=0)
 
 
@@ -1599,6 +1608,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         + ":" + os.environ.get("SVGR_ZOUT", "")
         + ":" + os.environ.get("SVGR_KRES", "")
         + ":" + os.environ.get("SVGR_SUBPOOL", "")
+        + ":" + os.environ.get("SVGR_VPOOL", "")
         + ":" + os.environ.get("SVGR_KSCAN", "")
         # the prepared tex/mask scratch index is pool.shape[0]: the same
         # plan served with a tight (whole-program) vs pow2 (per-stage)
@@ -1607,8 +1617,23 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
     )
     cache = items.get("_device_cache")
     if cache is None or cache["mode"] != mode:
+        # prospective sub-pool size: with vpool/subpool on, any fused
+        # launch keeps only its referenced rows resident, so the VMEM
+        # budget must charge those, not the pool capacity (a 2+ Mpx
+        # sprite atlas carries 5-12k pool rows; one launch reads ~1/3)
+        sub_count = None
+        if pool is not None and (
+            os.environ.get("SVGR_VPOOL", "1") == "1"
+            or os.environ.get("SVGR_SUBPOOL", "0") == "1"
+        ):
+            _ti = np.asarray(items["tex_idx"])
+            _mi = np.asarray(items["mask_idx"])
+            sub_count = len(np.unique(np.concatenate(
+                [_ti[_ti >= 0], _mi[_mi >= 0]]
+            )))
         features = plan_features(
-            items, bigs, clips, pool, patterns, t_size, num_tiles
+            items, bigs, clips, pool, patterns, t_size, num_tiles,
+            subpool_rows=sub_count,
         )
         # a plan whose canvas exceeds the VMEM budget can split into
         # resident-canvas (vout) launches over tile ranges (SVGR_CHUNK_VOUT
@@ -1649,9 +1674,17 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
         pool_sub = None
         if (
             features is not None
-            and os.environ.get("SVGR_SUBPOOL", "0") == "1"
-            and "pretex" not in features
             and ("tex" in features or "mask" in features)
+            and (
+                (os.environ.get("SVGR_SUBPOOL", "0") == "1"
+                 and "pretex" not in features)
+                # vpool (virtual pool, see _whole_plan fn): EVERY
+                # pool-consuming fused launch takes a gathered sub-pool so
+                # the big pool buffer never materializes — levels keep
+                # their output rows as separate blocks and the per-level
+                # whole-pool DUS copy disappears
+                or os.environ.get("SVGR_VPOOL", "1") == "1"
+            )
         ):
             # launch-local pool (same scheme as _chunk_fused_plan): the
             # kernel's resident operand becomes a gather of just the rows
@@ -1674,7 +1707,7 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
                 host["mask_idx"] = np.where(
                     mi >= 0, lut[np.maximum(mi, 0)], mi
                 ).astype(mi.dtype)
-                pool_sub = jnp.asarray(rows.astype(np.int32))
+                pool_sub = rows.astype(np.int32)
         dev = {k: jnp.asarray(v) for k, v in host.items()}
         if features is not None and "pat" in features:
             from .ops.fused_exec import pattern_rows
@@ -1688,7 +1721,8 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
             "bigs": tuple(jnp.asarray(b) for b in bigs),
             "clips": jnp.asarray(clips) if clips.shape[0] else None,
             "features": features,
-            "pool_rows": pool_sub,
+            "pool_rows": jnp.asarray(pool_sub) if pool_sub is not None else None,
+            "pool_rows_np": pool_sub,  # host copy: vpool block slicing
         }
         if features is not None and os.environ.get("SVGR_PREPARED") != "0":
             # scene-static fused prep (lane-broadcast winding params +
@@ -2124,7 +2158,7 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
         t_size, num_tiles,
     )
 
-    def _run(cache, ops, rows, pool, patterns):
+    def _run(cache, ops, rows, pool, patterns, pool_is_sub=False):
         # every stage canvas stays channel-planar (N, T, 4T): the fused
         # kernel's native output layout, consumed as-is by the filter
         # batches and the pool — one whole-canvas shuffle copy per launch
@@ -2154,7 +2188,8 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
                 ))
             return jnp.concatenate(parts, axis=0)
         if cache["features"] is not None:
-            if pool is not None and cache.get("pool_rows") is not None:
+            if (pool is not None and cache.get("pool_rows") is not None
+                    and not pool_is_sub):
                 # launch-local pool: referenced rows + the scratch row
                 # (frees the full pool buffer for in-place level updates)
                 pool = jnp.concatenate(
@@ -2180,11 +2215,74 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
             ]}
         return {"items": cache["items"], "prepared": cache.get("prepared")}
 
+    def _stage_vpool_ok(g_needs_pool, cache):
+        if not g_needs_pool:
+            return True
+        f = cache["features"]
+        if f is None or cache.get("chunks"):
+            return False
+        if "tex" not in f and "mask" not in f:
+            return True  # receives the pool but never reads it
+        return cache.get("pool_rows_np") is not None
+
+    # vpool: the big pool buffer never materializes — each level keeps its
+    # output rows as a separate block and every pool-consuming launch takes
+    # a gathered sub-pool assembled from the blocks.  This deletes the
+    # per-level whole-pool dynamic-update-slice, whose copy triple
+    # re-materialized the 16.6 MB icons.svg pool ~3x per serve (XLA will
+    # not alias the DUS around the kernel custom-calls).
+    use_vpool = bool(
+        groups
+        and os.environ.get("SVGR_VPOOL", "1") == "1"
+        and all(
+            _stage_vpool_ok(g["needs_pool"], gc)
+            for g, gc in zip(groups, g_caches)
+        )
+        and _stage_vpool_ok(True, main_cache)
+    )
+
+    def _vpool_gather(blocks, rows_np):
+        """Sub-pool for one launch: the launch's referenced rows sliced
+        out of the emission-ordered level blocks, + the scratch row."""
+        parts = []
+        for lo, n, arr in blocks:
+            sel = rows_np[(rows_np >= lo) & (rows_np < lo + n)] - lo
+            if not len(sel):
+                continue
+            if sel[-1] - sel[0] + 1 == len(sel):
+                parts.append(arr[int(sel[0]):int(sel[-1]) + 1])
+            else:
+                parts.append(arr[jnp.asarray(sel, jnp.int32)])
+        parts.append(jnp.zeros((1, t_size, 4 * t_size), DEVICE_FLOAT))
+        return jnp.concatenate(parts, axis=0)
+
     # the scene-static prepared arrays (expanded winding params, pre-pass
     # winding stacks) enter as PROGRAM ARGUMENTS, not closure captures —
     # captured concrete arrays would be embedded in the executable as
     # constants (100+ MB programs, useless persistent-cache entries)
     def fn(g_ops, main_ops, atlas):
+        if use_vpool:
+            blocks: list = []  # (pool_lo, n_rows, planar rows)
+
+            def sub_pool(cache, needs):
+                if not needs or cache.get("pool_rows_np") is None:
+                    return None
+                return _vpool_gather(blocks, cache["pool_rows_np"])
+
+            for g, gc, ops in zip(groups, g_caches, g_ops):
+                canvas = _run(
+                    gc, ops, g["rows"], sub_pool(gc, g["needs_pool"]),
+                    atlas if bool((g["items"]["pat_idx"] >= 0).any()) else None,
+                    pool_is_sub=True,
+                )
+                rows_new = _apply_group_post(
+                    canvas, None, g, grid_w, viewport, linear_rgb, t_size,
+                    planar=True, return_rows=True,
+                )
+                blocks.append((g["pool_lo"], g["pool_n"], rows_new))
+            return _run(main_cache, main_ops, num_tiles,
+                        sub_pool(main_cache, True),
+                        atlas if main_pat else None, pool_is_sub=True)
         # channel-planar pool (+1 trailing scratch row for idx == -1
         # gathers) end-to-end: the executors consume it as-is instead of
         # paying a whole-pool concatenate + layout transpose per launch
