@@ -46,9 +46,18 @@ TARGET_CHAIN_S = float(os.environ.get("SVGR_BENCH_CHAIN_S", "0.2"))
 def _quick_slope(run, k: int = 8) -> float:
     """One slope reading between 1 and 1+k chained executions.  Chained
     slopes cancel dispatch latency, transfers, and compile time — robust on
-    remote-tunnel TPU setups where block_until_ready can return early."""
-    t1 = run(1)
-    tk = run(1 + k)
+    remote-tunnel TPU setups where block_until_ready can return early.
+
+    Tunnel jitter is multi-ms per force, so a short chain can read
+    t(1+k) <= t(1); retry with doubled chains until the slope is positive
+    (a non-positive capture would ship an absurd value if the refine pass
+    ever runs out of budget)."""
+    for _ in range(6):
+        t1 = run(1)
+        tk = run(1 + k)
+        if tk > t1:
+            return (tk - t1) / k
+        k *= 2
     return max((tk - t1) / k, 1e-9)
 
 
