@@ -188,16 +188,23 @@ def plan_level(parts, grid_w: int, viewport, t_size: int):
         return len(items) * max(si, so) * spx
 
     def dclass(s):
-        # pow2 class of the part's largest tile dimension: chunk dims are
-        # the max over members, so mixing 1x1 parts into a 6x6 chunk pads
+        # class of the part's largest tile dimension: chunk dims are the
+        # max over members, so mixing 1x1 parts into a 6x6 chunk pads
         # every member to the max (icons.svg level 0: 36 parts, 15 of
         # them 1x1, padded to 6x6 — ~4x the real pixels through every
-        # gather/convert/matmul/re-tile of the chunk)
+        # gather/convert/matmul/re-tile of the chunk).  EXACT max-dim
+        # classes by default: pow2 classes padded every 5-6-tile part to
+        # 8 (sprite atlas at cell 192: ~1.8x the pixels through the whole
+        # chunk pipeline).  SVGR_CHUNK_POW2=1 restores pow2 classes when
+        # bounding the compiled-shape count matters more than per-call
+        # cost (one-shot renders of scenes with many distinct part sizes)
         d = max(s["nsi"], s["nsj"], s["noi"], s["noj"])
-        p = 1
-        while p < d:
-            p *= 2
-        return p
+        if os.environ.get("SVGR_CHUNK_POW2", "0") != "0":
+            p = 1
+            while p < d:
+                p *= 2
+            return p
+        return d
 
     for chain_linear, group in by_sig.items():
         by_class: dict = {}
@@ -275,32 +282,43 @@ def _build_chunk(group, grid_w: int, t_size: int, chain_linear: bool) -> dict:
 
 def _planar_convert(x, to_straight: bool, gamma: str | None, axis: int = 1):
     """Layer.convert math on channel-planar batches; the same piecewise
-    formulas as core.color, with channels on `axis` (4 entries)."""
+    formulas as core.color, with channels on `axis` (4 entries).
+
+    All steps are channel-mask selects over the full batch instead of
+    rgb/alpha slice + concatenate: the concat materialized a whole-batch
+    copy per convert on device (206 us/call on the sprite-atlas trace),
+    while the selects fuse into one elementwise loop.  The rgb formulas
+    run on the alpha lane too and get masked out — fused elementwise is
+    bandwidth-bound, so the extra 1/4 of lanes is free."""
     import jax.numpy as jnp
     from jax import lax
 
-    rgb = lax.slice_in_dim(x, 0, 3, axis=axis)
-    alpha = lax.slice_in_dim(x, 3, 4, axis=axis)
+    cshape = [1] * x.ndim
+    cshape[axis] = 4
+    is_rgb = jnp.arange(4).reshape(cshape) < 3
+    alpha = lax.slice_in_dim(x, 3, 4, axis=axis)  # broadcasts over `axis`
     if to_straight:
-        safe = jnp.where(alpha > 0.0001, alpha, 1.0)
-        rgb = jnp.where(alpha > 0.0001, rgb / safe, rgb)
-        rgb = jnp.clip(rgb, 0, 1)
-        alpha = jnp.clip(alpha, 0, 1)
+        pos = alpha > 0.0001
+        safe = jnp.where(pos, alpha, 1.0)
+        x = jnp.where(is_rgb & pos, x / safe, x)
+        x = jnp.clip(x, 0, 1)  # reference clips rgb AND alpha here
     if gamma == "to_linear":
-        rgb = jnp.where(
-            rgb <= 0.04045,
-            rgb / 12.92,
-            jnp.power(jnp.maximum((rgb + 0.055) / 1.055, 1e-12), 2.4),
+        g = jnp.where(
+            x <= 0.04045,
+            x / 12.92,
+            jnp.power(jnp.maximum((x + 0.055) / 1.055, 1e-12), 2.4),
         )
+        x = jnp.where(is_rgb, g, x)
     elif gamma == "to_srgb":
-        rgb = jnp.where(
-            rgb <= 0.0031308,
-            rgb * 12.92,
-            1.055 * jnp.power(jnp.maximum(rgb, 1e-12), 1.0 / 2.4) - 0.055,
+        g = jnp.where(
+            x <= 0.0031308,
+            x * 12.92,
+            1.055 * jnp.power(jnp.maximum(x, 1e-12), 1.0 / 2.4) - 0.055,
         )
+        x = jnp.where(is_rgb, g, x)
     if not to_straight:  # straight -> premultiplied
-        rgb = rgb * alpha
-    return jnp.concatenate([rgb, alpha], axis=axis)
+        x = jnp.where(is_rgb, x * alpha, x)
+    return x
 
 
 def _apply_chunk_folded(rows, ck: dict, t_size: int, linear_rgb: bool):
@@ -413,31 +431,35 @@ def apply_chunk(canvas, ck: dict, t_size: int, linear_rgb: bool,
         gamma_out = "to_srgb" if chain_linear else "to_linear"
     span = _planar_convert(span, to_straight=True, gamma=gamma_in)
 
-    # 3. crop + blur + placement as one pair of banded matmuls
-    bh = jnp.broadcast_to(jnp.asarray(ck["bh"])[:, None], (B, 4, Ho, H))
-    bw = jnp.broadcast_to(jnp.asarray(ck["bw"])[:, None], (B, 4, Wo, W))
-    z = jax.lax.dot_general(  # (B, 4, Ho, W)
-        bh, span, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+    # 3. crop + blur + placement as one pair of banded matmuls.  The
+    # channel axis rides as a FREE dim of the rhs (not a batch dim): a
+    # batch dim would force the band matrices to broadcast per channel
+    # (4x the operand traffic) and shrink each matmul's free extent 4x
+    bh = jnp.asarray(ck["bh"])  # (B, Ho, H)
+    bw = jnp.asarray(ck["bw"])  # (B, Wo, W)
+    z = jax.lax.dot_general(  # (B, Ho, 4, W)
+        bh, span, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         precision=hi,
     )
-    out_span = jax.lax.dot_general(  # (B, 4, Ho, Wo)
-        z, bw, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+    out_span = jax.lax.dot_general(  # (B, Ho, 4, Wo)
+        z, bw, dimension_numbers=(((3,), (2,)), ((0,), (0,))),
         precision=hi,
     )
 
-    out_span = _planar_convert(out_span, to_straight=False, gamma=gamma_out)
+    out_span = _planar_convert(out_span, to_straight=False, gamma=gamma_out,
+                               axis=2)
 
     # 4. back to tiles; one whole-row gather into pool order
     if planar:
         tiles = (
-            out_span.reshape(B, 4, NOi, T, NOj, T)
-            .transpose(0, 2, 4, 3, 1, 5)
+            out_span.reshape(B, NOi, T, 4, NOj, T)
+            .transpose(0, 1, 4, 2, 3, 5)
             .reshape(B * NOi * NOj, T, 4 * T)
         )
     else:
         tiles = (
-            out_span.reshape(B, 4, NOi, T, NOj, T)
-            .transpose(0, 2, 4, 3, 5, 1)
+            out_span.reshape(B, NOi, T, 4, NOj, T)
+            .transpose(0, 1, 4, 2, 5, 3)
             .reshape(B * NOi * NOj, T, T, 4)
         )
     return tiles[jnp.asarray(ck["out_idx"])]  # (n_out, ...)
