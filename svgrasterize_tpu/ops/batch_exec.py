@@ -198,6 +198,11 @@ def _raster_item(item, t_size: int):
     paint = _paint_item(item, item["tile_r"], item["tile_c"], t_size, item.get("_pat_tex"))
     if "_tex" in item:
         paint = jnp.where(item["tex_idx"] >= 0, item["_tex"], paint)
+    if "_field" in item:
+        # collapsed-run items (render_plan._collapse_runs): the paint IS a
+        # host-precomposed premultiplied RGBA field, composed at full
+        # coverage (ones carry, no clip/opacity)
+        paint = jnp.where(item["field_idx"] >= 0, item["_field"], paint)
     return mask[..., None] * paint
 
 
@@ -239,11 +244,20 @@ def execute_items(
     items["clip_idx"] (-1 gathers the appended all-ones row).
     """
     n = items["tile_id"].shape[0]
+    items = dict(items)
+    # the collapsed-run field stack is plan-global, not per-item — keep it
+    # out of the per-item chunking and gather rows per chunk below
+    field_stack = items.pop("field", None)
     chunk_items = min(n, CHUNK_ITEMS)  # small passes stay small
     num_chunks = n // chunk_items
     chunked = jax.tree_util.tree_map(
         lambda a: a.reshape(num_chunks, chunk_items, *a.shape[1:]), items
     )
+    if field_stack is not None:
+        field_padded = jnp.concatenate(
+            [field_stack,
+             jnp.zeros((1, t_size, t_size, 4), DEVICE_FLOAT)], axis=0
+        )
 
     if big_lines is not None and not isinstance(big_lines, (tuple, list)):
         big_lines = (big_lines,)
@@ -296,6 +310,11 @@ def execute_items(
             pat_idx = chunk["pat_idx"]
             merged["_pat_tex"] = pats_padded[
                 jnp.where(pat_idx >= 0, pat_idx, patterns.shape[0])
+            ]
+        if field_stack is not None:
+            fidx = chunk["field_idx"]
+            merged["_field"] = field_padded[
+                jnp.where(fidx >= 0, fidx, field_stack.shape[0])
             ]
         rgba = jax.vmap(lambda it: _raster_item(it, t_size))(merged)
 

@@ -1727,6 +1727,17 @@ def prepare_fused(
         fields = jax.vmap(
             lambda it, tr, tc: _paint_item(it, tr, tc, T)
         )(sub, items["tile_r"].astype(f32), items["tile_c"].astype(f32))
+        if "field_idx" in items:
+            # collapsed-run items: the streamed paint IS the precomposed
+            # premultiplied RGBA field (full-coverage carry makes the
+            # kernel's compose exactly P + acc * (1 - P.alpha))
+            fidx = items["field_idx"].astype(jnp.int32)
+            stack = items["field"].astype(f32)
+            fields = jnp.where(
+                (fidx >= 0)[:, None, None, None],
+                stack[jnp.maximum(fidx, 0)],
+                fields,
+            )
         prepared["grad_field"] = (
             fields.astype(f32).transpose(0, 1, 3, 2).reshape(n, T, 4 * T)
         )
@@ -2226,9 +2237,18 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
         if (1 + ("clip" in f)) * t_size <= LANES:
             f.append("wpack")
     kinds = items["kind"]
-    if ((kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)).any():
+    # collapsed-run field items (render_plan._collapse_runs) deliver their
+    # precomposed paint through the pregrad stream — prepare_fused swaps
+    # the item's pre-rendered paint for the packed field row
+    has_field = "field_idx" in items and (items["field_idx"] >= 0).any()
+    if ((kinds == PAINT_LINEAR) | (kinds == PAINT_RADIAL)).any() or has_field:
         if pregrad():
             f.append("pregrad_paint")
+        elif has_field:
+            return _fallback(
+                "collapsed field items require the pregrad paint stream "
+                "(SVGR_PREGRAD=0 set with SVGR_COLLAPSE on)"
+            )
         else:
             f.append("grad")
             n_stops = items.get("n_stops")

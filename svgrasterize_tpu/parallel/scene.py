@@ -86,6 +86,10 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
         m_dev, s_big = 0, 0
 
     items = {k: v for k, v in items.items() if not k.startswith("_")}
+    # the collapsed-run field stack (render_plan._collapse_runs) is
+    # plan-global: replicate it per device (field_idx stays valid on every
+    # shard), like the clip stack — never split it along the item axis
+    field_stack = items.pop("field", None)
     # Padding rows must follow the single-chip pack's pad conventions
     # (render_plan._pack): index fields pad with -1 — a zero fill would make
     # every pad item read as "uses pattern/texture/mask row 0", which both
@@ -93,7 +97,7 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
     # pattern-free sharded program as "pattern paints without an atlas".
     pad_fill = {
         "big_idx": -1, "tex_idx": -1, "mask_idx": -1,
-        "clip_idx": -1, "pat_idx": -1,
+        "clip_idx": -1, "pat_idx": -1, "field_idx": -1,
         "stop_offsets": 1.0, "pat_wh": 1.0,
     }
     stacked = {
@@ -138,6 +142,11 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
                 pos[d, sel] = np.arange(len(sel), dtype=np.int32)
         stacked["pat_rows"] = rows
         stacked["pat_pos"] = pos
+
+    if field_stack is not None:
+        stacked["field"] = np.broadcast_to(
+            field_stack[None], (n_devices, *field_stack.shape)
+        ).copy()
 
     return stacked, stacked_big, tiles_per_dev
 

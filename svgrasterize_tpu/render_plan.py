@@ -303,12 +303,52 @@ def _host_winding(edges: np.ndarray, tile: int) -> np.ndarray:
     the executors consume the resulting field verbatim, so host/device fp
     agreement is not required, only accuracy.
     """
+    return _edge_contrib(edges.astype(np.float64), tile).sum(axis=0)
+
+
+def _host_winding_batch(edge_arrays: list, tile: int) -> np.ndarray:
+    """Per-record winding fields for many edge lists in one batched pass.
+
+    The naive per-record _host_winding loop pays numpy dispatch overhead
+    per record (~6 ms each at tile 32); static-run collapse needs fields
+    for thousands of records, so this concatenates every list, evaluates
+    per-edge contributions in bounded chunks, and segment-reduces by the
+    (sorted) owner index.  Returns (R, tile, tile) f64.
+    """
+    counts = np.array([a.shape[0] for a in edge_arrays], np.int64)
+    out = np.zeros((len(edge_arrays), tile, tile), np.float32)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    # f32 throughout: the per-edge temporaries dominate (memory traffic,
+    # ~0.7 GB/pass at 80k edges on material), the executors consume f32,
+    # and coverage error ~1e-6 sits far inside every tolerance
+    e = np.concatenate(
+        [a for a in edge_arrays if a.shape[0]], axis=0
+    ).astype(np.float32)
+    owner = np.repeat(np.arange(len(edge_arrays)), counts)
+    chunk = max(256, (1 << 23) // (tile * tile))
+    for lo in range(0, total, chunk):
+        hi = min(lo + chunk, total)
+        contrib = _edge_contrib(e[lo:hi], tile)
+        ow = owner[lo:hi]
+        bounds = np.concatenate([[0], 1 + np.nonzero(np.diff(ow))[0]])
+        out[ow[bounds]] += np.add.reduceat(contrib, bounds, axis=0)
+    return out
+
+
+def _edge_contrib(edges: np.ndarray, tile: int) -> np.ndarray:
+    """(S, tile, tile) per-edge winding contributions (see _host_winding).
+
+    Computes in the caller's dtype: f64 for clip fields (_host_winding),
+    f32 for the collapse batch where temporaries dominate wall time.
+    """
     if edges.shape[0] == 0:
-        return np.zeros((tile, tile))
-    e = edges.astype(np.float64)
+        return np.zeros((0, tile, tile), edges.dtype)
+    e = edges if edges.dtype in (np.float32, np.float64) else edges.astype(np.float64)
     a0, a1, b0, b1 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
-    rows = np.arange(tile, dtype=np.float64)[None, :, None]  # (1,T,1)
-    cols = np.arange(tile, dtype=np.float64)[None, None, :]  # (1,1,T)
+    rows = np.arange(tile, dtype=e.dtype)[None, :, None]  # (1,T,1)
+    cols = np.arange(tile, dtype=e.dtype)[None, None, :]  # (1,1,T)
     sign = np.sign(b0 - a0)[:, None, None]
     y_lo = np.minimum(a0, b0)
     y_hi = np.maximum(a0, b0)
@@ -325,16 +365,26 @@ def _host_winding(edges: np.ndarray, tile: int) -> np.ndarray:
     g1 = (cols + 1.0) - x_hi
 
     def antideriv(t):
-        return np.where(t <= 0, 0.0, np.where(t >= 1, t - 0.5, 0.5 * t * t))
+        # piecewise 0 / 0.5 t^2 / t - 0.5 without nested np.where: the
+        # (S,T,T) temporaries dominate wall time on the collapse batch
+        u = np.clip(t, 0.0, 1.0)
+        u *= u
+        u *= 0.5
+        u += np.maximum(t - 1.0, 0.0)
+        return u
 
-    den = g1 - g0
+    # g1 - g0 == slope (lo - hi): constant along columns, so den/safe stay
+    # (S, T, 1) instead of full (S, T, T)
+    den = slope[:, None, None] * (lo - hi)
     safe = np.abs(den) > 1e-12
-    mean = np.where(
-        safe,
-        (antideriv(g1) - antideriv(g0)) / np.where(safe, den, 1.0),
-        np.clip(0.5 * (g0 + g1), 0.0, 1.0),
-    )
-    return (sign * dy * mean).sum(axis=0)
+    num = antideriv(g1)
+    num -= antideriv(g0)
+    num /= np.where(safe, den, 1.0)
+    mid = 0.5 * (g0 + g1)
+    np.clip(mid, 0.0, 1.0, out=mid)
+    mean = np.where(safe, num, mid)
+    mean *= sign * dy
+    return mean
 
 
 def _coverage_np(wind: np.ndarray, rule: int) -> np.ndarray:
@@ -1058,6 +1108,100 @@ class _Builder:
             r for i, r in enumerate(records) if i >= last_occ.get(r[0], -1)
         ]
 
+    def _collapse_runs(self, records: list):
+        """Collapse z-consecutive scene-static solid items per tile into one
+        precomposed full-coverage "field" item.
+
+        The kernels' per-item cost (serial K-loop + scalar-core overhead,
+        ~0.15-0.37 us/item on v5e) is the material-design floor, so fewer,
+        fatter items beat faster per-item code.  A run of consecutive
+        same-tile records whose paint is a plain solid with no pool /
+        pattern reads is scene-static end to end: each member's coverage
+        (winding + carry, fill rule, precomputed clip, opacity) and its
+        premultiplied color are known at lowering time, so the run's
+        OVER-composite is a fixed premultiplied RGBA field P whose alpha
+        plane is A = 1 - prod(1 - a_i cov_i).  Emitting P as ONE
+        full-coverage item (ones carry, no edges, rule 0) reproduces the
+        run exactly in both executors: acc' = P + acc (1 - A).  The field
+        streams through the pregrad paint path (ops/fused_exec
+        prepare_fused overrides the item's pre-rendered paint), so the
+        fused kernel needs no new code — a field item is a "solid" whose
+        streamed paint happens to be P.  material-design @1488 collapses
+        3730 -> 2131 items at tile 32.  SVGR_COLLAPSE=0 disables (A/B).
+
+        Returns (records, field_stack | None) where field_stack is
+        (F, T, T, 4) f32 premultiplied RGBA, referenced by the replacement
+        records' params["_field_row"].
+        """
+        if os.environ.get("SVGR_COLLAPSE", "1") == "0" or len(records) < 2:
+            return records, None
+
+        def eligible(r):
+            p = r[5]
+            return (
+                p["kind"] == PAINT_SOLID
+                and int(p["pat_idx"]) < 0
+                and r[10] < 0 and r[11] < 0
+            )
+
+        runs: list = []  # (start, end) half-open index ranges
+        i, n = 0, len(records)
+        while i < n:
+            if not eligible(records[i]):
+                i += 1
+                continue
+            j = i
+            while (j + 1 < n and records[j + 1][0] == records[i][0]
+                   and eligible(records[j + 1])):
+                j += 1
+            if j > i:
+                runs.append((i, j + 1))
+            i = j + 1
+        if not runs:
+            return records, None
+
+        members = [k for i0, i1 in runs for k in range(i0, i1)]
+        winds = _host_winding_batch(
+            [records[k][2] for k in members], self.tile
+        )
+        wind_of = dict(zip(members, winds))
+        T = self.tile
+        empty = np.zeros((0, 4), DEVICE_FLOAT)
+        ones = np.ones(T, DEVICE_FLOAT)
+        fields: list = []
+        out: list = []
+        pos = 0
+        for i0, i1 in runs:
+            out.extend(records[pos:i0])
+            pos = i1
+            P = np.zeros((T, T, 4))
+            for k in range(i0, i1):
+                r = records[k]
+                # mirror batch_exec._raster_item's mask semantics exactly:
+                # fill rule, precomputed clip, the 1e-6 floor, then opacity
+                cov = _coverage_np(
+                    wind_of[k] + r[3].astype(np.float64)[:, None], r[6]
+                )
+                if r[4] is not None:
+                    cov = cov * r[4]
+                cov = np.where(cov < 1e-6, 0.0, cov) * float(r[7])
+                color = np.asarray(r[5]["color"], np.float64)
+                P = color * cov[..., None] + P * (
+                    1.0 - float(color[3]) * cov[..., None]
+                )
+            first = records[i0]
+            params = _paint_params(
+                np.zeros(4, DEVICE_FLOAT), None, None, True
+            )
+            params["_field_row"] = len(fields)
+            fields.append(P)
+            out.append((
+                first[0], first[1], empty, ones, None, params,
+                0, 1.0, first[8], first[9], -1, -1,
+            ))
+        out.extend(records[pos:])
+        return out, np.stack(fields).astype(DEVICE_FLOAT)
+
     def _pack(self, records: list, pad_tile: int | None = None):
         """Sorted records -> (items dict, big-class tuple, clip array).
 
@@ -1074,6 +1218,7 @@ class _Builder:
         from .ops.batch_exec import CHUNK_BIG, SMALL_SEGS
 
         records = self._cull_occluded(records)
+        records, field_stack = self._collapse_runs(records)
         if pad_tile is None:
             pad_tile = self.num_tiles
         n = len(records)
@@ -1198,6 +1343,16 @@ class _Builder:
             "pat_lo": np.zeros((n_pad, 2), np.int32),
             "pat_max": np.zeros((n_pad, 2), np.int32),
         }
+        if field_stack is not None:
+            # collapsed-run paint fields (_collapse_runs): the (F, T, T, 4)
+            # stack is plan-global (NOT per-item — every consumer that
+            # slices/permutes/shards the per-item arrays must pass it
+            # through whole), referenced by field_idx
+            f_pad = _bucket(field_stack.shape[0], 8)
+            stack = np.zeros((f_pad, self.tile, self.tile, 4), DEVICE_FLOAT)
+            stack[: field_stack.shape[0]] = field_stack
+            items["field"] = stack
+            items["field_idx"] = np.full(n_pad, -1, np.int32)
         for i, (tile_id, _z, edges, carry, clip_cov, params,
                 rule, opacity, tr_origin, tc_origin, tex_idx, mask_idx) in enumerate(records):
             edges = banded(edges)
@@ -1226,6 +1381,8 @@ class _Builder:
             items["n_stops"][i] = min(params["_n_stops"], k_bucket)
             items["stop_offsets"][i] = params["stop_offsets"][:k_bucket]
             items["stop_colors"][i] = params["stop_colors"][:k_bucket]
+            if field_stack is not None:
+                items["field_idx"][i] = params.get("_field_row", -1)
 
         # pack big classes; big_idx is a row into the concatenated stack
         bigs: list[np.ndarray] = []
@@ -1668,7 +1825,10 @@ def _device_plan(items, bigs, clips, pool, patterns, t_size, num_tiles=None):
             if perm is not None:
                 n = items["tile_id"].shape[0]
                 host = {
-                    k: (v[perm] if getattr(v, "shape", ())[:1] == (n,) else v)
+                    # "field" is the plan-global stack — its row count can
+                    # coincide with n, so exclude it by name, not shape
+                    k: (v[perm] if k != "field"
+                        and getattr(v, "shape", ())[:1] == (n,) else v)
                     for k, v in host.items()
                 }
         pool_sub = None
@@ -1858,17 +2018,21 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles, for_vout=False):
             npad *= 2
         sub = {}
         for k, v in items.items():
-            if k.startswith("_"):
+            if k.startswith("_") or k == "field":
                 continue
             arr = np.zeros((npad, *v.shape[1:]), v.dtype)
             arr[:cnt] = v[i0:i1]
             sub[k] = arr
+        if "field" in items:
+            sub["field"] = items["field"]  # plan-global stack, not per-item
         chunk_tiles = t1 - t0
         sub["tile_id"][:cnt] -= t0
         sub["tile_id"][cnt:] = chunk_tiles
         sub["stop_offsets"][cnt:] = 1.0
         for key in ("big_idx", "clip_idx", "tex_idx", "mask_idx", "pat_idx"):
             sub[key][cnt:] = -1
+        if "field_idx" in sub:
+            sub["field_idx"][cnt:] = -1
 
         def remap(idx_key, rows_all):
             rows = np.unique(sub[idx_key][:cnt][sub[idx_key][:cnt] >= 0])

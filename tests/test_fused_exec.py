@@ -21,6 +21,16 @@ from svgrasterize_tpu.core.transform import Transform
 TR = Transform().matrix(0, 1, 0, 1, 0, 0)
 
 
+@pytest.fixture(autouse=True)
+def _no_collapse(monkeypatch):
+    # these tests construct specific stack/mode scenarios (big classes to
+    # chunk, resident pools, per-item solid-skip conds) that the static-run
+    # collapse would precompose into field items before the scenario ever
+    # materializes — pin it off here.  Collapse x fused coverage lives in
+    # tests/test_collapse.py and the fuzz sweep (collapse is default-on).
+    monkeypatch.setenv("SVGR_COLLAPSE", "0")
+
+
 def _compare(svg: str, viewport, tol=1e-5, tile=None, vout=True):
     scene, _ids, _size = scene_from_str(svg)
     lowered = rp.lower_scene(scene, TR, viewport, False, tile=tile)
