@@ -8,8 +8,6 @@ unchanged vs SVGR_COLLAPSE=0, (c) the interpreter oracle still agrees,
 (d) the sharded path replicates the plan-global field stack correctly.
 """
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,14 +47,16 @@ DOC = """
 """
 
 
-def _plan(doc, collapse):
-    os.environ["SVGR_COLLAPSE"] = collapse
+def _plan(doc, collapse, monkeypatch):
+    # monkeypatch (not manual os.environ mutation) so any pre-existing
+    # SVGR_COLLAPSE value is restored after the test
+    monkeypatch.setenv("SVGR_COLLAPSE", collapse)
+    scene, _ids, size = scene_from_str(doc)
+    w, h = int(size[0]), int(size[1])
     try:
-        scene, _ids, size = scene_from_str(doc)
-        w, h = int(size[0]), int(size[1])
         return lower_scene(scene, TR, (0, 0, h, w), False), (w, h)
     finally:
-        os.environ.pop("SVGR_COLLAPSE", None)
+        monkeypatch.delenv("SVGR_COLLAPSE", raising=False)
 
 
 def _n_field(lowered):
@@ -64,9 +64,9 @@ def _n_field(lowered):
     return 0 if fidx is None else int((fidx >= 0).sum())
 
 
-def test_collapse_fires_and_matches_uncollapsed():
-    low0, _ = _plan(DOC, "0")
-    low1, _ = _plan(DOC, "1")
+def test_collapse_fires_and_matches_uncollapsed(monkeypatch):
+    low0, _ = _plan(DOC, "0", monkeypatch)
+    low1, _ = _plan(DOC, "1", monkeypatch)
     assert _n_field(low0) == 0
     assert _n_field(low1) > 0
     a = _tiles(execute_lowered(low0, (0, 0), False))
@@ -78,17 +78,15 @@ def test_collapse_fires_and_matches_uncollapsed():
     np.testing.assert_allclose(a, b, atol=1e-3)
 
 
-def test_collapse_matches_interpreter_oracle():
+def test_collapse_matches_interpreter_oracle(monkeypatch):
     import svgrasterize_tpu.render_plan as rp
 
-    low1, (w, h) = _plan(DOC, "1")
+    low1, (w, h) = _plan(DOC, "1", monkeypatch)
     assert _n_field(low1) > 0
     scene, _ids, _size = scene_from_str(DOC)
-    os.environ["SVGR_COLLAPSE"] = "1"
-    try:
-        fast, _hull = render_fast(scene, TR, (0, 0, h, w))
-    finally:
-        os.environ.pop("SVGR_COLLAPSE", None)
+    monkeypatch.setenv("SVGR_COLLAPSE", "1")
+    fast, _hull = render_fast(scene, TR, (0, 0, h, w))
+    monkeypatch.delenv("SVGR_COLLAPSE", raising=False)
     rp.HYBRID_ENABLED = False
     try:
         slow, _hull = scene.render(TR, viewport=(0, 0, h, w))
@@ -107,39 +105,32 @@ def test_collapse_matches_interpreter_oracle():
     )
 
 
-def test_collapse_fused_interp_matches_xla():
+def test_collapse_fused_interp_matches_xla(monkeypatch):
     """Field items through the fused kernel (interpret mode): the plan
     must select the fused path WITH pregrad_paint (the field rides the
     streamed paint), and match the XLA executor bit-for-bit — both read
     the same host-precomposed field."""
     from svgrasterize_tpu.ops.fused_exec import plan_features
 
-    low1, _ = _plan(DOC, "1")
+    low1, _ = _plan(DOC, "1", monkeypatch)
     assert _n_field(low1) > 0
-    os.environ["SVGR_FUSED"] = "0"
-    try:
-        a = _tiles(execute_lowered(low1, (0, 0), False))
-    finally:
-        os.environ.pop("SVGR_FUSED", None)
-    os.environ["SVGR_FUSED"] = "interp"
-    os.environ["SVGR_COLLAPSE"] = "1"
-    try:
-        low2, _ = _plan(DOC, "1")
-        feats = plan_features(
-            low2.items, low2.bigs, low2.clips, None, None, low2.tile,
-            low2.grid[0] * low2.grid[1],
-        )
-        assert feats is not None and "pregrad_paint" in feats, feats
-        b = _tiles(execute_lowered(low2, (0, 0), False))
-    finally:
-        os.environ.pop("SVGR_FUSED", None)
-        os.environ.pop("SVGR_COLLAPSE", None)
+    monkeypatch.setenv("SVGR_FUSED", "0")
+    a = _tiles(execute_lowered(low1, (0, 0), False))
+    monkeypatch.setenv("SVGR_FUSED", "interp")
+    monkeypatch.setenv("SVGR_COLLAPSE", "1")
+    low2, _ = _plan(DOC, "1", monkeypatch)
+    feats = plan_features(
+        low2.items, low2.bigs, low2.clips, None, None, low2.tile,
+        low2.grid[0] * low2.grid[1],
+    )
+    assert feats is not None and "pregrad_paint" in feats, feats
+    b = _tiles(execute_lowered(low2, (0, 0), False))
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 @pytest.mark.parametrize("n_devices", [2, 8])
-def test_collapse_sharded_replicates_field_stack(n_devices):
-    low1, _ = _plan(DOC, "1")
+def test_collapse_sharded_replicates_field_stack(n_devices, monkeypatch):
+    low1, _ = _plan(DOC, "1", monkeypatch)
     assert _n_field(low1) > 0
     items, bigs, clips = low1.items, low1.bigs, low1.clips
     gh, gw = low1.grid
