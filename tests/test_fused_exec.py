@@ -21,13 +21,15 @@ from svgrasterize_tpu.core.transform import Transform
 TR = Transform().matrix(0, 1, 0, 1, 0, 0)
 
 
-@pytest.fixture(autouse=True)
-def _no_collapse(monkeypatch):
-    # these tests construct specific stack/mode scenarios (big classes to
-    # chunk, resident pools, per-item solid-skip conds) that the static-run
-    # collapse would precompose into field items before the scenario ever
-    # materializes — pin it off here.  Collapse x fused coverage lives in
-    # tests/test_collapse.py and the fuzz sweep (collapse is default-on).
+@pytest.fixture
+def no_collapse(monkeypatch):
+    # opt-in pin for tests that construct specific stack/mode scenarios
+    # (solid stacks feeding big classes to chunk, per-item solid-skip
+    # conds) that the static-run collapse would precompose into field
+    # items before the scenario ever materializes.  Everything else runs
+    # with the default-on collapse, so the equivalence suite covers the
+    # collapsed plans too; collapse-specific coverage lives in
+    # tests/test_collapse.py and the fuzz sweep.
     monkeypatch.setenv("SVGR_COLLAPSE", "0")
 
 
@@ -250,7 +252,7 @@ def test_random_scene_equivalence(seed):
     _compare(svg, (0, 0, 64, 96))
 
 
-def test_vmem_chunked_execution():
+def test_vmem_chunked_execution(no_collapse):
     """Over-budget stacks split into several fused launches over tile
     ranges instead of falling back to the XLA executor wholesale."""
     rng = np.random.default_rng(7)
@@ -395,7 +397,7 @@ def test_prepared_prep_matches_inline_prep():
     )
 
 
-def test_resident_stack_mode_matches_pregather():
+def test_resident_stack_mode_matches_pregather(no_collapse):
     """SVGR_PREGATHER=0 (VMEM-resident stacks + per-item dynamic row
     reads) and the default pregather mode (per-item fields as sequential
     pipeline blocks) must produce identical canvases."""
@@ -429,7 +431,7 @@ def test_resident_stack_mode_matches_pregather():
     )
 
 
-def test_pregather_admits_stack_heavy_plan_unchunked():
+def test_pregather_admits_stack_heavy_plan_unchunked(no_collapse):
     """A plan whose big stacks would blow the resident-VMEM budget runs as
     ONE fused launch under pregather (the fields stream per item instead
     of sitting resident), where resident mode must chunk."""
@@ -513,7 +515,7 @@ def test_whole_plan_planar_pool():
     assert np.abs(ref - fused_whole).max() <= 1e-5
 
 
-def test_solid_skip_and_stop_guard_equivalence():
+def test_solid_skip_and_stop_guard_equivalence(no_collapse):
     """A launch mixing many solid fills with one long (9-stop) gradient:
     k_stops pads wide, activating both the per-item solid-skip cond and
     the "sguard" guarded stop unroll — output must match the XLA

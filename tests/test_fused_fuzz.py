@@ -89,3 +89,42 @@ def test_fused_random_docs_match_xla(overrides, want, veto):
             else:
                 os.environ[k] = v
     del seen_want  # feature presence varies per doc; the veto is the gate
+
+
+@pytest.mark.slow
+def test_collapse_random_docs(monkeypatch):
+    """Static-run collapse on random documents: the collapsed plan must
+    match the uncollapsed plan (XLA executor both sides; the host f32
+    coverage batch admits ~1e-3), the fused kernel must match the XLA
+    executor exactly on the collapsed plan, and at least one generated
+    doc must actually produce field items — this is the randomized guard
+    for the 'pass the field stack through whole' plumbing invariant
+    (render_plan._collapse_runs; the round-2 phantom-pad bug class)."""
+    seen_fields = 0
+    for doc in _docs(7500, max(N, 4)):
+        scene, _ids, size = scene_from_str(doc)
+        if scene is None:
+            continue
+        w, h = int(size[0]), int(size[1])
+        viewport = (0, 0, h, w)
+        monkeypatch.setenv("SVGR_COLLAPSE", "0")
+        low0 = rp.lower_scene(scene, TR, viewport, False, tile=32)
+        monkeypatch.setenv("SVGR_COLLAPSE", "1")
+        low1 = rp.lower_scene(scene, TR, viewport, False, tile=32)
+        monkeypatch.delenv("SVGR_COLLAPSE", raising=False)
+        if low0 is None or low1 is None:
+            continue
+        fidx = low1.items.get("field_idx")
+        n_fields = 0 if fidx is None else int((fidx >= 0).sum())
+        seen_fields += n_fields
+        monkeypatch.setenv("SVGR_FUSED", "0")
+        ref = np.asarray(rp.execute_lowered(low0, (0, 0), False))
+        a = np.asarray(rp.execute_lowered(low1, (0, 0), False))
+        monkeypatch.setenv("SVGR_FUSED", "interp")
+        b = np.asarray(rp.execute_lowered(low1, (0, 0), False))
+        monkeypatch.delenv("SVGR_FUSED", raising=False)
+        err01 = np.abs(ref - a).max()
+        assert err01 <= 2e-3, (err01, n_fields, doc[:160])
+        errf = np.abs(a - b).max()
+        assert errf <= 2e-5, (errf, n_fields, doc[:160])
+    assert seen_fields >= 1, "no generated doc produced field items"
