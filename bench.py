@@ -61,6 +61,24 @@ def _quick_slope(run, k: int = 8) -> float:
     return max((tk - t1) / k, 1e-9)
 
 
+def _checked_slope(run, k: int = 4, tol: float = 0.3, attempts: int = 3):
+    """Self-checking capture reading: two chain lengths must agree within
+    tol, else double and retry.  A single short-chain reading on the
+    tunnel can be 2x off either way (round 3 shipped an unrefined
+    13.5 Gpx/s headline whose refined value was 6.4); requiring two
+    independent chain lengths to agree bounds that failure mode even when
+    the refine pass never runs.  Returns the longer-chain slope (longer
+    chains amortize per-force jitter)."""
+    s2 = None
+    for _ in range(attempts):
+        s1 = _quick_slope(run, k)
+        s2 = _quick_slope(run, 2 * k)
+        if abs(s1 - s2) <= tol * min(s1, s2):
+            return s2
+        k *= 2
+    return s2
+
+
 def _refine_slope(run, reps: int = 5, k: int = 8, max_k: int = 8192):
     """(median, slopes): adaptive-chain slope timing.
 
@@ -276,12 +294,14 @@ def _runner_atlas(replicate: int = 4, cell: int = 192):
 def bench_scene():
     """Capture-then-refine over the 5-config matrix.
 
-    Phase A captures ONE cheap reading for every config first (a cold
-    compile cache must never cost the artifact a config — round 2 lost 4
-    of 5 to "budget exhausted" after /tmp was wiped); phase B re-measures
-    with wall-time-targeted chains while budget remains, never overwriting
-    a captured value with a skip.  Refined configs carry their slope
-    spread ([min..max] in config units) in the "spread" field."""
+    Phase A captures ONE self-checked reading (_checked_slope: two chain
+    lengths must agree) for every config unconditionally — a cold compile
+    cache must never cost the artifact a config (rounds 2 AND 3 each
+    shipped 1-of-5 after cold-compile overruns tripped the old budget
+    guard).  Phase B re-measures with wall-time-targeted chains while
+    budget remains, headline first, never overwriting a captured value
+    with a skip.  Refined configs carry their slope spread ([min..max]
+    in config units) in the "spread" field."""
     budget = float(os.environ.get("SVGR_BENCH_BUDGET", "480"))
     t_start = time.perf_counter()
 
@@ -320,7 +340,12 @@ def bench_scene():
         run, mpx = _runner_4k()
         return run, lambda per: round(mpx / per, 2)
 
-    # phase A: build + one cheap reading per config, headline first.
+    # phase A: build + one self-checked reading per EVERY config, headline
+    # first.  No budget skipping here: round 2 and 3 both shipped 1-of-5
+    # artifacts because a stone-cold compile ate the budget and the guard
+    # then dropped the remaining (cheap!) configs — an over-budget run
+    # that captures everything beats an on-budget run that captures one
+    # config.  Overruns are recorded, not acted on.
     # SVGR_BENCH_CONFIGS=key,key filters the matrix (debug / CPU smoke)
     only = os.environ.get("SVGR_BENCH_CONFIGS")
     only = {k.strip() for k in only.split(",")} if only else None
@@ -333,23 +358,24 @@ def bench_scene():
     ):
         if only is not None and key not in only:
             continue
-        if key != "material_1488_mpx_s" and remaining() < 30:
-            # builds pay the (persistent-cached) compiles; a stone-cold
-            # cache can exceed any driver timeout, so bail gracefully —
-            # the cache rides ~/.cache now, so the NEXT run captures all
-            errors[key] = "skipped: bench time budget exhausted (capture)"
-            continue
+        if remaining() < 0:
+            errors.setdefault(
+                "budget", f"phase A over budget before {key}; capturing anyway"
+            )
         try:
             run, to_value = build()
-            configs[key] = to_value(_quick_slope(run, 4))
+            configs[key] = to_value(_checked_slope(run))
             runners[key] = (run, to_value)
             print(f"[bench] captured {key}={configs[key]}", file=sys.stderr)
         except Exception as exc:  # record, never sink the other configs
             errors[key] = f"{type(exc).__name__}: {exc}"[:200]
 
     # phase B: refine with adaptive chains while budget remains (compiles
-    # are already paid, so a refine pass costs ~2 s/config of device time)
-    for key, (run, to_value) in runners.items():
+    # are already paid, so a refine pass costs ~2 s/config of device
+    # time).  The HEADLINE refines first so the artifact's "value" always
+    # carries a spread entry even when the budget dies mid-phase.
+    for key in sorted(runners, key=lambda k: k != "material_1488_mpx_s"):
+        run, to_value = runners[key]
         if remaining() < 20:
             errors[key + "_refine"] = "kept phase-A capture: budget exhausted"
             continue

@@ -12,6 +12,8 @@ stream, aligned to tile boundaries.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -46,6 +48,42 @@ def _flatten_big_classes(bigs) -> np.ndarray:
         out[row : row + a.shape[0], : a.shape[1]] = a
         row += a.shape[0]
     return out
+
+
+def _subselect_rows(stacked: dict, keys: tuple, n_devices: int):
+    """Per-device referenced-row selection for a shared row stack.
+
+    The shared stacks (isolation-pass pool, pattern atlas, clip coverage,
+    collapse fields) were replicated to every device through round 3, so
+    per-device memory scaled with scene complexity instead of
+    1/n_devices.  Each shard references only the rows its items index, so
+    this computes the (sorted, deduplicated) referenced-row list per
+    device, remaps every index array in `keys` to sub-stack-local values
+    IN PLACE, and returns the (n_devices, r_max) selection — the caller
+    gathers those rows into a per-device sub-stack that shard_map splits
+    along the device axis.  Returns None when nothing references the
+    stack (callers keep the replicate path)."""
+    arrs = [stacked[k] for k in keys if k in stacked]
+    if not arrs or not any((a >= 0).any() for a in arrs):
+        return None
+    hi = max(int(a.max()) for a in arrs)
+    rows_per_dev = []
+    for d in range(n_devices):
+        vals = np.concatenate([a[d][a[d] >= 0].ravel() for a in arrs])
+        rows_per_dev.append(np.unique(vals).astype(np.int32))
+    r_max = max(1, max(len(r) for r in rows_per_dev))
+    sel = np.zeros((n_devices, r_max), np.int32)
+    for d in range(n_devices):
+        r = rows_per_dev[d]
+        sel[d, : len(r)] = r
+        remap = np.full(hi + 1, -1, np.int32)
+        remap[r] = np.arange(len(r), dtype=np.int32)
+        for k in keys:
+            if k not in stacked:
+                continue
+            a = stacked[k][d]
+            stacked[k][d] = np.where(a >= 0, remap[np.clip(a, 0, hi)], a)
+    return sel
 
 
 def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
@@ -143,10 +181,30 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
         stacked["pat_rows"] = rows
         stacked["pat_pos"] = pos
 
+    # shard the shared row stacks instead of replicating them
+    # (SVGR_SHARD_POOL=0 restores full replication): index arrays remap to
+    # sub-stack-local rows here; sharded_render_plan gathers the selected
+    # rows per device so each shard's resident stack holds only what its
+    # items reference
+    subsel = os.environ.get("SVGR_SHARD_POOL", "1") != "0"
     if field_stack is not None:
-        stacked["field"] = np.broadcast_to(
-            field_stack[None], (n_devices, *field_stack.shape)
-        ).copy()
+        sel_f = _subselect_rows(stacked, ("field_idx",), n_devices) \
+            if subsel else None
+        if sel_f is not None:
+            stacked["field"] = field_stack[sel_f]
+        else:
+            stacked["field"] = np.broadcast_to(
+                field_stack[None], (n_devices, *field_stack.shape)
+            ).copy()
+    if subsel:
+        for name, keys in (
+            ("pool", ("tex_idx", "mask_idx")),
+            ("pat", ("pat_idx",)),
+            ("clip", ("clip_idx",)),
+        ):
+            sel = _subselect_rows(stacked, keys, n_devices)
+            if sel is not None:
+                stacked["_sel_" + name] = sel
 
     return stacked, stacked_big, tiles_per_dev
 
@@ -159,12 +217,19 @@ def sharded_render_plan(
 
     items/big_lines must already carry the leading device axis from
     partition_plan.  pool (isolation-pass tiles), patterns (pattern atlas),
-    and clips (deduplicated precomputed clip coverage fields) are
-    replicated: any device may
-    gather any row.  features: the fused-executor capability set (see
-    ops/fused_exec.plan_features) — each shard then runs the fused Pallas
-    kernel instead of the XLA executor.  Returns the assembled canvas
-    (n_devices * tiles_per_device, T, T, 4); callers slice to num_tiles.
+    and clips (deduplicated precomputed clip coverage fields) pass in
+    full-size; when partition_plan attached a "_sel_*" selection (the
+    default, SVGR_SHARD_POOL=1), the referenced rows are gathered into a
+    per-device sub-stack here and sharded along the device axis — each
+    shard's resident stack holds only the rows its items index (the
+    matching index arrays were already remapped sub-stack-local), so
+    per-device stack bytes scale with the shard's references instead of
+    scene complexity.  Without a selection the stack replicates (any
+    device may gather any row).  features: the fused-executor capability
+    set (see ops/fused_exec.plan_features) — each shard then runs the
+    fused Pallas kernel instead of the XLA executor.  Returns the
+    assembled canvas (n_devices * tiles_per_device, T, T, 4); callers
+    slice to num_tiles.
     """
     import jax.numpy as jnp
 
@@ -174,6 +239,23 @@ def sharded_render_plan(
     has_pool = pool is not None
     has_patterns = patterns is not None
     has_clips = clips is not None
+    items = dict(items)
+    sels = {name: items.pop("_sel_" + name, None)
+            for name in ("pool", "pat", "clip")}
+
+    def _maybe_sub(stack, name):
+        """(operand, spec, sharded?) for a shared row stack."""
+        sel = sels[name]
+        if stack is None or sel is None:
+            return stack, P(), False
+        sub = jnp.take(
+            jnp.asarray(stack), jnp.asarray(sel.reshape(-1)), axis=0
+        ).reshape(n_devices, sel.shape[1], *stack.shape[1:])
+        return sub, P("data"), True
+
+    pool, pool_spec, pool_sub = _maybe_sub(pool, "pool")
+    patterns, pat_spec, pat_sub = _maybe_sub(patterns, "pat")
+    clips, clip_spec, clip_sub = _maybe_sub(clips, "clip")
 
     def local(items_l, big_l, *rest):
         local_items = {k: v[0] for k, v in items_l.items()}
@@ -182,6 +264,12 @@ def sharded_render_plan(
         pool_l = rest.pop(0) if has_pool else None
         patterns_l = rest.pop(0) if has_patterns else None
         clips_l = rest.pop(0) if has_clips else None
+        if pool_sub and pool_l is not None:
+            pool_l = pool_l[0]
+        if pat_sub and patterns_l is not None:
+            patterns_l = patterns_l[0]
+        if clip_sub and clips_l is not None:
+            clips_l = clips_l[0]
         if features is not None:
             from ..ops.fused_exec import execute_items_fused
 
@@ -208,10 +296,11 @@ def sharded_render_plan(
         jnp.asarray(big_lines),
     ]
     in_specs = [spec_items, P("data")]
-    for replicated in (pool, patterns, clips):
-        if replicated is not None:
-            operands.append(replicated)
-            in_specs.append(P())
+    for stack, spec in ((pool, pool_spec), (patterns, pat_spec),
+                        (clips, clip_spec)):
+        if stack is not None:
+            operands.append(stack)
+            in_specs.append(spec)
     # check_vma off: scan carries inside execute_items start from shard-local
     # constants, which the varying-axes checker cannot type
     try:

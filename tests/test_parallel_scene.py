@@ -154,3 +154,62 @@ def test_sharded_fused_executor_interpret():
     # have launched the fused kernel
     assert launches1 - launches0 >= 1 + len(lowered.groups)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+POOL_HEAVY_DOC = (
+    '<svg xmlns="http://www.w3.org/2000/svg" width="512" height="512">'
+    + "".join(
+        f'<g opacity="0.6" transform="translate({(i % 4) * 128} {(i // 4) * 128})">'
+        '<rect x="8" y="8" width="112" height="112" fill="#3366aa"/>'
+        '<circle cx="64" cy="64" r="44" fill="#cc4422"/></g>'
+        for i in range(16)
+    )
+    + "</svg>"
+)
+
+
+@pytest.mark.parametrize("shard_pool", ["1", "0"])
+def test_sharded_pool_subselect_matches(shard_pool, monkeypatch):
+    """Pool-heavy scene (16 spatially-disjoint opacity passes): sharded
+    execution must match single-device both with the per-device pool
+    subselect (default) and with full replication (SVGR_SHARD_POOL=0)."""
+    from svgrasterize_tpu.parallel.scene import sharded_exec_fn
+    from svgrasterize_tpu.render_plan import execute_lowered
+
+    monkeypatch.setenv("SVGR_SHARD_POOL", shard_pool)
+    scene, _ids, _size = scene_from_str(POOL_HEAVY_DOC)
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    lowered = lower_scene(scene, tr, (0, 0, 512, 512), False, tile=32)
+    assert lowered is not None and lowered.groups
+    ref = np.asarray(execute_lowered(lowered, (0, 0), False))
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    out = np.asarray(
+        execute_lowered(lowered, (0, 0), False, exec_fn=sharded_exec_fn(mesh))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_sharded_pool_subselect_shrinks_per_device_bytes():
+    """The whole point of the subselect: per-device resident pool rows
+    scale with the shard's references (~1/n_devices on a spatially-local
+    scene), not with scene complexity.  Round 3 replicated the pool to
+    every device."""
+    scene, _ids, _size = scene_from_str(POOL_HEAVY_DOC)
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    lowered = lower_scene(scene, tr, (0, 0, 512, 512), False, tile=32)
+    items = lowered.items
+    gh, gw = lowered.grid
+    refs = np.concatenate(
+        [items[k][items[k] >= 0] for k in ("tex_idx", "mask_idx")]
+    )
+    total_rows = len(np.unique(refs))
+    assert total_rows >= 16, "scene should reference many pool rows"
+    st_items, _sb, _tpd = partition_plan(items, lowered.bigs, gh * gw, 8)
+    sel = st_items.get("_sel_pool")
+    assert sel is not None, "partition_plan must attach the pool selection"
+    # replicated cost was total_rows per device; subselect holds the
+    # padded per-device max — require >= 4x shrink at 8 devices
+    assert sel.shape[1] * 4 <= total_rows, (sel.shape, total_rows)
+    # every remapped index stays within the sub-stack
+    for k in ("tex_idx", "mask_idx"):
+        assert st_items[k].max() < sel.shape[1]
