@@ -2121,8 +2121,9 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles, for_vout=False):
             arr = np.zeros((npad, *v.shape[1:]), v.dtype)
             arr[:cnt] = v[i0:i1]
             sub[k] = arr
-        if "field" in items:
-            sub["field"] = items["field"]  # plan-global stack, not per-item
+        # the collapse field stack subselects per chunk below (a 3840^2
+        # plan's full stack is ~134 MB; attaching it to every chunk
+        # multiplied that by the chunk count)
         chunk_tiles = t1 - t0
         sub["tile_id"][:cnt] -= t0
         sub["tile_id"][cnt:] = chunk_tiles
@@ -2153,6 +2154,18 @@ def _chunk_fused_plan(items, bigs, clips, t_size, num_tiles, for_vout=False):
             for key in ("tex_idx", "mask_idx"):
                 col = sub[key]
                 sub[key] = lut[np.where(col >= 0, np.minimum(col, cap), cap)]
+
+        if "field" in items:
+            f_rows = remap("field_idx", items["field"].shape[0])
+            f_pad = 8
+            while f_pad < max(len(f_rows), 1):
+                f_pad *= 2
+            stack = np.zeros(
+                (f_pad, *items["field"].shape[1:]), items["field"].dtype
+            )
+            if len(f_rows):
+                stack[: len(f_rows)] = np.asarray(items["field"])[f_rows]
+            sub["field"] = stack
 
         sub_big = flat_big[big_rows] if len(big_rows) else np.zeros((0, 0, 4), DEVICE_FLOAT)
         sub_clips = (

@@ -154,3 +154,61 @@ def test_collapse_sharded_replicates_field_stack(n_devices, monkeypatch):
         )
     )[:num_tiles]
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_collapse_fields_subselect_per_chunk(monkeypatch):
+    """Canvas-chunked fused launches must carry only the field rows their
+    own items reference (remapped chunk-local) — round 3 attached the
+    plan-global stack to every chunk, which at 3840^2 multiplied a
+    ~134 MB stack by the chunk count.  Bit-exact vs the XLA executor."""
+    import svgrasterize_tpu.render_plan as rp
+    from svgrasterize_tpu.ops import batch_exec
+    from svgrasterize_tpu.ops.fused_exec import execute_items_fused
+
+    monkeypatch.setenv("SVGR_FUSED", "interp")
+    body = []
+    for i in range(40):
+        x, y = (i * 61) % 560, (i * 37) % 120
+        body.append(
+            f'<rect x="{x}" y="{y}" width="90" height="70" '
+            f'fill="#{(i * 37) % 256:02x}{(i * 91) % 256:02x}22" '
+            'fill-opacity="0.6"/>'
+            f'<rect x="{x + 10}" y="{y + 5}" width="70" height="50" '
+            f'fill="#22{(i * 53) % 256:02x}{(i * 29) % 256:02x}" '
+            'fill-opacity="0.5"/>'
+        )
+    doc = (
+        '<svg xmlns="http://www.w3.org/2000/svg" width="640" height="192">'
+        + "".join(body) + "</svg>"
+    )
+    scene, _ids, _size = scene_from_str(doc)
+    low = lower_scene(scene, TR, (0, 0, 192, 640), False, tile=32)
+    nt = low.grid[0] * low.grid[1]
+    full_rows = low.items["field"].shape[0]
+    assert int((low.items["field_idx"] >= 0).sum()) > 50
+    monkeypatch.setenv("SVGR_VMEM_BUDGET", "700000")
+    chunks = rp._chunk_fused_plan(
+        low.items, low.bigs, low.clips, 32, nt, for_vout=True
+    )
+    assert chunks is not None and len(chunks) >= 2
+    for c in chunks:
+        if "items" in c and "field" in c["items"]:
+            assert c["items"]["field"].shape[0] < full_rows
+    parts = []
+    for c in chunks:
+        if "zero_rows" in c:
+            parts.append(np.zeros((c["zero_rows"], 32, 32, 4), np.float32))
+            continue
+        out = execute_items_fused(
+            c["items"], 32, c["num_tiles"], c["bigs"], None, None,
+            c["clips"], c["features"], prepared=c.get("prepared"),
+        )
+        parts.append(np.asarray(out))
+    got = np.concatenate(parts, 0)
+    ref = np.asarray(batch_exec.execute_plan(
+        {k: jnp.asarray(v) for k, v in low.items.items()
+         if not k.startswith("_")},
+        32, nt, tuple(jnp.asarray(b) for b in low.bigs), None, None,
+        jnp.asarray(low.clips) if low.clips.shape[0] else None,
+    ))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
