@@ -344,6 +344,24 @@ def bench_scene():
         run, mpx = _runner_4k()
         return run, lambda per: round(mpx / per, 2)
 
+    def build_stress():
+        # opt-in (name it in SVGR_BENCH_CONFIGS): the anti-collapse
+        # pathological scene — thousands of small gradient/clip items,
+        # deep pass mixes (utils/stress.py); guards the per-item floor
+        from svgrasterize_tpu import scene_from_str
+        from svgrasterize_tpu.core.transform import Transform
+        from svgrasterize_tpu.render_plan import compile_scene
+        from svgrasterize_tpu.utils.stress import stress_doc
+
+        scene, _ids, size = scene_from_str(stress_doc())
+        w, h = int(size[0]), int(size[1])
+        compiled = compile_scene(
+            scene, Transform().matrix(0, 1, 0, 1, 0, 0), (0, 0, h, w), False
+        )
+        assert compiled is not None, "stress scene must lower"
+        fn = getattr(compiled, "render_tiles_planar", compiled.render_tiles)
+        return _pipelined_runner(fn), lambda per: round(per * 1e3, 3)
+
     # phase A: build + one self-checked reading per EVERY config, headline
     # first.  No budget skipping here: round 2 and 3 both shipped 1-of-5
     # artifacts because a stone-cold compile ate the budget and the guard
@@ -359,9 +377,12 @@ def bench_scene():
         ("prompt_serve_ms", build_prompt),
         ("sprite_atlas_mpx_s", build_atlas),
         ("material_3840_mpx_s", build_4k),
+        ("stress_serve_ms", build_stress),
     ):
         if only is not None and key not in only:
             continue
+        if key == "stress_serve_ms" and only is None:
+            continue  # opt-in: not part of the driver's 5-config artifact
         if remaining() < 0:
             errors.setdefault(
                 "budget", f"phase A over budget before {key}; capturing anyway"
