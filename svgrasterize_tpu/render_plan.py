@@ -459,6 +459,113 @@ def _edge_contrib(edges: np.ndarray, tile: int) -> np.ndarray:
     return mean
 
 
+def _paint_fields_np(params_list, tile_rs, tile_cs, tile: int) -> np.ndarray:
+    """Batched numpy twin of ops/batch_exec._paint_item for the
+    scene-static paint kinds (solid / linear / radial) — same affine,
+    spread, telescoping stop interpolation, and pixman two-circle radial
+    math, evaluated on host at lowering time so gradient-painted runs can
+    static-collapse (pregrad already proves these paints are scene-static
+    per pixel).  Patterns are NOT handled; callers must exclude them.
+    Returns (L, tile, tile, 4) f32 premultiplied RGBA.
+    """
+    L = len(params_list)
+    f32 = np.float32
+    all_kinds = np.array([int(p["kind"]) for p in params_list])
+    result = np.empty((L, tile, tile, 4), f32)
+    sol = np.nonzero(all_kinds == PAINT_SOLID)[0]
+    if len(sol):
+        result[sol] = np.stack(
+            [np.asarray(params_list[i]["color"], f32) for i in sol]
+        )[:, None, None, :]
+    g_idx = np.nonzero(all_kinds != PAINT_SOLID)[0]
+    if not len(g_idx):
+        return result
+    # gradient math only on the gradient subset (solid-heavy plans —
+    # material is ~all solids — would pay ~25 wasted passes otherwise)
+    params_list = [params_list[i] for i in g_idx]
+    tile_rs = np.asarray(tile_rs, f32)[g_idx]
+    tile_cs = np.asarray(tile_cs, f32)[g_idx]
+    L = len(params_list)
+    get = lambda k: np.stack([np.asarray(p[k], f32) for p in params_list])
+    kind = all_kinds[g_idx]
+    m = get("affine")                      # (L,2,3)
+    rows = (np.arange(tile, dtype=f32) + 0.5)[None, :, None] \
+        + np.asarray(tile_rs, f32)[:, None, None]
+    cols = (np.arange(tile, dtype=f32) + 0.5)[None, None, :] \
+        + np.asarray(tile_cs, f32)[:, None, None]
+    gx = rows * m[:, 0, 0, None, None] + cols * m[:, 0, 1, None, None] \
+        + m[:, 0, 2, None, None]
+    gy = rows * m[:, 1, 0, None, None] + cols * m[:, 1, 1, None, None] \
+        + m[:, 1, 2, None, None]
+
+    p0 = get("p0")
+    p1 = get("p1")
+    vec = p1 - p0
+    denom = np.maximum(vec[:, 0] ** 2 + vec[:, 1] ** 2, 1e-30)
+    t_lin = (
+        (gx - p0[:, 0, None, None]) * vec[:, 0, None, None]
+        + (gy - p0[:, 1, None, None]) * vec[:, 1, None, None]
+    ) / denom[:, None, None]
+
+    center = get("center")
+    fc = get("fcenter")
+    radius = get("radius")
+    fradius = get("fradius")
+    cd = center - fc
+    pd0 = gx - fc[:, 0, None, None]
+    pd1 = gy - fc[:, 1, None, None]
+    rd = radius - fradius
+    a = cd[:, 0] ** 2 + cd[:, 1] ** 2 - rd * rd
+    b = pd0 * cd[:, 0, None, None] + pd1 * cd[:, 1, None, None] \
+        + (fradius * rd)[:, None, None]
+    c = pd0 * pd0 + pd1 * pd1 - (fradius * fradius)[:, None, None]
+    det = b * b - a[:, None, None] * c
+    sq = np.sqrt(np.maximum(det, 0.0))
+    a_safe = np.where(np.abs(a) > 1e-30, a, 1e-30)[:, None, None]
+    t_rad = np.maximum((b + sq) / a_safe, (b - sq) / a_safe)
+    rad_valid = det >= 0
+    lim = fradius / np.where(np.abs(rd) > 1e-12, fradius - radius, 1.0)
+    rad_valid = np.where(
+        (np.abs(rd) > 1e-12)[:, None, None],
+        rad_valid & (t_rad > lim[:, None, None]),
+        rad_valid,
+    )
+
+    t = np.where((kind == PAINT_LINEAR)[:, None, None], t_lin, t_rad)
+    mode = np.array([int(p["spread"]) for p in params_list])[:, None, None]
+    t = np.where(
+        mode == 0, t,
+        np.where(mode == 1, t - np.trunc(t),
+                 np.abs(np.remainder(t + 1.0, 2.0) - 1.0)),
+    )
+    offsets = get("stop_offsets")          # (L,K)
+    colors = get("stop_colors")            # (L,K,4)
+    k_max = max((int(p["_n_stops"]) for p in params_list), default=1)
+    grad = np.broadcast_to(
+        colors[:, 0][:, None, None, :], (L, tile, tile, 4)
+    ).copy()
+    for i in range(1, k_max):
+        span = offsets[:, i] - offsets[:, i - 1]
+        ratio = np.clip(
+            (t - offsets[:, i - 1, None, None])
+            / np.where(span > 1e-12, span, 1.0)[:, None, None],
+            0.0, 1.0,
+        )
+        ratio = np.where(
+            (span > 1e-12)[:, None, None], ratio,
+            (t >= offsets[:, i, None, None]).astype(f32),
+        )
+        grad += ratio[..., None] * (
+            colors[:, i] - colors[:, i - 1]
+        )[:, None, None, :]
+    grad = np.where(
+        ((kind == PAINT_RADIAL)[:, None, None] & ~rad_valid)[..., None],
+        0.0, grad,
+    )
+    result[g_idx] = grad.astype(f32)
+    return result
+
+
 def _coverage_np(wind: np.ndarray, rule: int) -> np.ndarray:
     """Host twin of the executors' fill-rule coverage mapping."""
     if rule:
@@ -1208,6 +1315,19 @@ class _Builder:
         if os.environ.get("SVGR_COLLAPSE", "1") == "0" or len(records) < 2:
             return records, None
 
+        # gradient paints are scene-static per pixel too (pregrad streams
+        # them pre-rendered), so gradient-painted runs collapse as well —
+        # the host evaluates the same affine/spread/stop math as the
+        # device (_paint_fields_np).  SVGR_COLLAPSE_GRAD=0 limits the
+        # collapse to solids (A/B knob).  Patterns and pool-reading items
+        # (tex/mask) stay out: the atlas gather and the pool are not
+        # mirrored on host / not scene-static.
+        grad_ok = os.environ.get("SVGR_COLLAPSE_GRAD", "1") != "0"
+        kinds_ok = (
+            (PAINT_SOLID, PAINT_LINEAR, PAINT_RADIAL) if grad_ok
+            else (PAINT_SOLID,)
+        )
+
         def eligible(r):
             p = r[5]
             # "_field_row" excludes already-emitted field records (their
@@ -1215,7 +1335,7 @@ class _Builder:
             # color, so a second collapse pass would dissolve them into
             # transparent zeros) — makes the collapse idempotent
             return (
-                p["kind"] == PAINT_SOLID
+                p["kind"] in kinds_ok
                 and int(p["pat_idx"]) < 0
                 and "_field_row" not in p
                 and r[10] < 0 and r[11] < 0
@@ -1264,10 +1384,19 @@ class _Builder:
         cov *= np.array(
             [records[k][7] for k in members], np.float32
         )[:, None, None]
-        colors = np.stack(
-            [np.asarray(records[k][5]["color"], np.float32)
-             for k in members]
-        )
+        # per-member (T,T,4) paint fields, evaluated in chunks (the whole
+        # array is M x 16 KB at tile 32; chunking bounds the gradient-math
+        # temporaries).  v0/v1: gradient affines expect canvas coords, the
+        # same origin _pack writes into items["tile_r"/"tile_c"]
+        paints = np.empty((len(members), T, T, 4), np.float32)
+        for lo in range(0, len(members), 1024):
+            part = members[lo : lo + 1024]
+            paints[lo : lo + len(part)] = _paint_fields_np(
+                [records[k][5] for k in part],
+                [records[k][8] + self.v0 for k in part],
+                [records[k][9] + self.v1 for k in part],
+                T,
+            )
         empty = np.zeros((0, 4), DEVICE_FLOAT)
         ones = np.ones(T, DEVICE_FLOAT)
         fields: list = []
@@ -1280,12 +1409,12 @@ class _Builder:
             m1 = m0 + (i1 - i0)
             c_run = cov[m0:m1]
             # run OVER-composite via suffix products:
-            # P = sum_k C_k cov_k prod_{j>k}(1 - a_j cov_j)
-            q = 1.0 - colors[m0:m1, 3, None, None] * c_run
+            # P = sum_k paint_k cov_k prod_{j>k}(1 - a_j(x,y) cov_j)
+            q = 1.0 - paints[m0:m1, :, :, 3] * c_run
             sp = np.cumprod(q[::-1], axis=0)[::-1]
             sp[:-1] = sp[1:]
             sp[-1] = 1.0
-            P = np.tensordot(c_run * sp, colors[m0:m1], axes=(0, 0))
+            P = ((c_run * sp)[..., None] * paints[m0:m1]).sum(axis=0)
             m0 = m1
             first = records[i0]
             params = _paint_params(

@@ -3,12 +3,15 @@
 All perf evidence elsewhere is three demo files whose z-stacks collapse
 well (render_plan._collapse_runs) and whose pass mixes cluster cleanly.
 This generator builds the opposite on purpose: thousands of SMALL
-overlapping items painted with gradients (never collapse-eligible),
-interleaved clip references, rotated transforms, and scattered opacity
-groups — so every item survives to the kernel's serial per-item loop and
-tile runs mix pass classes deeply (the kvec step-padding worst case,
-see ops/fused_exec.kvec_cluster).  Deterministic in (n_items, seed) so
-recorded numbers are comparable across rounds.
+overlapping items with an opacity GROUP interleaved after every
+gradient shape — group outputs are frame-dynamic pool reads (tex
+items), which are the only paints the static-run collapse can never
+precompose (solid AND gradient runs both collapse since round 4), so
+runs break at every other item and every item survives to the kernel's
+serial per-item loop; the pass mix per tile stays deep (the kvec
+step-padding worst case, see ops/fused_exec.kvec_cluster).
+Deterministic in (n_items, seed) so recorded numbers are comparable
+across rounds.
 
 Used by tests/test_stress.py (slow lane) and bench.py's opt-in
 "stress_serve_ms" config.
@@ -60,7 +63,7 @@ def stress_doc(n_items: int = 2000, size: int = 1024, seed: int = 0) -> str:
             attrs += (
                 f' transform="rotate({rng.uniform(-30, 30):.1f} {x} {y})"'
             )
-        kind = i % 4
+        kind = (i // 2) % 3 if i % 2 == 0 else 3
         if kind == 0:
             shape = (
                 f'<rect x="{x}" y="{y}" width="{rng.integers(12, 40)}" '
@@ -78,8 +81,8 @@ def stress_doc(n_items: int = 2000, size: int = 1024, seed: int = 0) -> str:
                 f"{attrs}/>"
             )
         else:
-            # opacity group with two members: forces an isolation pass
-            # interleaved into otherwise-plain tiles
+            # opacity group with two members: an isolation pass whose
+            # output is a frame-dynamic tex item — breaks every run
             shape = (
                 f'<g opacity="{rng.uniform(0.3, 0.8):.2f}">'
                 f'<rect x="{x}" y="{y}" width="24" height="24" {attrs}/>'

@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh
 
-from svgrasterize_tpu import scene_from_filepath
+from svgrasterize_tpu import scene_from_filepath, scene_from_str
+from svgrasterize_tpu.core.transform import Transform
 from svgrasterize_tpu.parallel.atlas import atlas_scene, layout_grid, render_atlas
 
 
@@ -66,3 +67,55 @@ def test_atlas_scene_scales_documents(docs):
     combined, (w, h) = atlas_scene(docs[:1], cell=32)
     assert (w, h) == (32, 32)
     assert combined is not None
+
+
+def test_compile_atlas_dedups_repeated_docs(monkeypatch):
+    monkeypatch.setenv("SVGR_TILE", "32")  # CPU default 128 > cell
+    """compile_atlas renders each unique document once and serves
+    duplicates as device tile-gathers.  Blur-free docs must match the
+    plain combined plan exactly; blur-bearing docs are allowed the
+    reference's own offset-dependent blur-truncation deviation (repeated
+    placements of such a doc differ by ~0.05 premultiplied within ONE
+    plain render already — the dedup output is the bit-exact unique
+    placement)."""
+    from svgrasterize_tpu.parallel.atlas import atlas_scene, compile_atlas
+    from svgrasterize_tpu.render_plan import compile_scene
+
+    docs = []
+    for i, color in enumerate(("#c03020", "#2060c0", "#20a040")):
+        doc = (
+            f"<svg xmlns='http://www.w3.org/2000/svg' width='48' height='48'>"
+            f"<defs><linearGradient id='g'><stop offset='0' stop-color='{color}'/>"
+            f"<stop offset='1' stop-color='#222222'/></linearGradient></defs>"
+            f"<circle cx='24' cy='24' r='{14 + i * 3}' fill='url(#g)'/>"
+            f"<rect x='4' y='4' width='12' height='12' fill='{color}'/></svg>"
+        )
+        scene, _ids, size = scene_from_str(doc)
+        docs.append((scene, (float(size[0]), float(size[1]))))
+    repeated = docs * 4  # 12 docs, 3 unique
+    srv = compile_atlas(repeated, cell=64)
+    assert srv is not None and srv.n_unique == 3 and srv.n_docs == 12
+    got = np.asarray(srv.render().image)
+    combined, (aw, ah) = atlas_scene(repeated, cell=64)
+    plain = compile_scene(
+        combined, Transform().matrix(0, 1, 0, 1, 0, 0), (0, 0, ah, aw), False
+    )
+    ref = np.asarray(plain.render().image)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_compile_atlas_unique_docs_falls_back_to_plain():
+    from svgrasterize_tpu.parallel.atlas import compile_atlas
+
+    scenes = []
+    for color in ("#aa1122", "#22aa11"):
+        scene, _ids, size = scene_from_str(
+            f"<svg xmlns='http://www.w3.org/2000/svg' width='32' height='32'>"
+            f"<rect width='20' height='20' fill='{color}'/></svg>"
+        )
+        scenes.append((scene, (float(size[0]), float(size[1]))))
+    srv = compile_atlas(scenes, cell=64)
+    assert srv is not None and srv.n_unique == srv.n_docs == 2
+    out = np.asarray(srv.render().image)
+    assert out.shape[2] == 4 and np.isfinite(out).all()

@@ -426,6 +426,10 @@ def test_occlusion_cull_bit_exact(monkeypatch):
     viewport = (0, 0, int(h), int(w))
 
     counts, images = {}, {}
+    # collapse off: since round 4 gradient runs collapse too, so the whole
+    # stack would precompose into one field per tile with or without the
+    # cull and the count comparison below would be vacuous (9 == 9)
+    monkeypatch.setenv("SVGR_COLLAPSE", "0")
     for cull in ("0", "1"):
         monkeypatch.setenv("SVGR_CULL", cull)
         lowered = lower_scene(scene, TR, viewport, False)
