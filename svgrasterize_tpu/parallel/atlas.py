@@ -115,12 +115,14 @@ def render_atlas(
 class AtlasServer:
     """Serving handle for a deduplicated sprite atlas (see compile_atlas)."""
 
-    def __init__(self, serve_planar, size, tile, n_unique, n_docs):
+    def __init__(self, serve_planar, size, tile, n_unique, n_docs,
+                 linear_rgb=False):
         self._serve_planar = serve_planar
         self.size = size
         self.tile = tile
         self.n_unique = n_unique
         self.n_docs = n_docs
+        self._linear_rgb = linear_rgb
 
     def render_tiles_planar(self):
         """(out_tiles, T, 4T) channel-planar canvas tiles."""
@@ -135,7 +137,7 @@ class AtlasServer:
         tiles = self.render_tiles_planar()
         canvas = jnp.reshape(tiles, (gh, gw, t, 4, t))
         canvas = canvas.transpose(0, 2, 1, 4, 3).reshape(gh * t, gw * t, 4)
-        return Layer(canvas[:height, :width], (0, 0), True, False)
+        return Layer(canvas[:height, :width], (0, 0), True, self._linear_rgb)
 
 
 def compile_atlas(
@@ -188,7 +190,8 @@ def compile_atlas(
         if compiled is None:
             return None
         return AtlasServer(
-            compiled.render_tiles_planar, (w, h), compiled.tile, n, n
+            compiled.render_tiles_planar, (w, h), compiled.tile, n, n,
+            linear_rgb,
         )
 
     if len(uniq) == n or not uniq:
@@ -236,4 +239,6 @@ def compile_atlas(
         )
         return tiles[rows_dev]
 
-    return AtlasServer(serve_planar, (width, height), t, len(uniq), n)
+    return AtlasServer(
+        serve_planar, (width, height), t, len(uniq), n, linear_rgb
+    )
