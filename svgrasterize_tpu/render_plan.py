@@ -459,14 +459,18 @@ def _edge_contrib(edges: np.ndarray, tile: int) -> np.ndarray:
     return mean
 
 
-def _paint_fields_np(params_list, tile_rs, tile_cs, tile: int) -> np.ndarray:
+def _paint_fields_np(
+    params_list, tile_rs, tile_cs, tile: int, pattern_tiles=None,
+) -> np.ndarray:
     """Batched numpy twin of ops/batch_exec._paint_item for the
-    scene-static paint kinds (solid / linear / radial) — same affine,
-    spread, telescoping stop interpolation, and pixman two-circle radial
-    math, evaluated on host at lowering time so gradient-painted runs can
-    static-collapse (pregrad already proves these paints are scene-static
-    per pixel).  Patterns are NOT handled; callers must exclude them.
-    Returns (L, tile, tile, 4) f32 premultiplied RGBA.
+    scene-static paint kinds — same affine, spread, telescoping stop
+    interpolation, pixman two-circle radial math, and (with
+    pattern_tiles, the builder's host tile list) the pattern modular
+    gather incl. the reference's int truncation — evaluated on host at
+    lowering time so gradient- and pattern-painted runs can
+    static-collapse (pregrad/the atlas already prove these paints are
+    scene-static per pixel).  Returns (L, tile, tile, 4) f32
+    premultiplied RGBA.
     """
     L = len(params_list)
     f32 = np.float32
@@ -477,7 +481,31 @@ def _paint_fields_np(params_list, tile_rs, tile_cs, tile: int) -> np.ndarray:
         result[sol] = np.stack(
             [np.asarray(params_list[i]["color"], f32) for i in sol]
         )[:, None, None, :]
-    g_idx = np.nonzero(all_kinds != PAINT_SOLID)[0]
+    for i in np.nonzero(all_kinds == PAINT_PATTERN)[0]:
+        p = params_list[i]
+        tex = pattern_tiles[int(p["pat_idx"])]
+        m = np.asarray(p["affine"], f32)
+        rows = (np.arange(tile, dtype=f32) + 0.5) + f32(tile_rs[i])
+        cols = (np.arange(tile, dtype=f32) + 0.5) + f32(tile_cs[i])
+        gx = rows[:, None] * m[0, 0] + cols[None, :] * m[0, 1] + m[0, 2]
+        gy = rows[:, None] * m[1, 0] + cols[None, :] * m[1, 1] + m[1, 2]
+        fwd = np.asarray(p["pat_fwd"], f32)
+        q0 = np.remainder(gx - f32(p["pat_xy"][0]), f32(p["pat_wh"][0]))
+        q1 = np.remainder(gy - f32(p["pat_xy"][1]), f32(p["pat_wh"][1]))
+        s0 = q0 * fwd[0, 0] + q1 * fwd[0, 1] + fwd[0, 2]
+        s1 = q0 * fwd[1, 0] + q1 * fwd[1, 1] + fwd[1, 2]
+        i0 = np.clip(
+            s0.astype(np.int32) - int(p["pat_lo"][0]), 0, int(p["pat_max"][0])
+        )
+        i1 = np.clip(
+            s1.astype(np.int32) - int(p["pat_lo"][1]), 0, int(p["pat_max"][1])
+        )
+        result[i] = np.asarray(tex, f32).reshape(-1, 4)[
+            i0 * tex.shape[1] + i1
+        ]
+    g_idx = np.nonzero(
+        (all_kinds == PAINT_LINEAR) | (all_kinds == PAINT_RADIAL)
+    )[0]
     if not len(g_idx):
         return result
     # gradient math only on the gradient subset (solid-heavy plans —
@@ -1324,8 +1352,8 @@ class _Builder:
         # mirrored on host / not scene-static.
         grad_ok = os.environ.get("SVGR_COLLAPSE_GRAD", "1") != "0"
         kinds_ok = (
-            (PAINT_SOLID, PAINT_LINEAR, PAINT_RADIAL) if grad_ok
-            else (PAINT_SOLID,)
+            (PAINT_SOLID, PAINT_LINEAR, PAINT_RADIAL, PAINT_PATTERN)
+            if grad_ok else (PAINT_SOLID,)
         )
 
         def eligible(r):
@@ -1333,10 +1361,13 @@ class _Builder:
             # "_field_row" excludes already-emitted field records (their
             # winding comes from an empty edge array and a zero dummy
             # color, so a second collapse pass would dissolve them into
-            # transparent zeros) — makes the collapse idempotent
+            # transparent zeros) — makes the collapse idempotent.
+            # Pattern paints are scene-static too (the atlas tiles are
+            # rendered at build time); only pool reads (tex/mask) are
+            # frame-dynamic and can never collapse.
             return (
                 p["kind"] in kinds_ok
-                and int(p["pat_idx"]) < 0
+                and (p["kind"] == PAINT_PATTERN or int(p["pat_idx"]) < 0)
                 and "_field_row" not in p
                 and r[10] < 0 and r[11] < 0
             )
@@ -1395,7 +1426,7 @@ class _Builder:
                 [records[k][5] for k in part],
                 [records[k][8] + self.v0 for k in part],
                 [records[k][9] + self.v1 for k in part],
-                T,
+                T, pattern_tiles=self.patterns,
             )
         empty = np.zeros((0, 4), DEVICE_FLOAT)
         ones = np.ones(T, DEVICE_FLOAT)
