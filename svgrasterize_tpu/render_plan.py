@@ -1428,25 +1428,37 @@ class _Builder:
                 [records[k][9] + self.v1 for k in part],
                 T, pattern_tiles=self.patterns,
             )
+        # run OVER-composites via suffix products,
+        # P = sum_k paint_k cov_k prod_{j>k}(1 - a_j(x,y) cov_j),
+        # vectorized per run-LENGTH bucket (a per-run loop paid ~10 small
+        # numpy dispatches x ~1000 runs ~ 0.4 s of the material lower)
+        from collections import defaultdict
+
+        lens = [i1 - i0 for i0, i1 in runs]
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        by_len: dict = defaultdict(list)
+        for ri, ln in enumerate(lens):
+            by_len[ln].append(ri)
+        P_all = np.empty((len(runs), T, T, 4), np.float32)
+        for ln, idxs in by_len.items():
+            mi = (starts[idxs][:, None] + np.arange(ln)).ravel()
+            c = cov[mi].reshape(len(idxs), ln, T, T)
+            pa = paints[mi].reshape(len(idxs), ln, T, T, 4)
+            q = 1.0 - pa[..., 3] * c
+            sp = np.cumprod(q[:, ::-1], axis=1)[:, ::-1]
+            sp[:, :-1] = sp[:, 1:]
+            sp[:, -1] = 1.0
+            P_all[idxs] = ((c * sp)[..., None] * pa).sum(axis=1)
+
         empty = np.zeros((0, 4), DEVICE_FLOAT)
         ones = np.ones(T, DEVICE_FLOAT)
         fields: list = []
         out: list = []
         pos = 0
-        m0 = 0
-        for i0, i1 in runs:
+        for ri, (i0, i1) in enumerate(runs):
             out.extend(records[pos:i0])
             pos = i1
-            m1 = m0 + (i1 - i0)
-            c_run = cov[m0:m1]
-            # run OVER-composite via suffix products:
-            # P = sum_k paint_k cov_k prod_{j>k}(1 - a_j(x,y) cov_j)
-            q = 1.0 - paints[m0:m1, :, :, 3] * c_run
-            sp = np.cumprod(q[::-1], axis=0)[::-1]
-            sp[:-1] = sp[1:]
-            sp[-1] = 1.0
-            P = ((c_run * sp)[..., None] * paints[m0:m1]).sum(axis=0)
-            m0 = m1
+            P = P_all[ri]
             first = records[i0]
             params = _paint_params(
                 np.zeros(4, DEVICE_FLOAT), None, None, True

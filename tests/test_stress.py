@@ -21,9 +21,11 @@ TR = Transform().matrix(0, 1, 0, 1, 0, 0)
 
 # measured 2026-08-20 on v5e through the tunnel (bench.py opt-in
 # "stress_serve_ms" config, whole-plan serving, dispatch included):
-# 1.188 ms/call, spread [1.157, 1.21] — ~0.4 us/item, same per-item
+# 1.216 ms/call, spread [1.04, 1.29] — ~0.4 us/item, same per-item
 # floor as the demo plans, i.e. the deep pass mixes do not blow it up
-STRESS_SERVE_MS_R4 = 1.2
+# (doc version: gradient shapes interleaved with opacity-group tex
+# items so the round-4 gradient/pattern collapse cannot dissolve it)
+STRESS_SERVE_MS_R4 = 1.22
 
 
 @pytest.mark.slow
