@@ -119,6 +119,12 @@ def _material_runner(width: int | None):
     lowered = lower_scene(scene, tr, (0, 0, h, w), False)
     assert not lowered.groups, "headline scene should lower to a single pass"
     t_lower = time.perf_counter() - t_lower
+    # cold first-lower inherits whatever transient machine load the bench
+    # started under (one observed 14 s reading versus a 1.2 s steady
+    # state); time a second lowering so the tail reports both
+    t_lower2 = time.perf_counter()
+    lower_scene(scene, tr, (0, 0, h, w), False)
+    t_lower2 = time.perf_counter() - t_lower2
     gh, gw = lowered.grid
     items = lowered.items
     from svgrasterize_tpu import render_plan as rp
@@ -197,7 +203,7 @@ def _material_runner(width: int | None):
     detail = (
         f"items={items['tile_id'].shape[0]} segs={items['lines'].shape[1]} "
         f"bigs={[b.shape for b in lowered.bigs]} clips={lowered.clips.shape} "
-        f"tile={lowered.tile} lower={t_lower:.2f}s"
+        f"tile={lowered.tile} lower={t_lower:.2f}s warm_lower={t_lower2:.2f}s"
     )
     return run_chain, mpx, detail
 
