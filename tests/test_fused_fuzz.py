@@ -46,6 +46,37 @@ def _docs(base: int, count: int):
         yield F._random_doc(rng)
 
 
+def _pattern_doc(rng) -> str:
+    """Overlapping pattern/solid stacks: exercises the pattern branch of
+    the static-run collapse (render_plan._paint_fields_np)."""
+    pw, ph = int(rng.integers(8, 20)), int(rng.integers(8, 20))
+    defs = (
+        f'<pattern id="p" width="{pw}" height="{ph}" '
+        'patternUnits="userSpaceOnUse">'
+        f'<rect width="{pw // 2}" height="{ph // 2}" '
+        f'fill="rgb({rng.integers(0, 256)},{rng.integers(0, 256)},'
+        f'{rng.integers(0, 256)})"/></pattern>'
+        f'<pattern id="q" width="14" height="12" '
+        f'patternUnits="userSpaceOnUse" '
+        f'patternTransform="rotate({rng.uniform(-30, 30):.1f})">'
+        f'<circle cx="7" cy="6" r="5" fill="rgb({rng.integers(0, 256)},'
+        f'{rng.integers(0, 256)},{rng.integers(0, 256)})"/></pattern>'
+    )
+    body = []
+    for i in range(int(rng.integers(4, 9))):
+        paint = ("url(#p)", "url(#q)",
+                 f"rgb({rng.integers(0, 256)},0,128)")[i % 3]
+        body.append(
+            f'<rect x="{rng.integers(0, 90)}" y="{rng.integers(0, 90)}" '
+            f'width="{rng.integers(30, 70)}" height="{rng.integers(30, 70)}" '
+            f'fill="{paint}" fill-opacity="{rng.uniform(0.4, 1):.2f}"/>'
+        )
+    return (
+        '<svg xmlns="http://www.w3.org/2000/svg" width="160" height="160">'
+        f"<defs>{defs}</defs>{''.join(body)}</svg>"
+    )
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("overrides,want,veto", MODES,
                          ids=lambda v: str(v)[:40])
@@ -101,7 +132,10 @@ def test_collapse_random_docs(monkeypatch):
     for the 'pass the field stack through whole' plumbing invariant
     (render_plan._collapse_runs; the round-2 phantom-pad bug class)."""
     seen_fields = 0
-    for doc in _docs(7500, max(N, 4)):
+    pat_docs = [
+        _pattern_doc(np.random.default_rng(s)) for s in range(7900, 7900 + 2)
+    ]
+    for doc in [*_docs(7500, max(N, 4)), *pat_docs]:
         scene, _ids, size = scene_from_str(doc)
         if scene is None:
             continue
