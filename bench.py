@@ -112,6 +112,8 @@ def _material_runner(width: int | None):
     )
     from svgrasterize_tpu.render_plan import lower_scene
 
+    from svgrasterize_tpu.render_plan import raw_tile_upgrade
+
     scene, _ids, size = scene_from_filepath(DEMO, width=width)
     w, h = int(size[0]), int(size[1])
     tr = Transform().matrix(0, 1, 0, 1, 0, 0)
@@ -119,6 +121,13 @@ def _material_runner(width: int | None):
     lowered = lower_scene(scene, tr, (0, 0, h, w), False)
     assert not lowered.groups, "headline scene should lower to a single pass"
     t_lower = time.perf_counter() - t_lower
+    # tile 64 for the raw fused-executor loop on pass-free >=1 Mpx plans
+    # (the collapse made fat items cheap; refined A/B on this scene:
+    # 6.4 -> 11.2 Gpx/s.  Serving keeps tile 32 — see raw_tile_upgrade);
+    # timed separately so "lower" stays comparable across rounds
+    t_up = time.perf_counter()
+    lowered = raw_tile_upgrade(lowered, scene, tr, (0, 0, h, w), False)
+    t_up = time.perf_counter() - t_up
     # cold first-lower inherits whatever transient machine load the bench
     # started under (one observed 14 s reading versus a 1.2 s steady
     # state); time a second lowering so the tail reports both
@@ -203,7 +212,8 @@ def _material_runner(width: int | None):
     detail = (
         f"items={items['tile_id'].shape[0]} segs={items['lines'].shape[1]} "
         f"bigs={[b.shape for b in lowered.bigs]} clips={lowered.clips.shape} "
-        f"tile={lowered.tile} lower={t_lower:.2f}s warm_lower={t_lower2:.2f}s"
+        f"tile={lowered.tile} lower={t_lower:.2f}s "
+        f"tile64_upgrade={t_up:.2f}s warm_lower={t_lower2:.2f}s"
     )
     return run_chain, mpx, detail
 

@@ -2857,6 +2857,32 @@ class CompiledScene:
         )
 
 
+def raw_tile_upgrade(lowered, scene, transform, viewport, linear_rgb):
+    """Re-lower a qualifying plan at tile 64 for RAW fused-executor loops.
+
+    The static-run collapse inverted the tile sweep for single-pass
+    plans: fewer, fatter items make the per-item pixel area cheap, so the
+    1488² material-design plan's raw fused executor measured 6.4 Gpx/s at
+    tile 32 vs 11.2 Gpx/s at tile 64 (v5e, 2026-08-20 refined A/B).  The
+    upgrade only fires for pass-free plans on >=1 Mpx canvases — and is
+    NOT applied by compile_scene: multi-pass plans move the other way at
+    64 (4x pool rows blow the fused VMEM budget; icons serve 1.5 -> 12 ms
+    measured), and even the pass-free material WHOLE-PLAN serving program
+    measured 4.0 ms/call at 64 vs 0.58 at 32 — the serving glue around
+    the kernel does not inherit the raw kernel's tile-64 win (untraced;
+    see CLAUDE.md round-4 notes).
+    """
+    v0, v1, h, w = viewport
+    if (
+        lowered is None or lowered.groups or lowered.tile != 32
+        or os.environ.get("SVGR_TILE")
+        or int(h) * int(w) < 1_000_000
+    ):
+        return lowered
+    up = lower_scene(scene, transform, viewport, linear_rgb, tile=64)
+    return up if up is not None and not up.groups else lowered
+
+
 def compile_scene(scene, transform: Transform, viewport, linear_rgb: bool = False,
                   mesh=None, tile: int = None):
     """Lower a scene once for repeated rendering; None if unsupported."""
