@@ -79,3 +79,39 @@ def test_demo_parity(svg, golden, npx8, maxdiff, fonts_db):
     count = int((diff > 8).sum())
     assert count <= npx8, f"{svg}: {count} pixels >8/255 over white (limit {npx8})"
     assert diff.max() <= maxdiff, f"{svg}: max diff {diff.max():.1f} (limit {maxdiff})"
+
+
+@pytest.mark.slow
+def test_material_live_reference_exact(fonts_db, reference):
+    """material-design vs the LIVE reference implementation: exact to <1/255.
+
+    The committed golden PNG drifts from the reference's own current code by
+    2 px (bubble_chart circle AA, alpha 34 vs 43.08 at (1031,358)/(1033,360)
+    — verified round 5 by running /root/reference/svgrasterize.py directly:
+    it reproduces OUR value, so the golden was rendered by an older version).
+    Against the living implementation our whole-image max channel diff over
+    white is 0.51/255; pin it at <=2 so any real regression fails loudly.
+    """
+    path = os.path.join(DEMO, "material-design.svg")
+    if not os.path.isfile(path):
+        pytest.skip("reference demo assets not available")
+    scene, _ids, size = scene_from_filepath(path, fonts=fonts_db)
+    w, h = int(size[0]), int(size[1])
+    layer, _hull = rp.render_fast(
+        scene, Transform().matrix(0, 1, 0, 1, 0, 0), (0, 0, h, w), False
+    )
+    img = np.asarray(layer.convert(pre_alpha=False, linear_rgb=False).image)
+    ours8 = np.clip(np.round(img * 255), 0, 255).astype(np.int16)
+
+    ref_scene, _i, ref_size = reference.svg_scene_from_filepath(path)
+    ref_layer, _ = ref_scene.render(
+        reference.Transform().matrix(0, 1, 0, 1, 0, 0),
+        viewport=np.array([0, 0, h, w], dtype=int),
+    )
+    base = np.ones((h, w, 4), dtype=reference.FLOAT)
+    canvas = reference.canvas_merge_at(base, ref_layer.image, ref_layer.offset)
+    ref_img = reference.color_pre_to_straight_alpha(canvas.copy())
+    ref8 = np.clip(np.round(ref_img * 255), 0, 255).astype(np.int16)
+
+    diff = np.abs(_over_white(ours8) - _over_white(ref8)).max(axis=-1)
+    assert diff.max() <= 2, f"max diff vs live reference {diff.max():.2f}/255"
