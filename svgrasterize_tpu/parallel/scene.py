@@ -86,7 +86,8 @@ def _subselect_rows(stacked: dict, keys: tuple, n_devices: int):
     return sel
 
 
-def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
+def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int,
+                   patterns=None, clips=None):
     """Split a lowered plan into per-device shards.
 
     Returns (stacked_items, stacked_big, tiles_per_device) where every array
@@ -97,6 +98,13 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
     render_plan._pack); classes are flattened into one max-width array here
     — per-device big row counts vary anyway, so the class split would not
     change the padded shard shape.
+
+    patterns/clips: the SCENE-STATIC shared row stacks.  When passed as
+    host numpy arrays their per-device sub-stacks gather HERE, once per
+    plan partition (like the collapse field stack), and ride the items
+    dict as "_sub_pat"/"_sub_clip" — only the frame-dynamic pool keeps
+    the per-call device gather in sharded_render_plan (an eager jnp.take
+    per call costs a 0.25-0.8 ms tunnel dispatch).
     """
     if isinstance(big_lines, (tuple, list)):
         big_lines = _flatten_big_classes(big_lines)
@@ -197,13 +205,20 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int):
                 field_stack[None], (n_devices, *field_stack.shape)
             ).copy()
     if subsel:
+        static_stacks = {"pat": patterns, "clip": clips}
         for name, keys in (
             ("pool", ("tex_idx", "mask_idx")),
             ("pat", ("pat_idx",)),
             ("clip", ("clip_idx",)),
         ):
             sel = _subselect_rows(stacked, keys, n_devices)
-            if sel is not None:
+            if sel is None:
+                continue
+            static = static_stacks.get(name)
+            if static is not None and isinstance(static, np.ndarray):
+                # scene-static: gather the sub-stack on host once
+                stacked["_sub_" + name] = np.ascontiguousarray(static[sel])
+            else:
                 stacked["_sel_" + name] = sel
 
     return stacked, stacked_big, tiles_per_dev
@@ -242,9 +257,15 @@ def sharded_render_plan(
     items = dict(items)
     sels = {name: items.pop("_sel_" + name, None)
             for name in ("pool", "pat", "clip")}
+    subs = {name: items.pop("_sub_" + name, None)
+            for name in ("pool", "pat", "clip")}
 
     def _maybe_sub(stack, name):
         """(operand, spec, sharded?) for a shared row stack."""
+        sub = subs[name]
+        if sub is not None:
+            # pre-gathered on host at partition_plan time (scene-static)
+            return jnp.asarray(sub), P("data"), True
         sel = sels[name]
         if stack is None or sel is None:
             return stack, P(), False
@@ -325,7 +346,11 @@ def sharded_exec_fn(mesh: Mesh):
     def run(items, bigs, clips, num_tiles, pool, patterns, t_size):
         from ..ops.fused_exec import plan_features
 
-        st_items, st_big, _tpd = partition_plan(items, bigs, num_tiles, n_devices)
+        st_items, st_big, _tpd = partition_plan(
+            items, bigs, num_tiles, n_devices,
+            patterns=patterns if isinstance(patterns, np.ndarray) else None,
+            clips=clips if isinstance(clips, np.ndarray) else None,
+        )
         # per-shard capability set: presence/share tests over the ORIGINAL
         # (pre-partition) items — per-device pow2 padding would dilute the
         # pool-use share that picks pretex vs kres — with the VMEM budget

@@ -321,8 +321,9 @@ def _host_winding_batch(edge_arrays: list, tile: int) -> np.ndarray:
 
     Returns (R, tile, tile) f32: the per-edge temporaries dominate wall
     time, the executors consume f32, and worst-case winding error on dense
-    adversarial edge sets is ~1e-4-range (typical demo tiles ~1e-6) —
-    test_collapse's 1e-3 atol sits above that bound.
+    adversarial edge sets is ~4e-4 (measured vs the f64 oracle on random
+    near-vertical + integer axis-aligned edges; typical demo tiles ~1e-6)
+    — test_collapse's 1e-3 atol sits above that bound.
     """
     counts = np.array([a.shape[0] for a in edge_arrays], np.int64)
     n_rec = len(edge_arrays)
@@ -376,7 +377,8 @@ def _host_winding_batch(edge_arrays: list, tile: int) -> np.ndarray:
         # (error ~eps*|g|/|den|); every term here is bounded, so error
         # stays ~1e-7/d.  Near-vertical rows (d < 1e-3, common: rect
         # edges) evaluate on the interval widened to 1e-3 about its
-        # center — error <= ~5e-4 at the clip kinks, typically ~1e-4,
+        # center — measured error up to ~4e-4 per winding value on
+        # adversarial near-vertical/axis-aligned fuzz (vs f64 oracle),
         # and it deletes the per-column midpoint-fallback select
         xmin = np.minimum(xl, xh)
         d = np.maximum(xl, xh) - xmin
@@ -2871,8 +2873,11 @@ def raw_tile_upgrade(lowered, scene, transform, viewport, linear_rgb):
     measured 4.0 ms/call at 64 vs 0.58 at 32 — the serving glue around
     the kernel does not inherit the raw kernel's tile-64 win (untraced;
     see CLAUDE.md round-4 notes).
+
+    `viewport` is (row0, col0, height, width) — the >=1 Mpx gate reads
+    viewport[2] * viewport[3].
     """
-    v0, v1, h, w = viewport
+    h, w = viewport[2], viewport[3]
     if (
         lowered is None or lowered.groups or lowered.tile != 32
         or os.environ.get("SVGR_TILE")
