@@ -50,6 +50,71 @@ def _flatten_big_classes(bigs) -> np.ndarray:
     return out
 
 
+def _assign_tiles(valid_tile_ids, num_tiles: int, n_devices: int,
+                  tiles_per_dev: int):
+    """(dev_of_tile, slot_of_tile, permuted): item-count-balanced tile split.
+
+    The contiguous split (tile t -> device t // tiles_per_dev) keeps the
+    canvas assembly a plain reshape but lets a scene whose heavy items
+    cluster in one tile range idle most of the mesh (round-4 verdict §6).
+    This assigns tiles to devices LPT-greedy by per-tile item count under
+    the fixed tiles_per_dev capacity, so max/mean item skew stays near 1
+    for any clustering; the canvas then needs a final row gather
+    (sharded_render_plan applies it when `permuted`).  SVGR_BALANCE=0
+    restores the contiguous split.
+    """
+    contiguous = (
+        np.arange(num_tiles, dtype=np.int32) // tiles_per_dev,
+        np.arange(num_tiles, dtype=np.int32) % tiles_per_dev,
+        False,
+    )
+    if n_devices <= 1 or os.environ.get("SVGR_BALANCE", "1") == "0":
+        return contiguous
+    counts = np.bincount(valid_tile_ids, minlength=num_tiles)
+    # heavy tiles first; zero-item tiles fill capacity at the end
+    order = np.argsort(-counts, kind="stable")
+    import heapq
+
+    heap = [(0, d) for d in range(n_devices)]
+    heapq.heapify(heap)
+    used = np.zeros(n_devices, np.int64)
+    dev_of_tile = np.zeros(num_tiles, np.int32)
+    slot_of_tile = np.zeros(num_tiles, np.int32)
+    for t in order:
+        spill = []
+        while True:
+            load, d = heapq.heappop(heap)
+            if used[d] < tiles_per_dev:
+                break
+            spill.append((load, d))
+        for entry in spill:
+            heapq.heappush(heap, entry)
+        dev_of_tile[t] = d
+        slot_of_tile[t] = used[d]
+        used[d] += 1
+        heapq.heappush(heap, (load + int(counts[t]), d))
+    if (dev_of_tile == contiguous[0]).all() and (
+        slot_of_tile == contiguous[1]
+    ).all():
+        return contiguous
+    return dev_of_tile, slot_of_tile, True
+
+
+def shard_balance(stacked: dict, tiles_per_dev: int) -> dict:
+    """Per-device real-item balance of a partitioned plan.
+
+    Returns {"counts": (n_devices,), "skew": max/mean} computed from the
+    stacked tile_id (pads carry the device-local scratch id
+    tiles_per_dev).  mean uses only devices with work; an all-empty plan
+    reports skew 1.0.
+    """
+    tid = stacked["tile_id"]
+    counts = (tid < tiles_per_dev).sum(axis=1)
+    mean = counts.mean()
+    skew = float(counts.max() / mean) if mean > 0 else 1.0
+    return {"counts": counts, "skew": skew}
+
+
 def _subselect_rows(stacked: dict, keys: tuple, n_devices: int):
     """Per-device referenced-row selection for a shared row stack.
 
@@ -111,7 +176,11 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int,
     tiles_per_dev = -(-num_tiles // n_devices)
     tile_id = items["tile_id"]
     valid = tile_id < num_tiles
-    device_of = np.where(valid, tile_id // tiles_per_dev, n_devices)  # padding -> drop
+    dev_of_tile, slot_of_tile, permuted = _assign_tiles(
+        tile_id[valid], num_tiles, n_devices, tiles_per_dev
+    )
+    safe_tid = np.clip(tile_id, 0, num_tiles - 1)
+    device_of = np.where(valid, dev_of_tile[safe_tid], n_devices)  # padding -> drop
 
     counts = [(device_of == d).sum() for d in range(n_devices)]
     max_count = max(max(counts), 1)
@@ -154,12 +223,20 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int,
 
     for d in range(n_devices):
         sel = np.where(device_of == d)[0]
+        if permuted and len(sel):
+            # the fused executor's tile-run structure requires each
+            # shard's tile ids monotonic (runs contiguous in stream
+            # order); the balanced assignment permutes slots, so re-sort
+            # the shard by slot — z order within a tile is preserved
+            # (stable), and tiles composite independently
+            slots = slot_of_tile[np.clip(tile_id[sel], 0, num_tiles - 1)]
+            sel = sel[np.argsort(slots, kind="stable")]
         k = len(sel)
         for key, value in items.items():
             shard = stacked[key][d]
             shard[:k] = value[sel]
             if key == "tile_id":
-                shard[:k] -= d * tiles_per_dev
+                shard[:k] = slot_of_tile[np.clip(value[sel], 0, num_tiles - 1)]
                 shard[k:] = tiles_per_dev  # device-local scratch/drop id
             elif key == "big_idx" and k:
                 rows = big_rows_per_dev[d]
@@ -173,6 +250,15 @@ def partition_plan(items: dict, big_lines, num_tiles: int, n_devices: int,
     for d in range(n_devices):
         k = (device_of == d).sum()
         stacked["tile_id"][d, k:] = tiles_per_dev
+
+    if permuted:
+        # canvas row position of every global tile: sharded_render_plan
+        # gathers the assembled (n_devices*tiles_per_dev) canvas by this
+        # to restore global tile order after the balanced split
+        stacked["_pos"] = (
+            dev_of_tile.astype(np.int64) * tiles_per_dev
+            + slot_of_tile.astype(np.int64)
+        )
 
     if (stacked["pat_idx"] >= 0).any():
         # per-shard companions for the fused executor's pattern pool
@@ -255,6 +341,7 @@ def sharded_render_plan(
     has_patterns = patterns is not None
     has_clips = clips is not None
     items = dict(items)
+    pos_of_tile = items.pop("_pos", None)
     sels = {name: items.pop("_sel_" + name, None)
             for name in ("pool", "pat", "clip")}
     subs = {name: items.pop("_sub_" + name, None)
@@ -333,7 +420,12 @@ def sharded_render_plan(
             local, mesh=mesh, in_specs=tuple(in_specs), out_specs=P("data"), check_rep=False
         )
     canvas = mapped(*operands)
-    return canvas.reshape(n_devices * tiles_per_dev, t_size, t_size, 4)
+    canvas = canvas.reshape(n_devices * tiles_per_dev, t_size, t_size, 4)
+    if pos_of_tile is not None:
+        # balanced split: restore global tile order (result is exactly
+        # (num_tiles, T, T, 4); callers' [:num_tiles] slice is a no-op)
+        canvas = jnp.take(canvas, jnp.asarray(pos_of_tile), axis=0)
+    return canvas
 
 
 def sharded_exec_fn(mesh: Mesh):
