@@ -11,6 +11,9 @@ executor; "configs" carries the rest of BASELINE.json's config matrix:
                        CompiledScene serving latency, dispatch included
   prompt_serve_ms      prompt.svg (SVG-font text) serving latency
   sprite_atlas_mpx_s   13-icon sprite atlas batch via CompiledScene
+  sprite_atlas_unique_mpx_s  52 DISTINCT docs (dedup cannot fire)
+  icons_serve_many_ms  icons k-frame serving (render_many: one dispatch)
+  stress_serve_ms      anti-collapse pathological scene (per-item floor)
 
 The reference renders material-design in 2.08s (1.06 Mpx/s) on this
 machine (BASELINE.md; it publishes no numbers of its own); vs_baseline is
@@ -267,6 +270,34 @@ def _serve_runner(path: str, with_fonts: bool):
     return _pipelined_runner(fn)
 
 
+def _many_runner(path: str):
+    """Multi-frame serving runner: render_tiles_many(n) chains n frames
+    in ONE dispatch (round-5 API), so the slope between frame counts is
+    the pure device per-frame cost — weather-immune by construction
+    (compare against icons_serve_ms, which keeps per-call dispatch in)."""
+    from svgrasterize_tpu import scene_from_filepath
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.render_plan import compile_scene
+
+    import numpy as np
+
+    scene, _ids, size = scene_from_filepath(path)
+    w, h = int(size[0]), int(size[1])
+    compiled = compile_scene(
+        scene, Transform().matrix(0, 1, 0, 1, 0, 0), (0, 0, h, w), False
+    )
+    assert compiled is not None, f"{path} must lower"
+
+    def run(n: int) -> float:
+        start = time.perf_counter()
+        out = compiled.render_tiles_many(n)
+        float(np.asarray(out[0, 0, 0]))  # readback forces completion
+        return time.perf_counter() - start
+
+    run(1)  # compile
+    return run
+
+
 def _runner_4k():
     """3840x3840 material served through the whole-plan CompiledScene
     program (one dispatch per frame; its stacks exceed the fused VMEM
@@ -350,7 +381,7 @@ def _runner_atlas_unique(variants: int = 4, cell: int = 192):
 
 
 def bench_scene():
-    """Capture-then-refine over the 7-config matrix.
+    """Capture-then-refine over the 8-config matrix.
 
     Phase A captures ONE self-checked reading (_checked_slope: two chain
     lengths must agree) for every config unconditionally — a cold compile
@@ -380,6 +411,12 @@ def bench_scene():
     def build_icons():
         return (
             _serve_runner(os.path.join(DEMO_DIR, "icons.svg"), False),
+            lambda per: round(per * 1e3, 3),
+        )
+
+    def build_icons_many():
+        return (
+            _many_runner(os.path.join(DEMO_DIR, "icons.svg")),
             lambda per: round(per * 1e3, 3),
         )
 
@@ -434,6 +471,7 @@ def bench_scene():
     for key, build in (
         ("material_1488_mpx_s", build_material),
         ("icons_serve_ms", build_icons),
+        ("icons_serve_many_ms", build_icons_many),
         ("prompt_serve_ms", build_prompt),
         ("sprite_atlas_mpx_s", build_atlas),
         ("sprite_atlas_unique_mpx_s", build_atlas_unique),

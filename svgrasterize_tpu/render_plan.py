@@ -2569,6 +2569,26 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
     from ~8 dispatches to 1.  Program + device operands are cached on the
     plan; the cache key tracks viewport/colorspace/tile/SVGR_FUSED.
     """
+    import jax
+
+    key = (tuple(viewport), bool(linear_rgb), t_size, _whole_mode_key())
+    cached = lowered.items.get("_whole_program")
+    if cached is not None and cached[0] == key:
+        program, operands = cached[1], cached[2]
+        return lambda: program(operands)
+
+    fn, operands = _whole_plan_build(lowered, viewport, linear_rgb, t_size)
+    program = jax.jit(fn)
+    lowered.items["_whole_program"] = (key, lambda ops: program(*ops), operands)
+    prog = lowered.items["_whole_program"]
+    return lambda: prog[1](prog[2])
+
+
+def _whole_plan_build(lowered, viewport, linear_rgb, t_size):
+    """(fn, operands) for the whole-plan program: fn(g_ops, main_ops,
+    atlas) traces every stage of the plan; operands are the scene-static
+    device arrays passed as program arguments (embedding them as closure
+    constants would bloat the executable and the persistent cache)."""
     import os
 
     import jax
@@ -2579,24 +2599,6 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
 
     grid_h, grid_w = lowered.grid
     num_tiles = grid_h * grid_w
-    mode = ":".join(
-        os.environ.get(v, "")
-        for v in ("SVGR_FUSED", "SVGR_FUSED_K", "SVGR_PREPASS_K",
-                  "SVGR_FUSED_VOUT", "SVGR_VMEM_BUDGET",
-                  "SVGR_STATIC_PASSES", "SVGR_WIND_UNROLL",
-                  "SVGR_PREPARED", "SVGR_PREGATHER", "SVGR_SOLID_SKIP",
-                  "SVGR_SGUARD", "SVGR_PREGRAD", "SVGR_ABLATE",
-                  "SVGR_FUSED_UNROLL", "SVGR_PRETEX", "SVGR_KVEC",
-                  "SVGR_VSTORE", "SVGR_CHUNK_VOUT", "SVGR_ZOUT",
-                  "SVGR_KRES", "SVGR_SUBPOOL", "SVGR_CHUNK_FOLD",
-                  "SVGR_KSCAN")
-    )
-    key = (tuple(viewport), bool(linear_rgb), t_size, mode)
-    cached = lowered.items.get("_whole_program")
-    if cached is not None and cached[0] == key:
-        program, operands = cached[1], cached[2]
-        return lambda: program(operands)
-
     groups = lowered.groups
     # the whole-plan program's signature is scene-specific anyway, so the
     # pool skips the cross-scene pow2 bucketing: a tight cap halves the
@@ -2768,15 +2770,97 @@ def _whole_plan_program(lowered, viewport, linear_rgb, t_size):
         return _run(main_cache, main_ops, num_tiles, pool,
                     atlas if main_pat else None)
 
-    program = jax.jit(fn)
     operands = (
         [_cache_ops(gc) for gc in g_caches],
         _cache_ops(main_cache),
         jnp.asarray(atlas_np) if atlas_np is not None else None,
     )
-    lowered.items["_whole_program"] = (key, lambda ops: program(*ops), operands)
-    prog = lowered.items["_whole_program"]
-    return lambda: prog[1](prog[2])
+    return fn, operands
+
+
+def _perturb_ops(ops, carry):
+    """Stage operands with a zero-valued data dependency on `carry` mixed
+    into one float array per launch — serializes fori_loop iterations of
+    the whole-plan program without changing any value (x + 0.0 == x)."""
+    def _one(items, prep):
+        if prep is not None and "fpar" in prep:
+            prep = dict(prep)
+            prep["fpar"] = prep["fpar"] + carry
+        else:
+            items = dict(items)
+            items["opacity"] = items["opacity"] + carry
+        return items, prep
+
+    ops = dict(ops)
+    if ops.get("chunks") is not None:
+        ops["chunks"] = [_one(ci, cp) for ci, cp in ops["chunks"]]
+        return ops
+    items, prep = _one(ops["items"], ops.get("prepared"))
+    ops["items"] = items
+    if prep is not None:
+        ops["prepared"] = prep
+    return ops
+
+
+def _whole_plan_many_program(lowered, viewport, linear_rgb, t_size):
+    """k-frame serving program: the whole plan re-rendered `iters` times
+    inside ONE jitted fori_loop (each iteration data-depends on the last
+    frame through a zero-valued perturbation, so XLA cannot collapse or
+    hoist stages), returning the final frame's planar tiles.
+
+    On the remote tunnel a serve call pays 0.25-0.8 ms of per-dispatch
+    latency per frame (weather-dependent); chaining k frames in-program
+    amortizes that to one dispatch — CompiledScene.render_many(k) makes
+    serving throughput device-bound.  `iters` is a traced scalar, so one
+    compiled program serves every k.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    grid_h, grid_w = lowered.grid
+    num_tiles = grid_h * grid_w
+    key = (tuple(viewport), bool(linear_rgb), t_size, _whole_mode_key())
+    cached = lowered.items.get("_whole_many")
+    if cached is not None and cached[0] == key:
+        return lambda k: cached[1](cached[2], k)
+
+    fn, operands = _whole_plan_build(lowered, viewport, linear_rgb, t_size)
+
+    def fn_many(g_ops, main_ops, atlas, iters):
+        def body(_i, prev):
+            carry = prev[0, 0, 0] * 0.0
+            g2 = [_perturb_ops(o, carry) for o in g_ops]
+            m2 = _perturb_ops(main_ops, carry)
+            return fn(g2, m2, atlas)
+
+        init = jnp.zeros((num_tiles, t_size, 4 * t_size), DEVICE_FLOAT)
+        return jax.lax.fori_loop(0, iters, body, init)
+
+    program = jax.jit(fn_many)
+    lowered.items["_whole_many"] = (
+        key,
+        lambda ops, k: program(*ops, jnp.int32(k)),
+        operands,
+    )
+    cached = lowered.items["_whole_many"]
+    return lambda k: cached[1](cached[2], k)
+
+
+def _whole_mode_key() -> str:
+    import os
+
+    return ":".join(
+        os.environ.get(v, "")
+        for v in ("SVGR_FUSED", "SVGR_FUSED_K", "SVGR_PREPASS_K",
+                  "SVGR_FUSED_VOUT", "SVGR_VMEM_BUDGET",
+                  "SVGR_STATIC_PASSES", "SVGR_WIND_UNROLL",
+                  "SVGR_PREPARED", "SVGR_PREGATHER", "SVGR_SOLID_SKIP",
+                  "SVGR_SGUARD", "SVGR_PREGRAD", "SVGR_ABLATE",
+                  "SVGR_FUSED_UNROLL", "SVGR_PRETEX", "SVGR_KVEC",
+                  "SVGR_VSTORE", "SVGR_CHUNK_VOUT", "SVGR_ZOUT",
+                  "SVGR_KRES", "SVGR_SUBPOOL", "SVGR_CHUNK_FOLD",
+                  "SVGR_KSCAN")
+    )
 
 
 def render_fast(scene, transform: Transform, viewport, linear_rgb: bool = False):
@@ -2841,6 +2925,40 @@ class CompiledScene:
         return execute_lowered(
             self._lowered, self._viewport[:2], self._linear_rgb,
             exec_fn=self._exec_fn, whole=self._exec_fn is None, planar=True,
+        )
+
+    def render_tiles_many(self, k: int):
+        """k frames chained in ONE device program; returns the final
+        frame's planar tiles (num_tiles, T, 4T).
+
+        Each serve call pays the wire's per-dispatch latency (0.25-0.8 ms
+        on the remote tunnel, weather-dependent); chaining k frames in a
+        single jitted fori_loop amortizes that to one dispatch, making
+        throughput device-bound.  Iterations are serialized by a
+        zero-valued data dependency on the previous frame, so XLA renders
+        all k (values are unchanged: x + 0.0).  `k` is a traced scalar —
+        one compiled program serves every k.  Single-device plans only
+        (mesh serving dispatches per stage already).
+        """
+        if self._exec_fn is not None:
+            raise ValueError("render_tiles_many: single-device plans only")
+        run = _whole_plan_many_program(
+            self._lowered, self._viewport, self._linear_rgb,
+            self._lowered.tile,
+        )
+        return run(int(k))
+
+    def render_many(self, k: int) -> Layer:
+        """k frames in one dispatch; the final frame as a Layer."""
+        grid_h, grid_w = self._lowered.grid
+        t = self._lowered.tile
+        tiles = self.render_tiles_many(k)
+        canvas = tiles.reshape(grid_h, grid_w, t, 4, t)
+        canvas = canvas.transpose(0, 2, 1, 4, 3).reshape(grid_h * t, grid_w * t, 4)
+        v0, v1, h, w = self._viewport
+        return Layer(
+            canvas[: int(h), : int(w)], (int(v0), int(v1)),
+            pre_alpha=True, linear_rgb=self._linear_rgb,
         )
 
     def render(self) -> Layer:
