@@ -440,6 +440,25 @@ def bench_scene():
         run, mpx = _runner_4k()
         return run, lambda per: round(mpx / per, 2)
 
+    def build_8k():
+        # opt-in (SVGR_BENCH_CONFIGS=material_7680_mpx_s): 59 Mpx serving
+        # through the canvas-chunked whole-plan program — the 8K
+        # robustness number (round-5; tests/test_8k.py is the CPU guard)
+        from svgrasterize_tpu import scene_from_filepath
+        from svgrasterize_tpu.core.transform import Transform
+        from svgrasterize_tpu.render_plan import compile_scene
+
+        scene, _ids, size = scene_from_filepath(DEMO, width=7680)
+        w, h = int(size[0]), int(size[1])
+        compiled = compile_scene(
+            scene, Transform().matrix(0, 1, 0, 1, 0, 0), (0, 0, h, w), False
+        )
+        assert compiled is not None, "8K material must lower"
+        fn = getattr(compiled, "render_tiles_planar", compiled.render_tiles)
+        mpx = w * h / 1e6
+        run = _pipelined_runner(fn)
+        return run, lambda per: round(mpx / per, 2)
+
     def build_stress():
         # default since round 5 (the verdict: the per-item floor needs a
         # driver-tracked number): the anti-collapse pathological scene —
@@ -476,10 +495,13 @@ def bench_scene():
         ("sprite_atlas_mpx_s", build_atlas),
         ("sprite_atlas_unique_mpx_s", build_atlas_unique),
         ("material_3840_mpx_s", build_4k),
+        ("material_7680_mpx_s", build_8k),
         ("stress_serve_ms", build_stress),
     ):
         if only is not None and key not in only:
             continue
+        if key == "material_7680_mpx_s" and only is None:
+            continue  # opt-in: 59 Mpx compile is too heavy for the driver run
         if remaining() < 0:
             errors.setdefault(
                 "budget", f"phase A over budget before {key}; capturing anyway"
