@@ -1791,13 +1791,18 @@ def prepare_fused(
             parts.append(jnp.zeros((n, T, LANES - lanes_used), f32))
         prepared["wind_pack"] = jnp.concatenate(parts, axis=2)
     # the runtime pool (isolation-pass textures) gathers by row index; the
-    # scratch row for "-1" sits at pool_rows (execute pads the pool by one)
+    # scratch row for "-1" sits at pool_rows (execute pads the pool by
+    # one).  pretex launches instead remap misses to row 0: their blend
+    # flag is 0, so x*1 + row*0 == x for any finite row — which lets the
+    # callers drop the scratch-row append entirely (a 50 MB pad op cost
+    # 66 us/call on the stress scene)
+    miss = 0 if "pretex" in features else pool_rows
     if "tex" in features:
         tex_idx = items["tex_idx"].astype(jnp.int32)
-        prepared["tex_rows"] = jnp.where(tex_idx >= 0, tex_idx, pool_rows)
+        prepared["tex_rows"] = jnp.where(tex_idx >= 0, tex_idx, miss)
     if "mask" in features:
         mask_idx = items["mask_idx"].astype(jnp.int32)
-        prepared["mask_rows"] = jnp.where(mask_idx >= 0, mask_idx, pool_rows)
+        prepared["mask_rows"] = jnp.where(mask_idx >= 0, mask_idx, miss)
     if "pat" in features:
         # pre-render the Q pattern items' paint tiles with the XLA paint
         # path (exact same modular-gather semantics, batch_exec._paint_item)
@@ -1975,18 +1980,24 @@ def execute_items_fused(
             scalars.append(prepared["clip_rows"])
             tensors.append(prepared["clip_cov"])
             in_specs.append(_resident_spec(prepared["clip_cov"]))
+    pretex_on = "pretex" in features
     if "tex" in features or "mask" in features:
         if pool.ndim == 3:
             # the serving path keeps the pool channel-planar (P+1, T, 4T)
             # with the trailing scratch row baked in — no per-launch
             # concatenate + layout transpose of the whole pool (measured
-            # ~0.1 ms per pool launch on icons.svg at pool cap 2048)
+            # ~0.1 ms per pool launch on icons.svg at pool cap 2048).
+            # pretex launches may arrive WITHOUT the scratch row (their
+            # miss indices remap to row 0 at prep)
             pool128 = pool.astype(f32)
         else:
-            pool128 = jnp.concatenate(
-                [pool.astype(f32), jnp.zeros((1, T, T, 4), f32)], axis=0
-            ).transpose(0, 1, 3, 2).reshape(-1, T, 4 * T)  # channel-planar
-    pretex_on = "pretex" in features
+            pool128 = pool.astype(f32).transpose(0, 1, 3, 2).reshape(
+                -1, T, 4 * T
+            )  # channel-planar
+            if not pretex_on:
+                pool128 = jnp.concatenate(
+                    [pool128, jnp.zeros((1, T, 4 * T), f32)], axis=0
+                )
     if pretex_on:
         # compose-dense launch: one XLA gather per frame turns the pool
         # reads into ordinary (K, T, 4T) pipeline blocks
@@ -2351,6 +2362,15 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
             f.append("vstore")
             if kscan():
                 f.append("kscan")
+    if ("kvec" in f and "wpack" not in f and "big" not in f
+            and "clip" not in f and pre):
+        # carry-only wpack: without it the (N, T, 1) carries operand
+        # commits in a jit-chosen {0,2,1:T(1,128)} layout and pays a
+        # whole-array normalization copy per call (77 us on the stress
+        # scene's 3k-item main program — same disease as the round-4
+        # vpar fix).  Packing the carry into the standard (N, T, 128)
+        # wind stream costs ~12 us/call of extra stream bytes instead
+        f.append("wpack")
     return frozenset(f)
 
 

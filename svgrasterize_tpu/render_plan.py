@@ -244,7 +244,13 @@ def _clip_parts(clip_scene, transform: Transform, cache: dict):
     evenodd in a multi-path clip) and overlapping / opposite-orientation
     parts are exact.
     """
-    key = (id(clip_scene), id(transform))
+    # key by transform VALUE: clip transforms are often temporaries that
+    # die between passes, and CPython reuses their ids — an id-keyed
+    # entry then collides with a LATER different clip and silently
+    # returns stale parts (observed as nondeterministically dropped
+    # tiles on pass-heavy scenes; the clip scene itself is owned by the
+    # long-lived scene graph, so its id is stable for the whole lower)
+    key = (id(clip_scene), transform.m.tobytes())
     cached = cache.get(key)
     if cached is not None:
         return cached
@@ -1104,7 +1110,10 @@ class _Builder:
         if clip is None:
             return _UNCLIPPED
         clip_scene, clip_tr = clip
-        clip_key = (id(clip_scene), id(clip_tr))
+        # id(clip_tr) would collide when a dead transform's id is reused
+        # by a later different clip (nondeterministic dropped/phantom
+        # tiles); the matrix bytes are the real identity
+        clip_key = (id(clip_scene), clip_tr.m.tobytes())
         tiles_map = self.clip_flat_cache.get(clip_key)
         if tiles_map is None:
             # bin every part over its whole tile window in one batched
@@ -2558,11 +2567,17 @@ def _default_exec(items, bigs, clips, num_tiles, pool, patterns, t_size):
         pool is not None and cache.get("pool_rows") is not None
         and cache["features"] is not None
     ):
-        # launch-local pool (indices in cache["items"] are remapped)
-        pool = (
-            jnp.concatenate([pool[cache["pool_rows"]], pool[-1:]], axis=0)
-            if pool.ndim == 3 else pool[cache["pool_rows"]]
-        )
+        # launch-local pool (indices in cache["items"] are remapped);
+        # pretex launches skip the scratch row (misses remap to row 0
+        # at prep, see fused_exec.prepare_fused)
+        if pool.ndim != 3:
+            pool = pool[cache["pool_rows"]]
+        elif "pretex" in cache["features"]:
+            pool = pool[cache["pool_rows"]]
+        else:
+            pool = jnp.concatenate(
+                [pool[cache["pool_rows"]], pool[-1:]], axis=0
+            )
     return batch_exec.execute_plan(
         cache["items"],
         t_size,
@@ -2753,9 +2768,13 @@ def _whole_plan_build(lowered, viewport, linear_rgb, t_size):
                 sub_pool = None
                 if pool is not None and ch["pool_rows"] is not None:
                     # chunk-local pool: referenced rows + the scratch row
-                    sub_pool = jnp.concatenate(
-                        [pool[ch["pool_rows"]], pool[-1:]], axis=0
-                    )
+                    # (pretex chunks skip it — misses remap to row 0)
+                    if "pretex" in (ch["features"] or ()):
+                        sub_pool = pool[ch["pool_rows"]]
+                    else:
+                        sub_pool = jnp.concatenate(
+                            [pool[ch["pool_rows"]], pool[-1:]], axis=0
+                        )
                 parts.append(execute_items_fused(
                     c_items, t_size, ch["num_tiles"], ch["bigs"], sub_pool,
                     None, ch["clips"], ch["features"], prepared=c_prep,
@@ -2766,10 +2785,14 @@ def _whole_plan_build(lowered, viewport, linear_rgb, t_size):
             if (pool is not None and cache.get("pool_rows") is not None
                     and not pool_is_sub):
                 # launch-local pool: referenced rows + the scratch row
-                # (frees the full pool buffer for in-place level updates)
-                pool = jnp.concatenate(
-                    [pool[cache["pool_rows"]], pool[-1:]], axis=0
-                )
+                # (frees the full pool buffer for in-place level updates);
+                # pretex misses remap to row 0 so no scratch needed
+                if "pretex" in cache["features"]:
+                    pool = pool[cache["pool_rows"]]
+                else:
+                    pool = jnp.concatenate(
+                        [pool[cache["pool_rows"]], pool[-1:]], axis=0
+                    )
             return execute_items_fused(
                 ops["items"], t_size, rows, cache["bigs"], pool, patterns,
                 cache["clips"], cache["features"], prepared=ops["prepared"],
@@ -2816,9 +2839,10 @@ def _whole_plan_build(lowered, viewport, linear_rgb, t_size):
         and _stage_vpool_ok(True, main_cache)
     )
 
-    def _vpool_gather(blocks, rows_np):
+    def _vpool_gather(blocks, rows_np, scratch=True):
         """Sub-pool for one launch: the launch's referenced rows sliced
-        out of the emission-ordered level blocks, + the scratch row."""
+        out of the emission-ordered level blocks, + the scratch row
+        (skipped for pretex launches, whose misses remap to row 0)."""
         parts = []
         for lo, n, arr in blocks:
             sel = rows_np[(rows_np >= lo) & (rows_np < lo + n)] - lo
@@ -2828,8 +2852,9 @@ def _whole_plan_build(lowered, viewport, linear_rgb, t_size):
                 parts.append(arr[int(sel[0]):int(sel[-1]) + 1])
             else:
                 parts.append(arr[jnp.asarray(sel, jnp.int32)])
-        parts.append(jnp.zeros((1, t_size, 4 * t_size), DEVICE_FLOAT))
-        return jnp.concatenate(parts, axis=0)
+        if scratch or not parts:
+            parts.append(jnp.zeros((1, t_size, 4 * t_size), DEVICE_FLOAT))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     # the scene-static prepared arrays (expanded winding params, pre-pass
     # winding stacks) enter as PROGRAM ARGUMENTS, not closure captures —
@@ -2842,7 +2867,11 @@ def _whole_plan_build(lowered, viewport, linear_rgb, t_size):
             def sub_pool(cache, needs):
                 if not needs or cache.get("pool_rows_np") is None:
                     return None
-                return _vpool_gather(blocks, cache["pool_rows_np"])
+                f = cache["features"]
+                return _vpool_gather(
+                    blocks, cache["pool_rows_np"],
+                    scratch=not (f is not None and "pretex" in f),
+                )
 
             for g, gc, ops in zip(groups, g_caches, g_ops):
                 canvas = _run(

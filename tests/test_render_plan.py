@@ -443,3 +443,41 @@ def test_occlusion_cull_bit_exact(monkeypatch):
     # interior tile: the culled stream must be strictly smaller
     assert counts["1"] < counts["0"]
     np.testing.assert_array_equal(images["0"], images["1"])
+
+
+def test_lowering_is_deterministic_across_repeats():
+    """Two lowers of one scene must produce identical plans.
+
+    Round 5 found clip caches keyed by id(transform): clip transforms are
+    temporaries that die between isolation passes, CPython reuses their
+    ids, and a later different clip then hit a STALE cache entry —
+    nondeterministically dropping (or inventing) tiles on pass-heavy
+    scenes (the stress doc diverged by up to 0.5 premult units on a few
+    tiles, sometimes against the oracle).  Keys now use the transform's
+    matrix bytes.
+    """
+    import hashlib
+
+    from svgrasterize_tpu.utils.stress import stress_doc
+
+    scene, _i, size = scene_from_str(stress_doc(300))
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    w, h = int(size[0]), int(size[1])
+
+    def plan_hash():
+        lowered = lower_scene(scene, tr, (0, 0, h, w), False, tile=32)
+        hsh = hashlib.sha1()
+        for k in sorted(lowered.items):
+            v = lowered.items[k]
+            if hasattr(v, "tobytes"):
+                hsh.update(k.encode())
+                hsh.update(np.ascontiguousarray(v).tobytes())
+        for g in lowered.groups:
+            for k in sorted(g["items"]):
+                v = g["items"][k]
+                if hasattr(v, "tobytes"):
+                    hsh.update(np.ascontiguousarray(v).tobytes())
+            hsh.update(np.ascontiguousarray(g["clips"]).tobytes())
+        return hsh.hexdigest()
+
+    assert plan_hash() == plan_hash()
