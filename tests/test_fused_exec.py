@@ -720,3 +720,63 @@ def test_kvec_ring_kernel():
         (0, 0, 64, 96),
         vout=False,
     )
+
+
+def test_tile64_multipass_stays_fused():
+    """Multi-pass plans at tile 64 run fused with zero fallbacks.
+
+    Round 4 measured an ~8x cliff: tile-64 serve plans blew the fused
+    VMEM budget and fell back to the XLA executor wholesale (icons
+    1.5 -> 12 ms).  The per-launch sub-pool accounting (vpool + the
+    plan_features subpool_rows budget) has since removed it; this pins
+    that a filter+mask+opacity multi-pass doc at tile 64 (a) keeps every
+    stage on the fused executor (fallback audit clean) and (b) matches
+    the XLA executor.
+    """
+    import os
+
+    import numpy as np
+
+    from svgrasterize_tpu.frontend.svg import scene_from_str
+    from svgrasterize_tpu.core.transform import Transform
+    from svgrasterize_tpu.ops.fused_exec import fallback_audit
+    from svgrasterize_tpu.render_plan import execute_lowered, lower_scene
+
+    doc = """
+    <svg xmlns="http://www.w3.org/2000/svg" width="512" height="384">
+      <defs>
+        <mask id="m"><rect x="20" y="20" width="470" height="340"
+          fill="white"/><circle cx="250" cy="190" r="90" fill="black"/></mask>
+        <filter id="b"><feGaussianBlur stdDeviation="3"/></filter>
+        <linearGradient id="g"><stop offset="0" stop-color="#d04020"/>
+          <stop offset="1" stop-color="#2040d0"/></linearGradient>
+      </defs>
+      <rect x="8" y="8" width="496" height="368" fill="url(#g)"/>
+      <g opacity="0.6"><rect x="40" y="40" width="200" height="150"
+        fill="blue"/><circle cx="300" cy="120" r="70" fill="red"/></g>
+      <rect x="100" y="60" width="340" height="260" fill="#00aa88"
+        mask="url(#m)"/>
+      <circle cx="120" cy="280" r="60" fill="purple" filter="url(#b)"/>
+    </svg>
+    """
+    scene, _i, _s = scene_from_str(doc)
+    tr = Transform().matrix(0, 1, 0, 1, 0, 0)
+    prev = os.environ.get("SVGR_FUSED")
+    try:
+        os.environ["SVGR_FUSED"] = "0"
+        l_ref = lower_scene(scene, tr, (0, 0, 384, 512), False, tile=64)
+        ref = np.asarray(execute_lowered(l_ref, (0, 0), False))
+        os.environ["SVGR_FUSED"] = "interp"
+        lowered = lower_scene(scene, tr, (0, 0, 384, 512), False, tile=64)
+        assert lowered.groups, "doc should need isolation passes"
+        launches0, log0 = fallback_audit()
+        out = np.asarray(execute_lowered(lowered, (0, 0), False))
+        launches1, log1 = fallback_audit()
+    finally:
+        if prev is None:
+            os.environ.pop("SVGR_FUSED", None)
+        else:
+            os.environ["SVGR_FUSED"] = prev
+    assert log1[len(log0):] == (), f"tile-64 fell back: {log1[len(log0):]}"
+    assert launches1 - launches0 >= 1 + len(lowered.groups)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
