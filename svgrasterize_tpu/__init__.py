@@ -25,6 +25,19 @@ def _setup_compile_cache() -> None:
     Disable with SVGR_COMPILE_CACHE=0."""
     import os
 
+    # XLA:CPU stamps auto-tuning pseudo-features (+prefer-no-scatter,
+    # +prefer-no-gather) into cached AOT results; at load time the host
+    # feature check rejects them, so every cross-process "cache hit"
+    # silently fell back to a full recompile (~5 s for a material-sized
+    # program — the dominant cost of one-shot CLI renders).  Pinning the
+    # ISA ceiling makes the stamped feature set host-compatible: loads
+    # succeed (measured 6.5 s -> 1.6 s cross-process execute).  Respect
+    # an explicit user setting.
+    if "xla_cpu_max_isa" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " --xla_cpu_max_isa=AVX512"
+        ).strip()
+
     cache = os.environ.get("SVGR_COMPILE_CACHE", default_cache_dir())
     if not cache or cache == "0":
         return

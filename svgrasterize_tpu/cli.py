@@ -57,10 +57,24 @@ def main(argv=None) -> int:
 
     if opts.platform:
         jax.config.update("jax_platforms", opts.platform)
+    # One-shot renders are lower-bound, not execute-bound: the CPU
+    # backend's serving default (tile 128, fewest dispatches per frame)
+    # pays ~7x the host-lowering cost of tile 32 on material-design
+    # (8.6 s vs 1.2 s — collapse field composition and binning scale
+    # with tile area) while its single-frame execute saving is <1 s.
+    # The CLI renders each scene exactly once, so default to tile 32
+    # everywhere; SVGR_TILE still overrides.
+    os.environ.setdefault("SVGR_TILE", "32")
     # the persistent compile cache itself is configured by the package
     # import (svgrasterize_tpu._setup_compile_cache); enable the XLA-level
-    # caches on top for CLI one-shots
-    if os.environ.get("SVGR_COMPILE_CACHE", "1") not in ("", "0"):
+    # caches on top for CLI one-shots — but NOT on the CPU backend, where
+    # the per-kernel XLA cache entries embed host machine features that
+    # fail the AOT load check on replay (42 silent load-failures +
+    # recompiles per material render; the program-level cache alone loads
+    # clean under the package's --xla_cpu_max_isa pin)
+    if os.environ.get("SVGR_COMPILE_CACHE", "1") not in ("", "0") and (
+        opts.platform or ""
+    ).lower() != "cpu":
         jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
     if not os.path.exists(opts.svg):
