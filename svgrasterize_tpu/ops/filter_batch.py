@@ -375,6 +375,188 @@ def _apply_chunk_folded(rows, ck: dict, t_size: int, linear_rgb: bool):
     return tiles[jnp.asarray(ck["out_idx"])]
 
 
+def _pallas_mode() -> str:
+    """"1" (default): fused Pallas chunk kernel on TPU; "0": XLA op chain;
+    "interp": force the kernel in interpreter mode (CPU equivalence
+    tests)."""
+    return os.environ.get("SVGR_BLUR_PALLAS", "1")
+
+
+def _use_pallas() -> bool:
+    mode = _pallas_mode()
+    if mode == "0":
+        return False
+    if mode == "interp":
+        return True
+    from .fused_exec import _backend_is_tpu
+
+    return _backend_is_tpu()
+
+
+def _chunk_kernel_factory(t_size: int, S: int, NSi: int, NSj: int,
+                          NOi: int, NOj: int, O: int,
+                          gamma_in, gamma_out):
+    """One grid step = one filter part: planar span assembly, alpha/
+    colorspace conversion, the crop+blur+placement band-matmul pair, and
+    out-tile re-tiling — all VMEM-local.
+
+    The XLA formulation of the same math (apply_chunk below) round-trips
+    HBM at every relayout: the tiled->(B,4,H,W) de-interleave and the
+    image->tiles re-tile each materialize layout copies (~2.9 ms of the
+    52-doc sprite atlas's 4.8 ms device time was this glue).  Here the
+    gathered rows stream in as one block per part and every relayout is
+    a register shuffle; only the rows and out tiles touch HBM, once.
+
+    Exactness: the band matmuls run as per-channel HIGHEST-precision MXU
+    dots (same taps, same contraction elements as the XLA pair); the
+    conversions are the same piecewise formulas as _planar_convert, so
+    the kernel is equivalent to the XLA chain up to f32 matmul
+    reassociation (covered by the fuzz equivalence test)."""
+    import jax
+    import jax.numpy as jnp
+
+    T = t_size
+    H, W = NSi * T, NSj * T
+    Ho, Wo = NOi * T, NOj * T
+    hi = jax.lax.Precision.HIGHEST
+
+    def _to_linear(x):
+        return jnp.where(
+            x <= 0.04045,
+            x / 12.92,
+            jnp.power(jnp.maximum((x + 0.055) / 1.055, 1e-12), 2.4),
+        )
+
+    def _to_srgb(x):
+        return jnp.where(
+            x <= 0.0031308,
+            x * 12.92,
+            1.055 * jnp.power(jnp.maximum(x, 1e-12), 1.0 / 2.4) - 0.055,
+        )
+
+    def kernel(flag_ref, rows_ref, bh_ref, bw_ref, out_ref):
+        r = rows_ref[0]                     # (S, T, 4T) planar tiles
+        keep_rgb = 1.0 - flag_ref[0, 0]     # src_alpha: rgb -> 0 exactly
+
+        # ---- span assembly: (S, T, 4T) -> 4 x (H, W), register-local --
+        chans = []
+        for c in range(4):
+            rows_c = []
+            for di in range(NSi):
+                rows_c.append(jnp.concatenate(
+                    [r[di * NSj + dj, :, c * T : (c + 1) * T]
+                     for dj in range(NSj)],
+                    axis=1,
+                ) if NSj > 1 else r[di * NSj, :, c * T : (c + 1) * T])
+            chans.append(
+                jnp.concatenate(rows_c, axis=0) if NSi > 1 else rows_c[0]
+            )
+        alpha = chans[3]
+
+        # ---- Layer.convert(pre_alpha=False[, linear]) ------------------
+        pos = alpha > 0.0001
+        safe = jnp.where(pos, alpha, 1.0)
+        alpha = jnp.clip(alpha, 0.0, 1.0)
+        rgb = []
+        for c in range(3):
+            x = chans[c] * keep_rgb
+            x = jnp.clip(jnp.where(pos, x / safe, x), 0.0, 1.0)
+            if gamma_in == "to_linear":
+                x = _to_linear(x)
+            elif gamma_in == "to_srgb":
+                x = _to_srgb(x)
+            rgb.append(x)
+
+        # ---- crop + separable blur + placement: two dots per channel --
+        bh = bh_ref[0]                       # (Ho, H)
+        bw = bw_ref[0]                       # (Wo, W)
+        outs = []
+        for ch in rgb + [alpha]:
+            z = jax.lax.dot_general(
+                bh, ch, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=hi, preferred_element_type=jnp.float32,
+            )                                # (Ho, W)
+            o = jax.lax.dot_general(
+                z, bw, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=hi, preferred_element_type=jnp.float32,
+            )                                # (Ho, Wo)
+            outs.append(o)
+        alpha_o = outs[3]
+        for c in range(3):
+            x = outs[c]
+            if gamma_out == "to_linear":
+                x = _to_linear(x)
+            elif gamma_out == "to_srgb":
+                x = _to_srgb(x)
+            outs[c] = x * alpha_o            # back to premultiplied
+
+        # ---- re-tile: (Ho, Wo) x 4 -> (O, T, 4T) ----------------------
+        for o in range(O):
+            di, dj = divmod(o, NOj)
+            out_ref[0, o] = jnp.concatenate(
+                [ch[di * T : (di + 1) * T, dj * T : (dj + 1) * T]
+                 for ch in outs],
+                axis=1,
+            )
+
+    return kernel
+
+
+def _apply_chunk_pallas(rows, ck: dict, t_size: int, linear_rgb: bool):
+    """Pallas execution of one chunk: rows (B, S, T, 4T) -> (n_out, T,
+    4T) pool rows (same contract as the planar XLA path)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused_exec import _interpret
+
+    T = t_size
+    B, NSi, NSj, NOi, NOj = ck["B"], ck["NSi"], ck["NSj"], ck["NOi"], ck["NOj"]
+    S = NSi * NSj
+    O = NOi * NOj
+    chain_linear = ck["chain_linear"]
+    gamma_in = gamma_out = None
+    if chain_linear != linear_rgb:
+        gamma_in = "to_linear" if chain_linear else "to_srgb"
+        gamma_out = "to_srgb" if chain_linear else "to_linear"
+
+    flags = np.zeros((B, 1), DEVICE_FLOAT)
+    flags[:, 0] = ck["src_alpha"].astype(DEVICE_FLOAT)
+
+    tiles = pl.pallas_call(
+        _chunk_kernel_factory(T, S, NSi, NSj, NOi, NOj, O,
+                              gamma_in, gamma_out),
+        grid_spec=pl.GridSpec(
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, S, T, 4 * T), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NOi * T, NSi * T), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NOj * T, NSj * T), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, O, T, 4 * T), lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, O, T, 4 * T), DEVICE_FLOAT),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret() or _pallas_mode() == "interp",
+    )(
+        jnp.asarray(flags),
+        rows,
+        jnp.asarray(ck["bh"]),
+        jnp.asarray(ck["bw"]),
+    )
+    return tiles.reshape(B * O, T, 4 * T)[jnp.asarray(ck["out_idx"])]
+
+
 def apply_chunk(canvas, ck: dict, t_size: int, linear_rgb: bool,
                 planar: bool = False):
     """Run one batched-blur chunk: canvas rows -> pool rows ((n_out, T,
@@ -402,6 +584,8 @@ def apply_chunk(canvas, ck: dict, t_size: int, linear_rgb: bool,
         jnp.asarray(np.where(ck["lut"] < 0, sent, ck["lut"]))
     ]  # (B, S, T, T, 4) or planar (B, S, T, 4T)
 
+    if planar and _use_pallas():
+        return _apply_chunk_pallas(rows, ck, t_size, linear_rgb)
     if planar and os.environ.get("SVGR_CHUNK_FOLD", "0") != "0":
         return _apply_chunk_folded(rows, ck, t_size, linear_rgb)
     if planar:

@@ -132,3 +132,55 @@ def test_folded_chunk_matches_default():
         else:
             os.environ["SVGR_CHUNK_FOLD"] = prev
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("gamma", [False, True], ids=["nogamma", "gamma"])
+def test_pallas_chunk_matches_default(gamma):
+    """The fused Pallas chunk kernel (SVGR_BLUR_PALLAS, interpret mode on
+    CPU) must reproduce the XLA chunk chain to f32 matmul rounding —
+    including 1x1 spans, SourceAlpha members, and both gamma chains."""
+    import jax.numpy as jnp
+
+    from svgrasterize_tpu.ops import filter_batch as fb
+
+    rng = np.random.default_rng(11)
+    T = 32
+    for NSi, NSj, NOi, NOj, B in [(1, 1, 1, 1, 2), (2, 3, 3, 2, 3)]:
+        S, O = NSi * NSj, NOi * NOj
+        n_rows = 12
+        canvas = jnp.asarray(rng.random((n_rows, T, 4 * T)), jnp.float32)
+        lut = rng.integers(-1, n_rows, (B, S)).astype(np.int32)
+        u = rng.random(5)
+        u /= u.sum()
+        v = rng.random(3)
+        v /= v.sum()
+        out_idx = np.asarray(
+            rng.permutation(B * O)[: B * O // 2 + 1], np.int32
+        )
+        ck = {
+            "B": B, "NSi": NSi, "NSj": NSj, "NOi": NOi, "NOj": NOj,
+            "chain_linear": gamma, "lut": lut,
+            "bh": np.stack(
+                [fb._band(u, NSi * T - 3, 1, -2, NOi * T, NSi * T)
+                 for _ in range(B)]
+            ).astype(np.float32),
+            "bw": np.stack(
+                [fb._band(v, NSj * T - 5, 2, 1, NOj * T, NSj * T)
+                 for _ in range(B)]
+            ).astype(np.float32),
+            "src_alpha": np.arange(B) % 2 == 0,
+            "out_idx": out_idx,
+            "pool_idx": list(range(len(out_idx))),
+        }
+        prev = os.environ.get("SVGR_BLUR_PALLAS")
+        try:
+            os.environ["SVGR_BLUR_PALLAS"] = "0"
+            ref = np.asarray(fb.apply_chunk(canvas, ck, T, False, planar=True))
+            os.environ["SVGR_BLUR_PALLAS"] = "interp"
+            got = np.asarray(fb.apply_chunk(canvas, ck, T, False, planar=True))
+        finally:
+            if prev is None:
+                os.environ.pop("SVGR_BLUR_PALLAS", None)
+            else:
+                os.environ["SVGR_BLUR_PALLAS"] = prev
+        np.testing.assert_allclose(got, ref, atol=2e-6)
