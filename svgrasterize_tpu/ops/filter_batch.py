@@ -436,7 +436,7 @@ def _chunk_kernel_factory(t_size: int, S: int, NSi: int, NSj: int,
 
     def kernel(flag_ref, rows_ref, bh_ref, bw_ref, out_ref):
         r = rows_ref[0]                     # (S, T, 4T) planar tiles
-        keep_rgb = 1.0 - flag_ref[0, 0]     # src_alpha: rgb -> 0 exactly
+        keep_rgb = 1.0 - flag_ref[0, 0, 0]  # src_alpha: rgb -> 0 exactly
 
         # ---- span assembly: (S, T, 4T) -> 4 x (H, W), register-local --
         chans = []
@@ -522,8 +522,10 @@ def _apply_chunk_pallas(rows, ck: dict, t_size: int, linear_rgb: bool):
         gamma_in = "to_linear" if chain_linear else "to_srgb"
         gamma_out = "to_srgb" if chain_linear else "to_linear"
 
-    flags = np.zeros((B, 1), DEVICE_FLOAT)
-    flags[:, 0] = ck["src_alpha"].astype(DEVICE_FLOAT)
+    # (B, 1, 8) f32 SMEM blocks: Mosaic requires the last two block
+    # dims divisible by (8, 128) or equal to the array dims
+    flags = np.zeros((B, 1, 8), DEVICE_FLOAT)
+    flags[:, 0, :] = ck["src_alpha"].astype(DEVICE_FLOAT)[:, None]
 
     tiles = pl.pallas_call(
         _chunk_kernel_factory(T, S, NSi, NSj, NOi, NOj, O,
@@ -531,7 +533,7 @@ def _apply_chunk_pallas(rows, ck: dict, t_size: int, linear_rgb: bool):
         grid_spec=pl.GridSpec(
             grid=(B,),
             in_specs=[
-                pl.BlockSpec((1, 1), lambda b: (b, 0),
+                pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, S, T, 4 * T), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
