@@ -204,6 +204,18 @@ def pretex() -> bool:
     return os.environ.get("SVGR_PRETEX", "1") != "0"
 
 
+def _pretex_gather_budget() -> int:
+    """Per-frame bytes the pretex pool-row gather may stream before the
+    planner prefers the resident-pool kres path (when it fits VMEM).
+    Measured round 5 on the 52-doc sprite atlas: the 6,144-item main's
+    ~100 MB/frame gather cost ~0.4 ms; kres served the same plan 13%
+    faster end-to-end.  icons.svg's dense level launches gather a few MB
+    and keep pretex; the stress scene's 50 MB main measured slightly
+    FASTER on pretex (0.94 vs 0.98 ms/frame), so the cap sits above it.
+    SVGR_PRETEX_GATHER_MB overrides."""
+    return int(os.environ.get("SVGR_PRETEX_GATHER_MB", "64")) << 20
+
+
 def kres() -> bool:
     """Allow the "kres" feature: kvec with a VMEM-resident pool.
 
@@ -2311,7 +2323,27 @@ def plan_features(items, bigs, clips, pool, patterns, t_size: int,
         # pool gather (~74 MB at share 0.22) costs more than the
         # vectorized kernel saves on a sparse launch — sparse launches
         # keep the resident pool and the serial kernel)
-        if share >= 0.3 and pretex():
+        #
+        # pretex is also traffic-capped (round 5): the gather streams one
+        # (T, 4T) row per padded item per FRAME, and on the 52-doc sprite
+        # atlas's 6,144-item main that was ~100 MB/frame (173 us gather +
+        # 88 us pad alone); forcing the resident-pool kres path instead
+        # measured 3.59 -> 3.19 ms/frame whole-serve.  Dense levels keep
+        # pretex (their gathers are a few MB); a launch over the cap only
+        # drops to kres when the resident stacks actually fit the VMEM
+        # budget — otherwise pretex stays (fused-with-gather still beats
+        # the XLA-executor fallback by ~8x).
+        gather_bytes = len(items["tile_id"]) * t_size * 4 * t_size * 4
+        kres_pool = (subpool_rows + 1 if subpool_rows is not None
+                     else pool.shape[0])
+        kres_fits = (
+            stack_bytes(tt_rows, pool_rows + kres_pool, t_size)
+            <= vmem_budget()
+        )
+        if share >= 0.3 and pretex() and not (
+            gather_bytes > _pretex_gather_budget()
+            and kres() and kres_fits
+        ):
             f.append("pretex")
         elif subpool_rows is not None:
             pool_rows += subpool_rows + 1  # + scratch row
