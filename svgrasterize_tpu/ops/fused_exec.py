@@ -107,11 +107,15 @@ def fused_k() -> int:
 
     Measured on v5e material-design: K=1 2.7 ms, K=8 2.5-2.6 ms,
     K=16 1.71 ms per frame (fewer grid steps amortize the per-step
-    pipeline overhead; beyond that VMEM block sizes start to bite)."""
+    pipeline overhead).  Round-5 re-sweep with the kvec/vstore kernel on
+    device-chained runs: K=32 beats or ties K=16 on every config (stress
+    0.93 -> 0.89 ms/frame, 52-doc atlas 3.19 -> 3.10, icons 0.59 ==,
+    material headline parity), outputs bit-identical, so 32 is the
+    default; K=64 measured no further win."""
     try:
-        return max(1, int(os.environ.get("SVGR_FUSED_K", "16")))
+        return max(1, int(os.environ.get("SVGR_FUSED_K", "32")))
     except ValueError:
-        return 16
+        return 32
 
 
 def fused_vout() -> bool:

@@ -2078,7 +2078,58 @@ def _apply_group_post(canvas, pool, group, grid_w, viewport, linear_rgb, t_size,
         )
     if return_rows:
         return new_rows
+    if (
+        planar
+        and os.environ.get("SVGR_POOL_ALIAS", "0") != "0"
+    ):
+        from .ops.fused_exec import _backend_is_tpu
+
+        if _backend_is_tpu():
+            return _pool_update_aliased(pool, new_rows, lo, t_size)
     return lax.dynamic_update_slice_in_dim(pool, new_rows, lo, axis=0)
+
+
+def _pool_update_aliased(pool, new_rows, lo: int, t_size: int):
+    """Pool level-update as an input-output-aliased Pallas row writer.
+
+    XLA cannot prove the level DUS may alias (the old pool value feeds
+    the same level's kernels), so it materializes a whole-pool copy per
+    level (two copy-done events, ~165 us/frame on the 52-doc atlas's
+    68 MB pool).  An explicitly aliased custom call sequences after the
+    readers, so the rows land in place; unwritten output blocks keep the
+    aliased input's bytes (the same guarantee the fused executor's
+    revisited canvas blocks rely on)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .ops.fused_exec import _interpret
+
+    n = new_rows.shape[0]
+    T = t_size
+
+    def kern(_pool_ref, rows_ref, out_ref):
+        out_ref[...] = rows_ref[...]
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=pl.GridSpec(
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, T, 4 * T), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, T, 4 * T), lambda i: (lo + i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(pool, new_rows)
 
 
 def _apply_part_filter(canvas, part, grid_w, viewport, linear_rgb, t_size):
