@@ -1910,8 +1910,15 @@ def execute_items_fused(
         n, n_pass = edges.shape[0], edges.shape[1]
     tile_id = prepared["tile_id"]
 
-    # K items per grid step (v2); K=1 selects the single-item v1 kernel
+    # K items per grid step (v2); K=1 selects the single-item v1 kernel.
+    # Cap the per-step stream block at ~4 MB: a K-step streams several
+    # (K, T, 4T) f32 blocks (paint, wind, out), and at tile 128 (the 8K
+    # canvas's _pick_tile choice) K=32 makes each one 8 MB — the TPU
+    # compile helper crashes outright (subprocess exit 1) where K=16
+    # (4 MB) compiles and serves 9.3 Gpx/s.  Tiles 32/64 are far under
+    # the cap at K=32.
     kb = fused_k()
+    kb = min(kb, max(1, (4 << 20) // (t_size * 4 * t_size * 4)))
     while kb > 1 and n % kb:
         kb //= 2
 
