@@ -1911,13 +1911,16 @@ def execute_items_fused(
     tile_id = prepared["tile_id"]
 
     # K items per grid step (v2); K=1 selects the single-item v1 kernel.
-    # Cap the per-step stream block at ~4 MB: a K-step streams several
-    # (K, T, 4T) f32 blocks (paint, wind, out), and at tile 128 (the 8K
-    # canvas's _pick_tile choice) K=32 makes each one 8 MB — the TPU
-    # compile helper crashes outright (subprocess exit 1) where K=16
-    # (4 MB) compiles and serves 9.3 Gpx/s.  Tiles 32/64 are far under
-    # the cap at K=32.
+    # The K=32 default only pays at tile 32 (device-chained A/Bs: stress
+    # 0.93 -> 0.89 ms, 52-doc atlas 3.19 -> 3.10, icons ==).  At fatter
+    # tiles each (K, T, 4T) stream block quadruples: tile-64 4K serving
+    # measured K=16 22% FASTER than K=32 (2.54 vs 3.24 ms/frame), and at
+    # tile 128 (the 8K canvas) K=32's 8 MB blocks crash the TPU compile
+    # helper outright where K=16 serves 9.3 Gpx/s — so fat tiles cap at
+    # 16, plus a ~4 MB/block byte guard for anything fatter still.
     kb = fused_k()
+    if t_size >= 64:
+        kb = min(kb, 16)
     kb = min(kb, max(1, (4 << 20) // (t_size * 4 * t_size * 4)))
     while kb > 1 and n % kb:
         kb //= 2
